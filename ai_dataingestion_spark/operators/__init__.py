@@ -1,0 +1,6 @@
+"""Operator library — importing this package registers every SURVEY.md §2
+operator into the catalog (ai_dataingestion_spark.catalog)."""
+
+from ai_dataingestion_spark.operators import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,167 @@
+"""Table registry: declared schemas + loaders for the 10-table corpus.
+
+Schemas are declared explicitly (never inferred) because (a) the events table
+needs the NANOS shim and (b) the DuckDB oracle compares result schemas, so
+every type must be pinned (FIXTURES.md, SURVEY.md §1.4).
+
+The events shim (SURVEY.md §7.4, measured): parquet TIMESTAMP(NANOS) is
+unreadable by Spark 4.x natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+the column arrives as a raw int64 of nanoseconds. We convert with
+``timestamp_micros(ts DIV 1000)`` — integer DIV (truncation) matches DuckDB's
+silent ns→µs truncation exactly, while float division would round and drift by
+1 µs — then cast to TIMESTAMP_NTZ (session TZ is UTC, so the cast is a no-op
+on the wall-clock value) to match DuckDB's naive TIMESTAMP type.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _s(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+# Declared engine-facing schemas (post-shim for events). FIXTURES.md is the
+# measured source of truth.
+SCHEMAS: dict[str, StructType] = {
+    "region": _s(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _s(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _s(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _s(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "part": _s(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _s(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampNTZType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _s(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampNTZType()),
+    ),
+    # events: engine-facing schema AFTER the nanos shim.
+    "events": _s(
+        ("event_id", LongType()),
+        ("ts", TimestampNTZType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _s(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _s(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType(), True)),
+        ("label", IntegerType()),
+    ),
+}
+
+TABLE_NAMES = tuple(SCHEMAS)
+
+# Raw (on-disk) schema for events: ts is int64 nanoseconds under nanosAsLong.
+_EVENTS_RAW_SCHEMA = _s(
+    ("event_id", LongType()),
+    ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+EMBEDDING_DIM = 64  # measured: every embeddings.embedding has exactly 64 floats
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table with its declared schema (events get the shim).
+
+    Declaring the read schema (rather than inferring) doubles as column-prune
+    enforcement: Catalyst still prunes to referenced columns, and the parquet
+    footer is never trusted for types the oracle compares.
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)")
+        )
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view so the SQL entry point (SURVEY.md
+    §3.2 EP2) sees the same post-shim relations as the DataFrame API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+class Tables:
+    """Lazy per-query handle: ``t = Tables(spark, sf_dir); t.lineitem ...``.
+
+    Each attribute access builds a fresh DataFrame reader (cheap: plan node
+    only). No caching here — operators opt in to ``.cache()`` where reuse
+    within one query justifies it.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in SCHEMAS:
+            return load_table(self._spark, self._sf_dir, name)
+        raise AttributeError(name)

@@ -1,0 +1,93 @@
+"""SparkSession factory with the engine's scale-aware configuration.
+
+Every knob here is chosen for the 100 TB posture first and local testing
+second (SURVEY.md §7.3):
+
+- AQE on (runtime partition coalescing, skew-join splitting, plan re-opt) —
+  at 100 TB, static shuffle-partition counts are always wrong somewhere.
+- ``spark.sql.shuffle.partitions`` defaults to a local-friendly count but is a
+  parameter: on a real cluster set it ~2-3x total cores; AQE coalesces down.
+- Arrow enabled for every Python<->JVM data crossing (pandas UDFs, toPandas).
+- Session timezone pinned to UTC so TIMESTAMP_NTZ columns (o_orderdate,
+  l_shipdate) and TIMESTAMP<->NTZ casts are deterministic (SURVEY.md §5.4).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the events table carries a
+  parquet TIMESTAMP(NANOS) column that Spark 4.x refuses to read natively
+  (PARQUET_TYPE_ILLEGAL). The registry converts the raw nanos long to
+  TIMESTAMP_NTZ at load (registry.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def session_builder(
+    app_name: str = "ai_dataingestion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Return a pre-configured builder; callers may add overrides before build.
+
+    ``master=None`` leaves cluster selection to spark-submit / the environment
+    (the right default on a real cluster); tests and local tools pass
+    ``local[N]`` explicitly or rely on SPARK_GRAFT_CPUS.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        shuffle_partitions = max(8, int(cpus))
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic float formatting & parquet behavior across reruns.
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+
+
+def get_spark(
+    app_name: str = "ai_dataingestion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch the active) SparkSession with engine configuration."""
+    return session_builder(app_name, master, shuffle_partitions).getOrCreate()
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine confs to an externally-built session.
+
+    The driver hands us an already-built SparkSession; most engine confs are
+    runtime-settable and applied here. ``nanosAsLong`` is read at reader
+    construction time, so it works as a runtime conf too.
+    """
+    runtime = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; builder-configured sessions have it
+    return spark

@@ -1,0 +1,130 @@
+"""Simulate the driver's verify loop against __spark_entry__.py.
+
+Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01] [query ...]
+
+Imports __spark_entry__ exactly as the driver does, runs entry() as a smoke
+check at sf0.001, then for every queries() key runs the Spark query and the
+DuckDB oracle side-by-side and compares row count + column names +
+order-insensitive value multiset. Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime):
+        return v
+    if hasattr(v, "item"):
+        return v.item()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in r) for r in df[cols].itertuples(index=False)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*", help="subset of query ids (default: all)")
+    args = ap.parse_args()
+
+    import __spark_entry__ as mod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    entry_rows = mod.entry(spark).collect()
+    print(f"[smoke] entry() -> {len(entry_rows)} rows in {time.time()-t0:.1f}s "
+          f"({'OK' if len(entry_rows) > 0 else 'FAIL: 0 rows'})")
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    ids = args.queries or sorted(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_ok = n_fail = n_rows_only = 0
+    for qid in ids:
+        t0 = time.time()
+        try:
+            sp = qs[qid](spark, args.sf_dir).toPandas()
+        except Exception as e:
+            print(f"[FAIL] {qid}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if qid not in oracles:
+            print(f"[rows] {qid}: {len(sp)} rows (no oracle) {time.time()-t0:.1f}s")
+            n_rows_only += 1
+            continue
+        try:
+            dd = con.execute(oracles[qid]).fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {qid}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(sp)
+        dc, dr = canon(dd)
+        if sc != dc:
+            print(f"[FAIL] {qid}: cols spark={sc} oracle={dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"[FAIL] {qid}: rows spark={len(sr)} oracle={len(dr)}")
+            n_fail += 1
+        else:
+            bad = next((i for i, (a, b) in enumerate(zip(sr, dr)) if a != b), None)
+            if bad is None:
+                print(f"[ OK ] {qid}: {len(sr)} rows match {time.time()-t0:.1f}s")
+                n_ok += 1
+            else:
+                print(f"[FAIL] {qid}: value mismatch row {bad}:\n"
+                      f"  spark : {sr[bad]}\n  oracle: {dr[bad]}")
+                n_fail += 1
+
+    print(f"\n{n_ok} ok, {n_rows_only} rows-only, {n_fail} fail, "
+          f"smoke={'ok' if entry_rows else 'FAIL'}")
+    return 0 if (n_fail == 0 and entry_rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Local replica of the driver's oracle comparison (SURVEY.md §5.2 tier 2).
+
+Runs a registered QuerySpec on Spark and its oracle SQL on DuckDB over the
+same parquet directory, then compares row count, column names, and the
+order-insensitive multiset of values — strictly (exact equality), because the
+driver hashes values rather than applying tolerances.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+import pandas as pd
+
+from ai_dataingestion_spark.registry import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime):
+        return v
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = [tuple(_norm_cell(v) for v in row) for row in out.itertuples(index=False)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return cols, rows
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Return a comparison report; report['ok'] is the overall verdict."""
+    sp = spark_df.toPandas()
+    dd = con.execute(sql).fetchdf()
+    sp_cols, sp_rows = _canon(sp)
+    dd_cols, dd_rows = _canon(dd)
+    report = {
+        "ok": False,
+        "spark_rows": len(sp_rows),
+        "oracle_rows": len(dd_rows),
+        "cols_match": sp_cols == dd_cols,
+        "spark_cols": sp_cols,
+        "oracle_cols": dd_cols,
+        "mismatch": None,
+    }
+    if not report["cols_match"] or len(sp_rows) != len(dd_rows):
+        return report
+    for i, (a, b) in enumerate(zip(sp_rows, dd_rows)):
+        if a != b:
+            report["mismatch"] = {"row": i, "spark": a, "oracle": b}
+            return report
+    report["ok"] = True
+    return report

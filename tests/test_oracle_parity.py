@@ -1,0 +1,35 @@
+"""Tier-2 oracle parity: every oracle-verified operator must hash-match its
+DuckDB oracle at sf0.001 (fast loop) — the same check the driver runs at
+sf0.01. Operators without oracle SQL get a rows-runnable smoke test."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_dataingestion_spark.catalog import all_specs
+from tests.parity import compare, duckdb_connect
+
+SPECS = all_specs()
+ORACLE_IDS = sorted(k for k, s in SPECS.items() if s.oracle)
+ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb_connect(sf_small)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("qid", ORACLE_IDS)
+def test_oracle_parity(qid, spark, sf_small, con):
+    spec = SPECS[qid]
+    df = spec.fn(spark, sf_small)
+    report = compare(df, con, spec.oracle)
+    assert report["ok"], f"{qid}: {report}"
+
+
+@pytest.mark.parametrize("qid", ROWS_ONLY_IDS)
+def test_rows_only_runs(qid, spark, sf_small):
+    df = SPECS[qid].fn(spark, sf_small)
+    assert df.count() >= 0
