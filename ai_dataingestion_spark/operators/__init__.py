@@ -3,4 +3,8 @@ operator into the catalog (ai_dataingestion_spark.catalog)."""
 
 from ai_dataingestion_spark.operators import (  # noqa: F401
     aggregates,
+    joins,
+    projections,
+    sets,
+    sorts,
 )

@@ -82,3 +82,250 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT)/sum(DISTINCT) per group — Spark expands these to a
+    two-level aggregate (distinct on (group, value), then final agg), so the
+    shuffle still carries one row per distinct pair, never raw input."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: Spark HLL != DuckDB HLL
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type (approx_count_distinct).
+    Sketch values are engine-specific, so this is rows-verified; the unit
+    test asserts <5% error vs the exact count."""
+    e = Tables(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT c_nationkey, round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust
+FROM customer
+GROUP BY c_nationkey
+HAVING avg(c_acctbal) > 1000
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group + post-aggregation filter (HAVING)."""
+    c = Tables(spark, sf_dir).customer
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.avg("c_acctbal").alias("_avg_raw"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .filter(F.col("_avg_raw") > 1000)
+        .select(
+            "c_nationkey",
+            F.round("_avg_raw", 4).alias("avg_bal"),
+            "n_cust",
+        )
+    )
+
+
+def _region_nation_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total."""
+    return (
+        _region_nation_customer(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT event_type, hour(ts) AS hr, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All marginal totals over (event_type, hour-of-day)."""
+    e = Tables(spark, sf_dir).events.withColumn("hr", F.hour("ts").cast("bigint"))
+    return e.cube("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-region, per-nation, grand total (SQL entry
+    point EP2 — the same Catalyst Expand node as rollup/cube)."""
+    df = _region_nation_customer(spark, sf_dir)
+    df.createOrReplaceTempView("_gs_rnc")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_cust
+        FROM _gs_rnc
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of order price per status (Spark
+    `percentile` == DuckDB `quantile_cont`, both linear interpolation)."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_extendedprice), 2)    AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery (sample stddev/variance/corr/covar).
+    Variance-scale quantities are rounded to 2 dp because their absolute
+    float-order noise (~1e-6 at var≈1e9) exceeds 6-dp rounding."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT o_custkey, list(o_orderpriority ORDER BY o_orderpriority) AS priorities
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list of order priorities per customer — collect_list order is
+    nondeterministic after shuffle, so array_sort pins it (SURVEY.md §5.4)."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities")
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT user_id,
+       count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional counts: events per user × event_type as
+    columns, via count(when(...)) — one pass, no pivot shuffle."""
+    e = Tables(spark, sf_dir).events
+    aggs = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"n_{et}")
+        for et in ("click", "purchase", "error", "signup", "view")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "agg_top_groups",
+    oracle="""
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+LIMIT 5
+""",
+)
+def agg_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 revenue nations: groupBy + orderBy + limit compiles to partial
+    agg → 25-row final agg → TakeOrderedAndProject."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(5)
+    )

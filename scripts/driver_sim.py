@@ -18,6 +18,7 @@ from datetime import datetime
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
@@ -37,6 +38,8 @@ def norm_cell(v):
         return v.to_pydatetime()
     if isinstance(v, datetime):
         return v
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):
         return v.item()
     if isinstance(v, (list, tuple)):

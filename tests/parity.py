@@ -12,6 +12,7 @@ import math
 from datetime import datetime
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from ai_dataingestion_spark.registry import TABLE_NAMES
@@ -39,6 +40,8 @@ def _norm_cell(v):
         return v.to_pydatetime()
     if isinstance(v, datetime):
         return v
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return v.item()
     if isinstance(v, (list, tuple)):
