@@ -1,0 +1,336 @@
+"""§2.H Scalar function families — one representative query per family.
+
+All JVM-side built-ins (pyspark.sql.functions), i.e. inside whole-stage
+codegen; nothing here crosses into Python at execution time. Cross-engine
+dialect notes are measured against DuckDB 1.0.0 (probe in SURVEY.md §2.H):
+
+- `%` sign follows the dividend in both engines (Java/C semantics) — safe.
+- DuckDB ceil/floor on DOUBLE return DOUBLE-ish decimals, Spark returns LONG
+  → both sides cast to BIGINT explicitly.
+- regexp_extract returns '' on no-match in both engines.
+- No initcap in DuckDB; skipped from the parity surface.
+- Transcendentals (ln/log10) are libm-dependent → rounded to 6 dp both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import Tables
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                       AS name_upper,
+       lower(c_mktsegment)                 AS seg_lower,
+       length(c_name)                      AS name_len,
+       substring(c_name, 1, 8)             AS name_prefix,
+       concat_ws('-', c_mktsegment, c_name) AS seg_name,
+       replace(c_name, '#', '_')           AS name_repl,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+       reverse(c_mktsegment)               AS seg_rev,
+       trim('  ' || c_name || ' ')         AS name_trim
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over customer names."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("name_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_brand, 'Brand#([0-9]+)', 1)        AS brand_num_str,
+       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g')         AS name_starred,
+       regexp_matches(p_type, '^(PROMO|ECONOMY)')          AS is_cheap_line
+FROM part
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace/match over part attributes. Spark
+    regexp_replace is global by default; DuckDB needs the explicit 'g'."""
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num_str"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1)
+        .cast("bigint")
+        .alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_starred"),
+        F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_cheap_line"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                       AS yr,
+       month(o_orderdate)                      AS mth,
+       day(o_orderdate)                        AS dom,
+       isodow(o_orderdate)                     AS iso_dow,
+       CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus_30d,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)    AS month_end
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function battery over order dates.
+
+    dayofweek is normalized to ISO numbering (1=Mon..7=Sun): Spark's
+    dayofweek is 1=Sunday, so ((dayofweek + 5) % 7) + 1 maps onto DuckDB's
+    isodow (SURVEY.md §5.4). Date-typed results are emitted as ISO strings.
+    """
+    o = Tables(spark, sf_dir).orders
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("bigint").alias("iso_dow"),
+        F.date_trunc("month", "o_orderdate").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_add(d, 30).cast("string").alias("plus_30d"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "fn_timestamp",
+    oracle="""
+SELECT event_id,
+       hour(ts)       AS hr,
+       minute(ts)     AS mins,
+       second(ts)     AS secs,
+       epoch_us(ts)   AS us,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_bucket
+FROM events
+""",
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp function battery over events.ts (first consumer of the
+    NANOS load shim — registry.py)."""
+    e = Tables(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.minute("ts").cast("bigint").alias("mins"),
+        F.second("ts").cast("bigint").alias("secs"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.date_trunc("hour", "ts").cast("string").alias("hour_bucket"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT o_orderkey,
+       abs(0 - o_totalprice)                  AS abs_neg,
+       CAST(ceil(o_totalprice) AS BIGINT)     AS price_ceil,
+       CAST(floor(o_totalprice) AS BIGINT)    AS price_floor,
+       sqrt(o_totalprice)                     AS price_sqrt,
+       round(ln(o_totalprice), 6)             AS price_ln,
+       round(log10(o_totalprice), 6)          AS price_log10,
+       o_totalprice * o_totalprice            AS price_sq,
+       o_orderkey % 7                         AS key_mod7,
+       CAST(sign(o_totalprice - 100000) AS BIGINT) AS above_100k
+FROM orders
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery over prices. sqrt is IEEE-correctly-rounded (portable
+    raw); ln/log10 are libm-dependent → 6 dp; squares written as x*x (not
+    pow) so both engines run the identical multiply."""
+    o = Tables(spark, sf_dir).orders
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.lit(0) - p).alias("abs_neg"),
+        F.ceil(p).cast("bigint").alias("price_ceil"),
+        F.floor(p).cast("bigint").alias("price_floor"),
+        F.sqrt(p).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        (p * p).alias("price_sq"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.signum(p - 100000).cast("bigint").alias("above_100k"),
+    )
+
+
+@register(
+    "fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+            WHEN o_totalprice >= 100000 THEN 'gold'
+            WHEN o_totalprice >= 25000  THEN 'silver'
+            ELSE 'bronze' END                          AS tier,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+       greatest(o_totalprice, 50000.0)                 AS at_least_50k,
+       least(o_totalprice, 150000.0)                   AS at_most_150k
+FROM orders
+""",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + coalesce/nullif/greatest/least."""
+    o = Tables(spark, sf_dir).orders
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p >= 200000, "platinum")
+        .when(p >= 100000, "gold")
+        .when(p >= 25000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+        .alias("status_or_pending"),
+        F.greatest(p, F.lit(50000.0)).alias("at_least_50k"),
+        F.least(p, F.lit(150000.0)).alias("at_most_150k"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                         AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))          AS n_distinct,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+       list_contains(string_split(text, ' '), 'data')       AS has_data,
+       list_sort(string_split(text, ' '))[1]                AS first_alpha
+FROM documents
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized document text (size/slice/distinct/
+    contains/sort + element access)."""
+    d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice("toks", 1, 3), " ").alias("first3"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.element_at(F.sort_array("toks"), 1).alias("first_alpha"),
+    )
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+SELECT vec_id,
+       list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))  AS sq_norm,
+       len(list_filter(embedding, x -> x > 0))                AS n_pos,
+       CAST(embedding[1] AS DOUBLE) * 2.0                     AS first_x2
+FROM embeddings
+""",
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over embeddings: aggregate (squared L2 norm),
+    filter (positive dims), transform/element math. Floats are widened to
+    double BEFORE multiplying so both engines run identical IEEE ops;
+    list_sum/aggregate both reduce left-to-right, so raw doubles match."""
+    e = Tables(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_pos"),
+        (F.element_at("embedding", 1).cast("double") * 2.0).alias("first_x2"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       len(json_keys(props))                                AS n_keys,
+       array_to_string(json_keys(props), ',')               AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_val
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType → map_keys/element_at (flat outputs so the map
+    itself never crosses the comparison boundary)."""
+    e = Tables(spark, sf_dir).events.withColumn(
+        "m", F.from_json("props", MapType(StringType(), IntegerType()))
+    )
+    return e.select(
+        "event_id",
+        F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        F.element_at("m", "k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                  AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int,
+       CAST(json_valid(props) AS BOOLEAN)                 AS is_valid
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (get_json_object path form)."""
+    e = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       sha256(text) AS text_sha256,
+       md5(text)    AS text_md5
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing for dedup lineage: SHA-256 + MD5 hex digests (both
+    engines implement the standard algorithms; lowercase hex both)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5("text").alias("text_md5"),
+    )

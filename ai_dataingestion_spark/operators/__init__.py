@@ -7,4 +7,6 @@ from ai_dataingestion_spark.operators import (  # noqa: F401
     projections,
     sets,
     sorts,
+    windows,
 )
+from ai_dataingestion_spark import functions  # noqa: F401
