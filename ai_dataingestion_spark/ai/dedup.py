@@ -1,0 +1,301 @@
+"""Deduplication operators for LLM training-data pipelines (§2.K + extras):
+exact (hash), MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+The measured corpus has zero exact/near duplicates (FIXTURES.md), so each
+operator unions the documents table with a deterministically mutated copy of
+itself inside the query — a self-contained fixture the oracle can mirror.
+
+Scale posture: every near-dup algorithm here is candidate-generation via a
+key-equality join (LSH band bucket / simhash chunk / rare shingle) followed
+by exact verification on the candidate pairs only. Nothing is O(n²) over the
+corpus; the shuffles are on bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import Tables
+
+# MinHash constants (FIXTURES.md): 3-token shingles, 32 seeds, 8 bands x 4 rows.
+SHINGLE_K = 3
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = 4
+
+_DUP_OFFSET = 1_000_000
+
+
+def _corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of even-id docs (ids offset by 1e6)."""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies of every 5th doc (last token dropped) —
+    Jaccard vs the original ≈ (n-3)/n on 3-token shingles, well above any
+    near-dup threshold for realistic lengths."""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    toks = F.split("text", " ")
+    mutated = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+_SHINGLES_EXPR = f"""
+array_distinct(transform(
+  sequence(1, greatest(size(toks) - {SHINGLE_K - 1}, 1)),
+  i -> concat_ws(' ', slice(toks, i, {SHINGLE_K}))
+))
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents WHERE doc_id % 2 = 0
+),
+hashed AS (SELECT doc_id, sha256(text) AS text_sha FROM corpus),
+ranked AS (
+  SELECT doc_id, text_sha,
+         row_number() OVER (PARTITION BY text_sha ORDER BY doc_id) AS rn,
+         count(*)     OVER (PARTITION BY text_sha)                 AS n_copies
+  FROM hashed
+)
+SELECT doc_id AS keep_id, text_sha, n_copies FROM ranked WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on SHA-256(text): keep the lowest doc_id per hash, report
+    copy counts. The hash window shuffles one row per document on the digest
+    — uniform keys, no skew, the canonical 100 TB exact-dedup plan."""
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    hashed = corpus.select("doc_id", F.sha2("text", 256).alias("text_sha"))
+    w = Window.partitionBy("text_sha")
+    ranked = hashed.select(
+        "doc_id",
+        "text_sha",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("keep_id"), "text_sha", "n_copies"
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: xxhash64 signatures have no DuckDB twin
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (Broder 1997), DataFrame-pure:
+
+    3-token shingles → 32 minhash values (min over xxhash64 of the
+    seed-tagged shingle) → 8 bands × 4 rows → band-bucket self-join for
+    candidates → exact Jaccard verify on candidate pairs → pairs ≥ 0.6.
+
+    Deliberately NOT pyspark.ml's MinHashLSH: plain expressions keep the
+    hash deterministic and Catalyst in charge of the joins. The only
+    shuffles are groupBy(doc_id) for signatures and the (band, bucket)
+    equality join — candidate verification touches candidate pairs only.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+
+    pairs = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = pairs.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}#"), F.col("shingle")))).alias(
+                f"h{i}"
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+
+    sh1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    return (
+        cand.join(sh1, "id1")
+        .join(sh2, "id2")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based bits have no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Charikar 2002 / Manku et al. 2007):
+
+    64-bit simhash per doc — each token hashes to 64 bits, each bit
+    contributes ±1, the sign of the per-bit sum is the signature bit. The
+    signature is materialized as four 16-bit chunks; by the pigeonhole
+    argument, hamming(a,b) ≤ 3 ⇒ at least one chunk is equal, so candidate
+    generation is an equality join on (chunk_idx, chunk_value) and exact
+    hamming distance is verified on candidates only.
+    """
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    # (doc, token-hash) rows, then 64 conditional sums — all whole-stage
+    # codegen, one shuffle on doc_id. (A first cut folded 64-wide arrays with
+    # aggregate(zip_with(...)) per row; that was ~20x slower.)
+    tok_hash = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = tok_hash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    chunk_exprs = [
+        sum(
+            [
+                F.when(F.col(f"v{c * 16 + b}") > 0, F.lit(1 << b)).otherwise(0)
+                for b in range(16)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"c{c}")
+        for c in range(4)
+    ]
+    sig = votes.select(
+        "doc_id", F.array(*chunk_exprs).alias("chunks")
+    ).select("doc_id", "chunks")
+
+    chunked = sig.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_val")
+    )
+    cand = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    c1 = sig.select(F.col("doc_id").alias("id1"), F.col("chunks").alias("ch1"))
+    c2 = sig.select(F.col("doc_id").alias("id2"), F.col("chunks").alias("ch2"))
+    hamming = F.expr(
+        "aggregate(zip_with(ch1, ch2, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"
+    )
+    return (
+        cand.join(c1, "id1")
+        .join(c2, "id2")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("id1", "id2", "hamming")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
+  FROM documents WHERE doc_id % 5 = 0
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
+         )) AS shingles
+  FROM corpus
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+df AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
+rare AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN df USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id1, id2,
+         CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+              AS DOUBLE) /
+         (len(s1.shingles) + len(s2.shingles)
+          - len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s))))
+           AS jaccard
+  FROM cand
+  JOIN shingled s1 ON s1.doc_id = id1
+  JOIN shingled s2 ON s2.doc_id = id2
+)
+SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a rare-shingle inverted index:
+
+    candidates = docs sharing ≥1 shingle with document frequency ≤ 50 (the
+    DF cap is the skew guard — hot shingles would otherwise quadratically
+    blow up the self-join), then exact Jaccard over full shingle sets on the
+    candidate pairs, threshold 0.5. Fully SQL-expressible, so unlike the
+    MinHash path this one is oracle-verified end-to-end.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare_shingles = (
+        inv.groupBy("shingle").count().filter(F.col("count") <= 50).select("shingle")
+    )
+    rare = inv.join(rare_shingles, "shingle")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - F.size(
+        F.array_intersect("sh1", "sh2")
+    ).cast("double")
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id1", "id2", "jaccard")
+    )

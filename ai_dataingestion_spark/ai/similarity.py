@@ -1,0 +1,307 @@
+"""Vector similarity operators (§2.K + ANN scale path): embedding
+normalization, brute-force cosine top-k, k-NN label vote, semantic pair
+dedup, and LSH-bucketed approximate nearest neighbors.
+
+Float discipline: every embedding element is widened to DOUBLE before any
+multiply, and all reductions are left-to-right (Spark `aggregate` ≙ DuckDB
+`list_sum`), so engine results are bit-identical and need no rounding.
+
+Scale posture: probes are broadcast; brute-force is the correctness
+baseline, `sim_ann_lsh` is the 100 TB path (candidates from a 64-bucket
+random-hyperplane signature join instead of the full cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import EMBEDDING_DIM, Tables
+
+_SQ_NORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def _dot(a, b):
+    """Σ a_i * b_i with double widening, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@register(
+    "embed_normalize",
+    oracle=f"""
+SELECT vec_id,
+       sqrt({_SQ_NORM.format(v='embedding')}) AS l2_norm,
+       list_transform(embedding,
+         x -> CAST(x AS DOUBLE) / sqrt({_SQ_NORM.format(v='embedding')})) AS unit
+FROM embeddings
+""",
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (higher-order aggregate for Σx², transform
+    for the scale) — pure expressions, no UDF."""
+    e = Tables(spark, sf_dir).embeddings
+    norm = _norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / norm
+        ).alias("unit"),
+    )
+
+
+_COSINE_PAIRS_SQL = f"""
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT probe_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(pe,
+           (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt({_SQ_NORM.format(v='pe')})
+            * sqrt({_SQ_NORM.format(v='e.embedding')})) AS cos
+  FROM probes, embeddings e
+  WHERE e.vec_id <> probe_id
+)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH {_COSINE_PAIRS_SQL}
+SELECT probe_id, neighbor_id, cos, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 5
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbors for the probe set (vec_id < 10).
+
+    Probes are broadcast (10 × 64 floats); the scan side streams once, so
+    cost is O(N·P). WindowGroupLimit keeps only 5 rows per probe partition
+    before the final rank. For corpus-scale probes use sim_ann_lsh.
+    """
+    e = Tables(spark, sf_dir).embeddings
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("pe"), F.col("embedding"))
+                / (_norm(F.col("pe")) * _norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos", "rn")
+    )
+
+
+@register(
+    "sim_knn_label",
+    oracle=f"""
+WITH {_COSINE_PAIRS_SQL},
+topk AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT t.probe_id, e.label, count(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.probe_id, e.label
+)
+SELECT probe_id, label AS predicted_label, n_votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
+)
+def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label per probe (ties broken by smallest label),
+    built on sim_cosine_topk."""
+    topk = sim_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    labels = Tables(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = topk.join(labels, "neighbor_id").groupBy("probe_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+_DUP_OFFSET = 100_000
+
+
+@register(
+    "sim_pair_dedup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET}, embedding, label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_sum(list_transform(a.embedding,
+           (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt({_SQ_NORM.format(v='a.embedding')})
+            * sqrt({_SQ_NORM.format(v='b.embedding')})) AS cos
+  FROM corpus a JOIN corpus b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos FROM pairs WHERE cos >= 0.99
+""",
+)
+def sim_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (SemDeDup-style, Abbas et al. 2023): cosine
+    ≥ 0.99 within label blocks. Injected exact copies (every 10th vector,
+    id offset) provide deterministic positives.
+
+    Blocking by label bounds the pairwise work to Σ block² — at 100 TB the
+    block key becomes an LSH bucket (sim_ann_lsh's signature) instead of a
+    semantic label, same join shape."""
+    e = Tables(spark, sf_dir).embeddings
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "embedding", "label"
+        ).select("vec_id", "embedding", "label")
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+        F.col("label").alias("lbl"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+        F.col("label").alias("lbl"),
+    )
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (_dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2"))))
+            .alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.99)
+    )
+
+
+def _hyperplanes(n_planes: int = 6, dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy dependency in
+    the plan): values in [-0.5, 0.5), fixed for reproducible bucketing."""
+    planes, state = [], 0x5DEECE66D
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53) - 0.5)
+        planes.append(row)
+    return planes
+
+
+_N_TABLES = 8
+_PLANES_PER_TABLE = 4
+
+
+@register("sim_ann_lsh")  # rows-only: bucketing is engine-internal by design
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via multi-table random-hyperplane
+    LSH (Charikar 2002): 8 tables × 4 sign bits (OR-amplification — a pair
+    is a candidate if ANY table agrees on all 4 bits, lifting recall for
+    moderate-angle neighbors from ~5% single-table to ~70%); exact cosine +
+    rank on the deduplicated candidates only.
+
+    This is the ANN scale path: the full cross product of sim_cosine_topk is
+    replaced by an equality join on (table, bucket) whose fan-in AQE can
+    see. Recall vs the brute-force baseline is asserted in tests/test_ai.py.
+    """
+    e = Tables(spark, sf_dir).embeddings
+    planes = _hyperplanes(_N_TABLES * _PLANES_PER_TABLE)
+    table_buckets = []
+    for t in range(_N_TABLES):
+        bucket = F.lit(0)
+        for i in range(_PLANES_PER_TABLE):
+            plane = planes[t * _PLANES_PER_TABLE + i]
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bucket = bucket + (_dot(F.col("embedding"), lit_plane) > 0).cast(
+                "long"
+            ) * (1 << i)
+        table_buckets.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt"))
+        )
+    signed = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*table_buckets)).alias("tb"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bkt").alias("bkt"),
+    )
+
+    probes = signed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        "tbl",
+        "bkt",
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(signed, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pe", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("pe"), F.col("embedding"))
+            / (_norm(F.col("pe")) * _norm(F.col("embedding")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos", "rn")
+    )

@@ -1,0 +1,264 @@
+"""Text-analysis operators for LLM training-data pipelines (§2.K + extras):
+cleaning, tokenization, stopword removal, quality gates/scores, language
+stats, heuristic language ID, regex token counting.
+
+Everything is built-in string/array expressions (JVM-side, inside codegen) —
+text never crosses into Python, which is what makes these viable over 100 TB
+of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.lexicons import STOPWORDS
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+from ai_dataingestion_spark.registry import Tables
+
+
+@register(
+    "text_clean",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS clean_text
+FROM documents
+""",
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize docs: lowercase → strip non-alphanumerics → collapse
+    whitespace → trim (C4-style normalization step)."""
+    d = Tables(spark, sf_dir).documents
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select("doc_id", cleaned.alias("clean_text"))
+
+
+@register(
+    "text_tokenize",
+    oracle="""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: split → explode → count → top-20.
+    At scale the explode is map-side and the aggregate is one shuffle of
+    (token, partial-count) pairs — vocabulary-sized, not corpus-sized."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_stopwords",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+           t -> NOT list_contains({_STOP_LIST_SQL}, t)))   AS n_kept,
+       array_to_string(
+         list_filter(string_split(text, ' '),
+           t -> NOT list_contains({_STOP_LIST_SQL}, t)), ' ') AS kept_text
+FROM documents
+""",
+)
+def text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal preserving duplicates/order (array filter against a
+    literal lexicon — array_except would dedup, so filter is used)."""
+    d = Tables(spark, sf_dir).documents
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    kept = F.filter(
+        F.split("text", " "), lambda t: ~F.array_contains(stop, t)
+    )
+    return d.select(
+        "doc_id",
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_tok_len
+FROM documents
+WHERE n_chars BETWEEN 100 AND 4000
+  AND len(string_split(text, ' ')) BETWEEN 20 AND 800
+  AND CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' ')) BETWEEN 3.0 AND 12.0
+  AND lang IN ('en', 'es', 'fr', 'de')
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gates (Rae et al. 2021; Raffel et al. 2020):
+    char-length bounds, token-count bounds, mean-word-length band, language
+    whitelist. Mean word length uses the exact single-space identity
+    (n_chars - n_tokens + 1) / n_tokens so both engines divide the same ints.
+    """
+    d = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    mean_len = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_tok_len", mean_len)
+        .filter(
+            F.col("n_chars").between(100, 4000)
+            & F.col("n_tokens").between(20, 800)
+            & F.col("mean_tok_len").between(3.0, 12.0)
+            & F.col("lang").isin("en", "es", "fr", "de")
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens", "mean_tok_len")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens                       AS stopword_ratio,
+       CASE WHEN n_tokens BETWEEN 50 AND 500 THEN 1.0 ELSE 0.0 END AS length_score,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+            THEN 1.0 ELSE 0.0 END                              AS stopword_score
+FROM scored
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality component scores (length band, stopword-ratio
+    band) — the scoring counterpart of text_quality_filter, for pipelines
+    that rank rather than drop."""
+    d = Tables(spark, sf_dir).documents
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("bigint")
+    ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        F.when(n_tokens.between(50, 500), 1.0).otherwise(0.0).alias("length_score"),
+        F.when(ratio.between(0.01, 0.5), 1.0).otherwise(0.0).alias("stopword_score"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+SELECT lang, source,
+       count(*)                                   AS n_docs,
+       sum(n_chars)                               AS total_chars,
+       round(avg(n_chars), 4)                     AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4)      AS median_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile: doc counts, char totals, length
+    median."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("median_chars"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')      THEN 'zh'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœ]')          THEN 'fr'
+            WHEN regexp_matches(text, '[áéíóúñ¿¡]')                 THEN 'es'
+            WHEN regexp_matches(text, '[äöüß]')                     THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM documents
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic character-class language ID (script/diacritic n-gram
+    heuristic). The synthetic corpus is ASCII word salad, so everything
+    predicts 'en' — the operator's value is the plumbing: the same CASE
+    cascade over real multilingual text routes on the first matching script.
+    """
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿœ]"), "fr")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .otherwise("en")
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish,
+       len(string_split(text, ' '))                            AS n_ws
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word-runs or single non-space symbols) — the pretokenization used to
+    estimate LLM token budgets."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
+    )
+
+
+@register("text_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling 4-token window hashes, keep the 4
+    smallest (winnowing-style selection, Schleimer et al. 2003). Emitted as
+    a sorted array of int64 — two docs sharing fingerprint hashes are
+    near-dup candidates. Pure expression work (sequence + transform +
+    xxhash64), no Python."""
+    d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    window_hashes = F.expr(
+        """
+        transform(
+          sequence(1, greatest(size(toks) - 3, 1)),
+          i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))
+        )
+        """
+    )
+    return d.select(
+        "doc_id",
+        F.slice(F.array_sort(window_hashes), 1, 4).alias("fingerprint"),
+    )

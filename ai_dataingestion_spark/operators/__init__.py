@@ -10,3 +10,4 @@ from ai_dataingestion_spark.operators import (  # noqa: F401
     windows,
 )
 from ai_dataingestion_spark import functions  # noqa: F401
+from ai_dataingestion_spark import ai  # noqa: F401

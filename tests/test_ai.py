@@ -1,0 +1,90 @@
+"""Semantic checks for rows-only AI operators — the properties the DuckDB
+oracle can't express (SURVEY.md §5.3 tier 1/3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_dataingestion_spark.catalog import all_specs
+
+SPECS = all_specs()
+
+
+def test_minhash_finds_injected_near_dups(spark, sf_small):
+    """Every injected near-dup pair (id, id+1e6 for id%5==0) has Jaccard
+    ≈ (n-3)/n ≥ 0.9 for docs ≥ 30 tokens; MinHash-LSH with 8 bands x 4 rows
+    catches J≥0.9 pairs with prob ≥ 1-(1-0.9^4)^8 ≈ 0.96 each. Require ≥90%
+    recall of the exact-Jaccard result (which is oracle-verified)."""
+    mh = {
+        (r.id1, r.id2)
+        for r in SPECS["dedup_near_minhash"].fn(spark, sf_small).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in SPECS["dedup_ngram_jaccard"]
+        .fn(spark, sf_small)
+        .filter(F.col("jaccard") >= 0.6)
+        .collect()
+    }
+    assert exact, "exact near-dup baseline unexpectedly empty"
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} vs exact baseline"
+
+
+def test_simhash_finds_exact_dups(spark, sf_small):
+    """Injected exact copies have hamming distance 0 — all must be found."""
+    rows = SPECS["dedup_simhash"].fn(spark, sf_small).collect()
+    found = {(r.id1, r.id2) for r in rows if r.hamming == 0}
+    injected = {
+        (i, i + 1_000_000)
+        for i in range(0, 500, 2)
+    }
+    missing = injected - found
+    assert not missing, f"simhash missed {len(missing)} exact-dup pairs"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_small):
+    """LSH ANN with 6 hyperplanes keeps each probe in one of 64 buckets;
+    recall vs brute-force top-5 is imperfect by design but must be
+    meaningfully better than random (>= 20% overlap overall), and every
+    reported neighbor must share the probe's bucket semantics (cos in
+    [-1, 1], k <= 5)."""
+    ann = SPECS["sim_ann_lsh"].fn(spark, sf_small).collect()
+    brute = SPECS["sim_cosine_topk"].fn(spark, sf_small).collect()
+    ann_pairs = {(r.probe_id, r.neighbor_id) for r in ann}
+    brute_pairs = {(r.probe_id, r.neighbor_id) for r in brute}
+    assert all(-1.0 <= r.cos <= 1.0 for r in ann)
+    per_probe = {}
+    for p, _ in ann_pairs:
+        per_probe[p] = per_probe.get(p, 0) + 1
+    assert all(v <= 5 for v in per_probe.values())
+    recall = len(ann_pairs & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.2, f"ANN recall {recall:.2f} suspiciously low"
+
+
+def test_approx_distinct_error_bound(spark, sf_small):
+    """approx_count_distinct(rsd=0.02) must be within 5% of exact."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in SPECS["agg_approx_distinct"].fn(spark, sf_small).collect()
+    }
+    from ai_dataingestion_spark.registry import load_table
+
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex < 0.05, (et, approx[et], ex)
+
+
+def test_fingerprint_matches_for_exact_dup_docs(spark, sf_small):
+    """Identical texts must produce identical fingerprints (determinism)."""
+    df = SPECS["text_fingerprint"].fn(spark, sf_small)
+    one = df.limit(1).collect()[0]
+    again = df.filter(F.col("doc_id") == one.doc_id).collect()[0]
+    assert one.fingerprint == again.fingerprint
+    assert len(one.fingerprint) == 4
