@@ -11,3 +11,7 @@ from ai_dataingestion_spark.operators import (  # noqa: F401
 )
 from ai_dataingestion_spark import functions  # noqa: F401
 from ai_dataingestion_spark import ai  # noqa: F401
+from ai_dataingestion_spark import udf  # noqa: F401
+from ai_dataingestion_spark import sources  # noqa: F401
+from ai_dataingestion_spark import pipeline  # noqa: F401
+from ai_dataingestion_spark import streaming  # noqa: F401

@@ -1,0 +1,287 @@
+"""§2.I incremental Structured Streaming + §2.L end-to-end ingestion.
+
+Every operator here runs a REAL streaming query (readStream → transform →
+writeStream) driven to completion with Trigger.AvailableNow over a staged
+file-drop directory, then returns the materialized result as a DataFrame so
+the driver can compare it (counts are oracle-expressible even though the
+incremental execution is not).
+
+Determinism: events are staged into N parquet files in ascending-ts order
+(file N's mtime > file N-1's), and maxFilesPerTrigger=1 forces one
+micro-batch per file — so watermark advancement and state transitions are
+reproducible. Checkpoint/state directories are per-invocation temp dirs.
+
+At 100 TB the same topology holds: the file source becomes a bucketed cloud
+prefix or Kafka, watermarks bound state stores, and foreachBatch's
+anti-join-then-append is the idempotent ingest pattern.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import load_table
+
+_RAW_EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 3, inject_dups: int = 0
+) -> str:
+    """Write events (sorted by ts) into n_files sequential parquet drops.
+
+    inject_dups > 0 additionally re-writes the last `inject_dups` events as
+    a trailing file — duplicate event_ids arriving in a later micro-batch,
+    the fixture for streaming dedup."""
+    staging = tempfile.mkdtemp(prefix="stream_stage_")
+    e = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = e.count()
+    per_file = (rows + n_files - 1) // n_files
+    ranked = e.withColumn(
+        "_bucket",
+        ((F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("ts", "event_id")
+        ) - 1) / per_file).cast("int"),
+    )
+    for b in range(n_files):
+        (
+            ranked.filter(F.col("_bucket") == b)
+            .drop("_bucket")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, f"drop_{b:03d}"))
+        )
+        time.sleep(0.05)  # strictly increasing mtimes => deterministic order
+    if inject_dups:
+        dup = e.orderBy(F.desc("ts"), F.desc("event_id")).limit(inject_dups)
+        dup.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, f"drop_{n_files:03d}_dups")
+        )
+    return staging
+
+
+def _read_stream(spark: SparkSession, staging: str, max_files: int | None = 1):
+    reader = (
+        spark.readStream.schema(_RAW_EVENTS_DDL)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(staging)
+
+
+def _run_available_now(writer) -> None:
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def _memory_query_name() -> str:
+    return f"mem_{int(time.time() * 1e6)}"
+
+
+@register(
+    "source_stream_file",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-stream source: staged drops consumed one file per
+    micro-batch, streaming aggregate in complete mode — final counts must
+    equal the batch answer exactly (exactly-once source semantics)."""
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    name = _memory_query_name()
+    counts = (
+        _read_stream(spark, staging)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_available_now(
+        counts.writeStream.format("memory").queryName(name).outputMode("complete")
+    )
+    return spark.table(name)
+
+
+@register("stream_watermark_late")  # rows-only: finalized-window semantics
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in APPEND mode: a 10-minute watermark
+    over one-file-per-batch drops — only windows the watermark has passed
+    are emitted, and late rows behind the watermark are dropped. The append
+    output (finalized windows only) is returned; late-drop accounting is
+    asserted in tests/test_streaming.py with a hand-staged fixture."""
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    name = _memory_query_name()
+    # watermarks require TIMESTAMP; the NTZ->TS cast is instant-preserving
+    # under the engine's pinned UTC session timezone
+    windows = (
+        _read_stream(spark, staging)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    _run_available_now(
+        windows.writeStream.format("memory").queryName(name).outputMode("append")
+    )
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by event_id within a watermark: 200 duplicate events
+    re-arrive in a trailing drop; dropDuplicatesWithinWatermark removes them
+    (they're the newest rows, so their state is live), and final counts
+    equal the duplicate-free batch answer.
+
+    Staged as a single micro-batch (maxFiles=None) so watermark state
+    covers all rows deterministically; the multi-batch eviction behavior is
+    exercised in tests/test_streaming.py."""
+    staging = stage_event_files(spark, sf_dir, n_files=3, inject_dups=200)
+    name = _memory_query_name()
+    deduped = (
+        _read_stream(spark, staging, max_files=None)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_available_now(
+        deduped.writeStream.format("memory").queryName(name).outputMode("complete")
+    )
+    return spark.table(name)
+
+
+def _count_per_user(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState update fn: cumulative event count per user."""
+    (user_id,) = key
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+
+@register(
+    "stream_stateful",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming: per-user running counters carried across
+    micro-batches in a GroupState (applyInPandasWithState, update mode).
+    Each batch emits the running total; the maximum per user is the final
+    count, which must equal the batch groupBy — proving state survived the
+    batch boundaries (3 files → 3 micro-batches)."""
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    name = _memory_query_name()
+    running = (
+        _read_stream(spark, staging)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_per_user,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_available_now(
+        running.writeStream.format("memory").queryName(name).outputMode("update")
+    )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register(
+    "stream_sink_parquet",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming append to partitioned parquet: run the stream
+    to completion, then START IT AGAIN on the same checkpoint — the second
+    run finds no new offsets and writes nothing, so counts still equal the
+    batch answer. That double-run is the exactly-once proof."""
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    out = tempfile.mkdtemp(prefix="stream_sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sink_ckpt_")
+    for _ in range(2):  # second run must be a no-op (same checkpoint)
+        _run_available_now(
+            _read_stream(spark, staging)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_type")
+            .outputMode("append")
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ingest_incremental",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental ingestion (the 'AI_DataIngestion' core loop):
+    file-stream source → per-batch clean (non-null ids, valid types) →
+    cross-batch dedup (anti-join each batch against event_ids already in
+    the sink) → partitioned parquet append, via foreachBatch.
+
+    A trailing drop re-delivers 200 events; the anti-join makes the append
+    idempotent, so final counts equal the clean batch answer. This is the
+    pattern that scales: the anti-join is against the sink's own partition
+    subset, and each batch is one bounded unit of work."""
+    staging = stage_event_files(spark, sf_dir, n_files=3, inject_dups=200)
+    out = tempfile.mkdtemp(prefix="ingest_out_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    valid_types = ("click", "purchase", "error", "signup", "view")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = batch_df.filter(
+            F.col("event_id").isNotNull() & F.col("event_type").isin(*valid_types)
+        ).dropDuplicates(["event_id"])
+        try:
+            existing = batch_df.sparkSession.read.parquet(out).select("event_id")
+            fresh = cleaned.join(existing, "event_id", "left_anti")
+        except Exception:  # first batch: sink does not exist yet
+            fresh = cleaned
+        (
+            fresh.repartition("event_type")
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+    _run_available_now(
+        _read_stream(spark, staging)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
