@@ -126,6 +126,28 @@ _EVENTS_RAW_SCHEMA = _s(
 EMBEDDING_DIM = 64  # measured: every embeddings.embedding has exactly 64 floats
 
 
+# Opt-in warm-table cache (bench.py): {(sf_dir, name): cached DataFrame}.
+# The corpus files are single-row-group parquet, so cold scans are
+# single-task; caching REPARTITIONED tables restores intra-query parallelism
+# — the Spark analogue of an oracle engine's warm buffer pool.
+_warm_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def warm_tables(
+    spark: SparkSession, sf_dir: str, n_partitions: int | None = None
+) -> None:
+    """Materialize all tables into the in-memory columnar cache, split into
+    n_partitions so downstream stages parallelize. Subsequent load_table
+    calls for (sf_dir, name) return the cached relation."""
+    if n_partitions is None:
+        n_partitions = max(4, spark.sparkContext.defaultParallelism // 2)
+    key_sf = sf_dir.rstrip("/")
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name).repartition(n_partitions).cache()
+        df.count()  # materialize
+        _warm_cache[(key_sf, name)] = df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its declared schema (events get the shim).
 
@@ -133,6 +155,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enforcement: Catalyst still prunes to referenced columns, and the parquet
     footer is never trusted for types the oracle compares.
     """
+    cached = _warm_cache.get((sf_dir.rstrip("/"), name))
+    if cached is not None:
+        return cached
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
