@@ -125,6 +125,31 @@ _EVENTS_RAW_SCHEMA = _s(
 
 EMBEDDING_DIM = 64  # measured: every embeddings.embedding has exactly 64 floats
 
+_conf_applied: set[int] = set()
+
+
+def _ensure_read_conf(spark: SparkSession) -> None:
+    """Apply the confs correctness depends on, once per session.
+
+    The driver calls ``queries()`` callables with ITS OWN SparkSession, which
+    may lack the engine's builder confs — and ``nanosAsLong`` (read at
+    DataSource construction time) plus the UTC session timezone (NTZ↔TS cast
+    semantics) are load-bearing for every events query. Both are
+    runtime-settable, so the registry pins them at the read boundary."""
+    key = id(spark)
+    if key in _conf_applied:
+        return
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in exotic deployments; builder sessions have it
+    _conf_applied.add(key)
+
 
 # Opt-in warm-table cache (bench.py): {(sf_dir, name): cached DataFrame}.
 # The corpus files are single-row-group parquet, so cold scans are
@@ -158,6 +183,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _warm_cache.get((sf_dir.rstrip("/"), name))
     if cached is not None:
         return cached
+    _ensure_read_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
