@@ -262,3 +262,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.slice(F.array_sort(window_hashes), 1, 4).alias("fingerprint"),
     )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token): smoothed idf = ln((N+1)/(df+1)) + 1
+    (scikit-learn's smoothing). Three aggregations over one exploded token
+    relation; the doc-frequency table and corpus count are broadcast-sized
+    (vocabulary-bound), so the only big shuffle is the per-doc tf groupBy.
+    Rounded to 6 dp (ln is libm-dependent)."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+SELECT bigram, count(*) AS freq
+FROM (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')), 2)),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+  )) AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: windowed token pairs via a sequence transform
+    (expression-only; at scale this is the n-gram language-model counting
+    kernel — explode is map-side, the aggregate shuffles only (bigram,
+    partial count) pairs)."""
+    d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    bigrams = F.expr(
+        """
+        transform(sequence(1, greatest(size(toks) - 1, 1)),
+                  i -> concat(toks[i - 1], ' ', toks[i]))
+        """
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )

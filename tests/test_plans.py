@@ -1,0 +1,105 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties the
+engine promises — pushdown, pruning, broadcast dims, top-k pushdown, no
+cartesian products on keyed joins — asserted against the optimized plans so
+they cannot silently regress.
+
+These assertions run the optimizer only (no job execution), so they're fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_dataingestion_spark.catalog import all_specs
+
+SPECS = all_specs()
+
+
+def _executed_plan(spark, qid: str, sf_dir: str) -> str:
+    df = SPECS[qid].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, qid: str, sf_dir: str) -> str:
+    df = SPECS[qid].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    """agg_groupby's shipdate predicate must be pushed into the parquet scan
+    (row-group pruning at scale), and the scan must read only the 7 columns
+    the query touches — not all 11 of lineitem."""
+    plan = _formatted(spark, "agg_groupby", sf_small)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema  # pruned
+    assert "l_shipdate" in read_schema
+
+
+def test_dims_are_broadcast_in_multiway_join(spark, sf_small):
+    """The star-chain join must broadcast all three dim sides — a sort-merge
+    join against region/nation would shuffle the fact table needlessly."""
+    plan = _executed_plan(spark, "join_multiway", sf_small)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_small):
+    """win_topk_group must plan WindowGroupLimit (per-partition top-k before
+    the final window) — without it every partition's full order history
+    flows through the rank."""
+    plan = _executed_plan(spark, "win_topk_group", sf_small)
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_small):
+    """topk_global must plan TakeOrderedAndProject (heap + merge), never a
+    global Sort followed by Limit."""
+    plan = _executed_plan(spark, "topk_global", sf_small)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_small):
+    """join_range keeps its user_id equality conjunct, so it must plan as a
+    hash/sort-merge join with a range residual — a BroadcastNestedLoopJoin
+    or CartesianProduct here would be O(n^2) at scale."""
+    plan = _executed_plan(spark, "join_range", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_join_planned(spark, sf_small):
+    """EXISTS/NOT EXISTS must stay semi/anti joins (no row multiplication)."""
+    semi = _executed_plan(spark, "join_semi", sf_small)
+    anti = _executed_plan(spark, "join_anti", sf_small)
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_exact_dedup_single_shuffle(spark, sf_small):
+    """dedup_exact must shuffle exactly once (on the digest) — its window
+    rank and count share the same partitioning."""
+    plan = _executed_plan(spark, "dedup_exact", sf_small)
+    # count only shuffle exchanges; broadcasts and AQE reads excluded
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"expected 1 shuffle, plan had {n_shuffles}"
+
+
+@pytest.mark.parametrize("qid", ["text_clean", "text_quality_filter", "fn_string"])
+def test_text_ops_stay_jvm_side(spark, sf_small, qid):
+    """Text operators must not plan any Python evaluation node — string work
+    belongs in codegen (BatchEvalPython/ArrowEvalPython would mean a
+    100TB-scale corpus crosses into Python workers)."""
+    plan = _executed_plan(spark, qid, sf_small)
+    assert "EvalPython" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    """join_bucketed reads bucketBy(8, orderkey) tables — the join and the
+    orderkey aggregation must reuse bucket partitioning: zero shuffle
+    exchanges in the plan (the whole point of paying the bucketed write)."""
+    plan = _executed_plan(spark, "join_bucketed", sf_small)
+    assert "Exchange hashpartitioning" not in plan, plan
