@@ -343,3 +343,86 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "cos", "rn")
     )
+
+
+_IVF_K = 16       # centroid count (vec_id < 16 are the deterministic seeds)
+_IVF_NPROBE = 4   # probe searches the 4 nearest centroid buckets
+
+
+@register("sim_ann_ivf")  # rows-only: bucketing is engine-internal by design
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors (inverted-file index, the
+    FAISS-IVF shape): every vector is assigned to its max-cosine centroid
+    (deterministic seed centroids: vec_id < 16); a probe searches only the
+    nprobe=4 nearest centroid buckets — at 100 TB that's a partition-pruned
+    read of 4/16ths of the corpus instead of a full scan.
+
+    Assignment and scoring are Arrow-batched numpy (one matmul per batch).
+    Recall vs the brute-force baseline is asserted in tests/test_ai.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = Tables(spark, sf_dir).embeddings
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = np.array([r.embedding for r in cent_rows], dtype="float64")
+    Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+
+    def assign(batches):
+        for pdf in batches:
+            B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "centroid": (Bn @ Cn.T).argmax(axis=1).astype("int64"),
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, centroid bigint"
+    )
+
+    pids, Pn = _probe_matrix(spark, sf_dir)
+    probe_buckets = np.argsort(-(Pn @ Cn.T), axis=1)[:, :_IVF_NPROBE]
+    bucket_rows = [
+        (int(pid), int(b)) for pid, row in zip(pids, probe_buckets) for b in row
+    ]
+    probe_bucket_df = spark.createDataFrame(
+        bucket_rows, "probe_id bigint, centroid bigint"
+    )
+
+    cand = assigned.join(F.broadcast(probe_bucket_df), "centroid").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+
+    pid_to_row = {int(p): i for i, p in enumerate(pids)}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
+            rows = np.array([pid_to_row[p] for p in pdf["probe_id"]])
+            cos = (Bn * Pn[rows]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cos": np.round(cos, 9),
+                }
+            )
+
+    scored = cand.select("probe_id", "vec_id", "embedding").mapInPandas(
+        score, "probe_id bigint, neighbor_id bigint, cos double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos", "rn")
+    )

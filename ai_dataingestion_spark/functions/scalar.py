@@ -334,3 +334,41 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@register(
+    "fn_struct_array",
+    oracle="""
+SELECT o_custkey,
+       list(o_orderpriority || ':' || o_orderkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS order_tags,
+       len(list(o_orderkey)) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrays-of-structs surface: collect (priority, orderkey) structs per
+    customer, sort by a struct key (price desc, key asc), then flatten each
+    struct to a tag string — the nested-type composition pattern
+    (collect_list(struct(...)) + array_sort + transform) that backs
+    feature-bundle columns in training pipelines."""
+    o = Tables(spark, sf_dir).orders
+    tagged = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("neg_price"),
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_orderpriority").alias("prio"),
+                )
+            )
+        ).alias("structs")
+    )
+    return tagged.select(
+        "o_custkey",
+        F.transform(
+            F.col("structs"), lambda s: F.concat_ws(":", s.prio, s.okey)
+        ).alias("order_tags"),
+        F.size("structs").cast("bigint").alias("n_orders"),
+    )

@@ -329,3 +329,39 @@ def agg_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("n_name"))
         .limit(5)
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+       round(max(value), 6) AS max_val
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: events has only 5
+    event_type values, so at 100 TB a direct groupBy sends 1/5 of the
+    corpus to each of 5 reducers. Phase 1 aggregates by (key, salt=16),
+    spreading each hot key over 16 reducers; phase 2 merges the 16 partials
+    per key — the second shuffle carries 5x16 rows, not data.
+
+    (For most cases AQE's skew handling makes this manual pattern
+    unnecessary; it exists for the pathological hot-key case AQE can't
+    split: a single key exceeding one executor's memory.) The result is
+    identical to the direct aggregation, which is what the oracle checks.
+    """
+    e = Tables(spark, sf_dir).events.withColumn(
+        "_salt", (F.col("event_id") % 16).cast("int")
+    )
+    partial = e.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).alias("total"),
+        F.round(F.max("pmax"), 6).alias("max_val"),
+    )

@@ -88,3 +88,19 @@ def test_fingerprint_matches_for_exact_dup_docs(spark, sf_small):
     again = df.filter(F.col("doc_id") == one.doc_id).collect()[0]
     assert one.fingerprint == again.fingerprint
     assert len(one.fingerprint) == 4
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_small):
+    """IVF with nprobe=4 of 16 centroids searches 1/4 of the corpus per
+    probe; recall vs brute-force top-5 must beat random scanning (>= 30%)
+    and respect k<=5 per probe."""
+    ivf = SPECS["sim_ann_ivf"].fn(spark, sf_small).collect()
+    brute = SPECS["sim_cosine_topk"].fn(spark, sf_small).collect()
+    ivf_pairs = {(r.probe_id, r.neighbor_id) for r in ivf}
+    brute_pairs = {(r.probe_id, r.neighbor_id) for r in brute}
+    per_probe = {}
+    for p, _ in ivf_pairs:
+        per_probe[p] = per_probe.get(p, 0) + 1
+    assert all(v <= 5 for v in per_probe.values())
+    recall = len(ivf_pairs & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
