@@ -372,3 +372,81 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_tags"),
         F.size("structs").cast("bigint").alias("n_orders"),
     )
+
+
+@register(
+    "fn_null_semantics",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey,
+         nullif(c_mktsegment, 'BUILDING') AS seg_n,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n
+  FROM customer
+)
+SELECT count(*)                                   AS n_rows,
+       count(seg_n)                               AS n_seg_nonnull,
+       count(bal_n)                               AS n_bal_nonnull,
+       count(CASE WHEN seg_n IS NULL THEN 1 END)  AS n_seg_null,
+       round(sum(bal_n), 2)                       AS sum_skipnull,
+       round(avg(bal_n), 4)                       AS avg_skipnull,
+       count(CASE WHEN bal_n + 1 IS NULL THEN 1 END) AS n_null_arith,
+       count(CASE WHEN seg_n IS NOT DISTINCT FROM NULL THEN 1 END)
+                                                  AS n_nullsafe_eq_null
+FROM base
+""",
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery (the corpus itself is null-free, so nulls are
+    injected via nullif/CASE): count(*) vs count(col), null-skipping
+    sum/avg, null propagation through arithmetic, and null-safe equality
+    (Spark <=> ≙ SQL IS NOT DISTINCT FROM)."""
+    c = Tables(spark, sf_dir).customer
+    base = c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_n"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_n"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg_n").alias("n_seg_nonnull"),
+        F.count("bal_n").alias("n_bal_nonnull"),
+        F.count(F.when(F.col("seg_n").isNull(), 1)).alias("n_seg_null"),
+        F.round(F.sum("bal_n"), 2).alias("sum_skipnull"),
+        F.round(F.avg("bal_n"), 4).alias("avg_skipnull"),
+        F.count(F.when((F.col("bal_n") + 1).isNull(), 1)).alias("n_null_arith"),
+        F.count(F.when(F.col("seg_n").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_nullsafe_eq_null"
+        ),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255        AS low_byte,
+       o_orderkey | 4096       AS with_flag,
+       xor(o_orderkey, 21845)  AS xored,
+       o_orderkey << 2         AS shl2,
+       o_orderkey >> 3         AS shr3,
+       bit_count(o_orderkey)   AS popcount
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery over order keys (and/or/xor/shifts/popcount) — the
+    primitives behind hash partitioning, bloom filters, and the simhash
+    operator."""
+    o = Tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )

@@ -298,3 +298,29 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH a AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+           FROM customer),
+     b AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg
+           FROM customer)
+SELECT count(*) AS n_matched
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> ≙ IS NOT DISTINCT FROM): NULL keys match
+    each other, unlike a plain equi join where NULL = NULL is NULL. Still
+    plans as a hash join — the null-safe operator stays an equi key."""
+    c = Tables(spark, sf_dir).customer
+    a = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    b = a.select("seg").distinct().select(F.col("seg").alias("b_seg"))
+    return (
+        a.join(b, F.col("seg").eqNullSafe(F.col("b_seg")))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
