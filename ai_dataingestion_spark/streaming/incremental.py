@@ -43,31 +43,44 @@ def stage_event_files(
     inject_dups > 0 additionally re-writes the last `inject_dups` events as
     a trailing file — duplicate event_ids arriving in a later micro-batch,
     the fixture for streaming dedup."""
+    from pyspark.sql.window import Window
+
     staging = tempfile.mkdtemp(prefix="stream_stage_")
-    e = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
-    rows = e.count()
-    per_file = (rows + n_files - 1) // n_files
+    e = load_table(spark, sf_dir, "events")
+    # one job: rank by ts -> bucket id -> single partitioned write
     ranked = e.withColumn(
-        "_bucket",
-        ((F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"])
-            .Window.orderBy("ts", "event_id")
-        ) - 1) / per_file).cast("int"),
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).withColumn(
+        "drop_bucket",
+        F.least(
+            (F.col("_rn") - 1)
+            * n_files
+            / F.sum(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+            F.lit(n_files - 1),
+        ).cast("int"),
     )
-    for b in range(n_files):
-        (
-            ranked.filter(F.col("_bucket") == b)
-            .drop("_bucket")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(staging, f"drop_{b:03d}"))
-        )
-        time.sleep(0.05)  # strictly increasing mtimes => deterministic order
+    (
+        ranked.drop("_rn")
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("drop_bucket")
+        .parquet(staging)
+    )
     if inject_dups:
         dup = e.orderBy(F.desc("ts"), F.desc("event_id")).limit(inject_dups)
         dup.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, f"drop_{n_files:03d}_dups")
+            os.path.join(staging, f"drop_bucket={n_files}")
         )
+    # deterministic batch order: stamp strictly increasing mtimes per bucket
+    # (the file stream source orders by modification time)
+    base = time.time()
+    for b in range(n_files + (1 if inject_dups else 0)):
+        d = os.path.join(staging, f"drop_bucket={b}")
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + b, base + b))
     return staging
 
 
@@ -82,8 +95,27 @@ def _read_stream(spark: SparkSession, staging: str, max_files: int | None = 1):
 
 
 def _run_available_now(writer) -> None:
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    """Drive a streaming query to completion. Stateful operators create one
+    state-store instance per shuffle partition per micro-batch; with a
+    caller session at the 200-partition default that's pure commit overhead
+    at test scale, so the shuffle width is bounded for the run and restored
+    after (state partitioning is fixed at the query's first start, so this
+    must happen before .start())."""
+    spark = writer._df.sparkSession if hasattr(writer, "_df") else None
+    key = "spark.sql.shuffle.partitions"
+    old = None
+    if spark is not None:
+        try:
+            old = spark.conf.get(key)
+            spark.conf.set(key, str(min(int(old), 8)))
+        except Exception:
+            old = None
+    try:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        if spark is not None and old is not None:
+            spark.conf.set(key, old)
 
 
 def _memory_query_name() -> str:
