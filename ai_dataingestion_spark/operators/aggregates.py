@@ -374,3 +374,55 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 4).alias("total"),
         F.round(F.max("pmax"), 6).alias("max_val"),
     )
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+SELECT c_nationkey,
+       arg_max(c_name, c_custkey) AS newest_customer,
+       arg_min(c_name, c_custkey) AS oldest_customer,
+       arg_max(c_name, c_acctbal) AS richest_customer
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max (max_by/min_by): the value of one column at another
+    column's extremum, per nation. The custkey-keyed pair is tie-free by
+    construction; the acctbal-keyed one relies on measured-distinct balances
+    per nation (2-dp domain, 60 customers/nation)."""
+    c = Tables(spark, sf_dir).customer
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+    )
+
+
+@register(
+    "agg_rollup_grouping",
+    oracle="""
+SELECT r_name, n_name,
+       grouping(r_name) AS g_region,
+       grouping(n_name) AS g_nation,
+       count(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping() indicator columns — the standard way to tell a
+    subtotal row's NULL from a data NULL downstream."""
+    return (
+        _region_nation_customer(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "n_cust")
+    )
