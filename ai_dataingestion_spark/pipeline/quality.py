@@ -150,3 +150,163 @@ def schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return old_batch.unionByName(new_batch, allowMissingColumns=True)
+
+
+@register(
+    "pipeline_compact_latest",
+    oracle="""
+WITH keyed AS (
+  SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 1000000
+            + event_id AS ord
+  FROM events
+)
+SELECT user_id,
+       arg_max(event_id, ord)   AS last_event_id,
+       arg_max(event_type, ord) AS last_event_type,
+       epoch_us(max(ts))        AS last_ts_us,
+       count(*)                 AS n_versions
+FROM keyed
+GROUP BY user_id
+""",
+)
+def pipeline_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed compaction (Kafka-compaction / upsert-view semantics): reduce
+    an append-only event log to the latest record per key in one aggregate
+    pass — max_by on a scalar (offset-µs, event_id) composite key (DuckDB's
+    arg_max can't order by structs), no window, no self-join. At 100 TB
+    this is the standard 'current state' view over a CDC log."""
+    e = Tables(spark, sf_dir).events
+    base_us = 1_704_067_200_000_000  # 2024-01-01 epoch µs (corpus starts here)
+    ord_key = (
+        F.unix_micros(F.col("ts").cast("timestamp")) - base_us
+    ) * 1_000_000 + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", ord_key).alias("last_event_id"),
+        F.max_by("event_type", ord_key).alias("last_event_type"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+@register(
+    "pipeline_upsert_merge",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW_' || c_name, round(c_acctbal, 2)
+  FROM customer WHERE c_custkey % 25 = 0
+)
+SELECT coalesce(u.c_custkey, b.c_custkey)        AS c_custkey,
+       coalesce(u.c_name, b.c_name)              AS c_name,
+       coalesce(u.c_acctbal, round(b.c_acctbal, 2)) AS acctbal,
+       CASE WHEN u.c_custkey IS NULL THEN 'unchanged'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END                   AS merge_action
+FROM customer b FULL JOIN updates u ON b.c_custkey = u.c_custkey
+""",
+)
+def pipeline_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MERGE INTO semantics without a table format): base dimension
+    full-outer-joined with an update batch — matched rows take the update,
+    unmatched-left stay, unmatched-right insert, each tagged with its merge
+    action. The deterministic update batch mutates every 10th customer and
+    inserts a copy of every 25th under a new key.
+
+    At scale the update batch is broadcast (it's CDC-sized) and the merge
+    becomes a broadcast outer join against the partitioned base."""
+    c = Tables(spark, sf_dir).customer
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("u_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 25 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+                F.round("c_acctbal", 2).alias("u_acctbal"),
+            )
+        )
+        .select(
+            F.col("c_custkey").alias("u_custkey"),
+            F.col("c_name").alias("u_name"),
+            "u_acctbal",
+        )
+    )
+    base = c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("b_acctbal"))
+    return base.join(
+        updates, F.col("c_custkey") == F.col("u_custkey"), "full"
+    ).select(
+        F.coalesce("u_custkey", "c_custkey").alias("c_custkey"),
+        F.coalesce("u_name", "c_name").alias("c_name"),
+        F.coalesce("u_acctbal", "b_acctbal").alias("acctbal"),
+        F.when(F.col("u_custkey").isNull(), "unchanged")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "pipeline_cdc_diff",
+    oracle="""
+WITH snap2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END AS new_status
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT o.o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN 'deleted'
+            WHEN s.new_status <> o.o_orderstatus THEN 'changed'
+            END AS change_type,
+       o.o_orderstatus AS old_status,
+       s.new_status
+FROM orders o LEFT JOIN snap2 s ON o.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL OR s.new_status <> o.o_orderstatus
+UNION ALL
+SELECT -1, 'summary_unchanged', NULL,
+       CAST(count(*) AS VARCHAR)
+FROM orders o JOIN snap2 s ON o.o_orderkey = s.o_orderkey
+WHERE s.new_status = o.o_orderstatus
+""",
+)
+def pipeline_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff: compare two table versions
+    (snapshot 2 synthesized deterministically — every 13th order deleted,
+    every 7th status flipped to 'F') and emit per-key change rows plus an
+    unchanged-count summary row. The diff is a single keyed outer join —
+    at scale both snapshots share partitioning, so the join co-locates."""
+    o = Tables(spark, sf_dir).orders.select("o_orderkey", "o_orderstatus")
+    snap2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("s_orderkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+    )
+    joined = o.join(snap2, F.col("o_orderkey") == F.col("s_orderkey"), "left")
+    changes = joined.filter(
+        F.col("s_orderkey").isNull()
+        | (F.col("new_status") != F.col("o_orderstatus"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("s_orderkey").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o_orderstatus").alias("old_status"),
+        "new_status",
+    )
+    unchanged = (
+        joined.filter(F.col("new_status") == F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-1).cast("bigint").alias("o_orderkey"),
+            F.lit("summary_unchanged").alias("change_type"),
+            F.lit(None).cast("string").alias("old_status"),
+            F.col("n").cast("string").alias("new_status"),
+        )
+    )
+    return changes.unionByName(unchanged)

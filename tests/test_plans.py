@@ -103,3 +103,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small):
     exchanges in the plan (the whole point of paying the bucketed write)."""
     plan = _executed_plan(spark, "join_bucketed", sf_small)
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_partitioned_reread_prunes_partitions(spark, sf_small, tmp_path):
+    """A filter on the partition column of a partitioned parquet sink must
+    prune at the directory level (PartitionFilters), reading only the
+    matching partition's files."""
+    from ai_dataingestion_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "li_part")
+    li = load_table(spark, sf_small, "lineitem")
+    li.repartition("l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf_line
