@@ -222,7 +222,7 @@ pairs AS (
   FROM corpus a JOIN corpus b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT id1, id2, cos FROM pairs WHERE cos >= 0.99
+SELECT id1, id2, round(cos, 9) AS cos FROM pairs WHERE round(cos, 9) >= 0.99
 """,
 )
 def sim_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +239,9 @@ def sim_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "embedding", "label"
         ).select("vec_id", "embedding", "label")
     )
+    import numpy as np
+    import pandas as pd
+
     a = corpus.select(
         F.col("vec_id").alias("id1"),
         F.col("embedding").alias("e1"),
@@ -249,15 +252,29 @@ def sim_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e2"),
         F.col("label").alias("lbl"),
     )
+    pairs = a.join(b, "lbl").filter(F.col("id1") < F.col("id2")).select(
+        "id1", "id2", "e1", "e2"
+    )
+
+    # pairwise cosine via one vectorized einsum per Arrow batch — the join
+    # stays JVM-side, only the dense math crosses to numpy (rounded to 9 dp
+    # on both sides; see sim_cosine_topk's float note)
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["e1"].to_numpy()).astype("float64")
+            B = np.stack(pdf["e2"].to_numpy()).astype("float64")
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.sqrt(np.einsum("ij,ij->i", A, A))
+                * np.sqrt(np.einsum("ij,ij->i", B, B))
+            )
+            yield pd.DataFrame(
+                {"id1": pdf["id1"], "id2": pdf["id2"], "cos": np.round(cos, 9)}
+            )
+
     return (
-        a.join(b, "lbl")
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            (_dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2"))))
-            .alias("cos"),
-        )
+        pairs.mapInPandas(score, "id1 bigint, id2 bigint, cos double")
         .filter(F.col("cos") >= 0.99)
     )
 

@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# BASELINE.md's six representative queries (§2.D/C/E/I/K shapes).
+# BASELINE.md's six representative queries (§2.D/C/E/I/K shapes) plus the
+# extended set measured against DuckDB in BASELINE.md's engine table
+# (composite TPC-H shape, AI-pipeline dedup/similarity, funnel, compaction).
 HEADLINE = (
     "agg_groupby",
     "join_multiway",
@@ -40,9 +42,18 @@ HEADLINE = (
     "stream_tumbling",
     "sim_cosine_topk",
     "stream_session",
+    "tpch_q5_local_volume",
+    "dedup_exact",
+    "text_tfidf",
+    "multimodal_join",
+    "dedup_ngram_jaccard",
+    "sim_pair_dedup",
+    "events_funnel",
+    "pipeline_compact_latest",
 )
 
 N_RUNS = 3
+SLOW_QUERY_CUTOFF_S = 5.0  # warmup slower than this -> single timed run
 
 
 def main() -> None:
@@ -62,9 +73,12 @@ def main() -> None:
     results: dict[str, float] = {}
     for qid in HEADLINE:
         fn = qs[qid]
+        t0 = time.perf_counter()
         fn(spark, SF_DIR).toPandas()  # warmup: codegen JIT + broadcast build
+        warm_cost = time.perf_counter() - t0
+        n_runs = 1 if warm_cost > SLOW_QUERY_CUTOFF_S else N_RUNS
         times = []
-        for _ in range(N_RUNS):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()  # fresh plan, full execution
             times.append(time.perf_counter() - t0)
