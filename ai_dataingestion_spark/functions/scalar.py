@@ -340,8 +340,8 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct_array",
     oracle="""
 SELECT o_custkey,
-       list(o_orderpriority || ':' || o_orderkey
-            ORDER BY o_totalprice DESC, o_orderkey ASC) AS order_tags,
+       array_to_string(list(o_orderpriority || ':' || o_orderkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC), '|') AS order_tags,
        len(list(o_orderkey)) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -367,8 +367,11 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tagged.select(
         "o_custkey",
-        F.transform(
-            F.col("structs"), lambda s: F.concat_ws(":", s.prio, s.okey)
+        F.array_join(
+            F.transform(
+                F.col("structs"), lambda s: F.concat_ws(":", s.prio, s.okey)
+            ),
+            "|",
         ).alias("order_tags"),
         F.size("structs").cast("bigint").alias("n_orders"),
     )

@@ -276,17 +276,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect",
     oracle="""
-SELECT o_custkey, list(o_orderpriority ORDER BY o_orderpriority) AS priorities
+SELECT o_custkey,
+       array_to_string(list(o_orderpriority ORDER BY o_orderpriority), ',')
+         AS priorities,
+       len(list(o_orderpriority)) AS n_orders
 FROM orders
 GROUP BY o_custkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list of order priorities per customer — collect_list order is
-    nondeterministic after shuffle, so array_sort pins it (SURVEY.md §5.4)."""
+    nondeterministic after shuffle, so array_sort pins it (SURVEY.md §5.4).
+    The array is emitted comma-joined: pandas-level array representations
+    differ across engines (ndarray vs list), so arrays stay out of
+    oracle-compared output schemas."""
     o = Tables(spark, sf_dir).orders
-    return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities")
+    collected = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("_arr")
+    )
+    return collected.select(
+        "o_custkey",
+        F.array_join("_arr", ",").alias("priorities"),
+        F.size("_arr").cast("bigint").alias("n_orders"),
     )
 
 
