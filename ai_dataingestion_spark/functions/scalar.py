@@ -453,3 +453,62 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).cast("bigint").alias("popcount"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+SELECT o_orderkey,
+       round(sin(o_totalprice / 100000.0), 6)            AS sin_v,
+       round(cos(o_totalprice / 100000.0), 6)            AS cos_v,
+       round(atan2(o_totalprice, 100000.0), 6)           AS atan2_v,
+       round(degrees(atan2(o_totalprice, 100000.0)), 4)  AS deg_v,
+       round(exp(0.0 - o_totalprice / 100000.0), 6)      AS exp_neg
+FROM orders
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/exponential battery (libm-dependent → 6 dp both
+    sides; the argument is scaled into a well-conditioned range first)."""
+    o = Tables(spark, sf_dir).orders
+    x = F.col("o_totalprice") / 100000.0
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(x), 6).alias("sin_v"),
+        F.round(F.cos(x), 6).alias("cos_v"),
+        F.round(F.atan2(F.col("o_totalprice"), F.lit(100000.0)), 6).alias("atan2_v"),
+        F.round(F.degrees(F.atan2(F.col("o_totalprice"), F.lit(100000.0))), 4).alias(
+            "deg_v"
+        ),
+        F.round(F.exp(F.lit(0.0) - x), 6).alias("exp_neg"),
+    )
+
+
+@register(
+    "fn_string_parts",
+    oracle="""
+SELECT doc_id,
+       split_part(text, ' ', 1)                    AS first_word,
+       split_part(text, ' ', 3)                    AS third_word,
+       strpos(text, 'data')                        AS data_pos,
+       translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up,
+       repeat(lang, 3)                             AS lang_x3,
+       left(text, 5)                               AS head5,
+       right(text, 5)                              AS tail5
+FROM documents
+""",
+)
+def fn_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: split_part, position search, translate,
+    repeat, left/right slicing."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(3)).alias("third_word"),
+        F.instr(F.col("text"), "data").cast("bigint").alias("data_pos"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(F.col("lang"), 3).alias("lang_x3"),
+        F.left(F.col("text"), F.lit(5)).alias("head5"),
+        F.right(F.col("text"), F.lit(5)).alias("tail5"),
+    )

@@ -437,3 +437,24 @@ def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "n_name", "g_region", "g_nation", "n_cust")
     )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+SELECT c_nationkey,
+       bool_and(c_acctbal > 0)    AS all_positive,
+       bool_or(c_acctbal < 0)     AS any_negative,
+       bool_and(c_custkey >= 0)   AS all_valid_keys
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal/existential quantifiers per group)."""
+    c = Tables(spark, sf_dir).customer
+    return c.groupBy("c_nationkey").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+        F.bool_and(F.col("c_custkey") >= 0).alias("all_valid_keys"),
+    )

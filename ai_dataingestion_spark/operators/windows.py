@@ -241,3 +241,25 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "win_lag_default",
+    oracle="""
+SELECT event_id, user_id,
+       lag(event_type, 2, 'none') OVER w  AS type_2back,
+       lead(event_type, 3, 'end') OVER w  AS type_3ahead
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def win_lag_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with multi-row offsets and explicit defaults (the partition
+    edges take the default instead of NULL)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return Tables(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 2, "none").over(w).alias("type_2back"),
+        F.lead("event_type", 3, "end").over(w).alias("type_3ahead"),
+    )
