@@ -244,8 +244,16 @@ inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
 df AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
 rare AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN df USING (shingle)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+prefiltered AS (
+  SELECT id1, id2
+  FROM cand
+  JOIN shingled s1 ON s1.doc_id = id1
+  JOIN shingled s2 ON s2.doc_id = id2
+  WHERE 3 * n_common >= len(s1.shingles) + len(s2.shingles)
 ),
 verified AS (
   SELECT id1, id2,
@@ -254,7 +262,7 @@ verified AS (
          (len(s1.shingles) + len(s2.shingles)
           - len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s))))
            AS jaccard
-  FROM cand
+  FROM prefiltered
   JOIN shingled s1 ON s1.doc_id = id1
   JOIN shingled s2 ON s2.doc_id = id2
 )
@@ -279,23 +287,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv.groupBy("shingle").count().filter(F.col("count") <= 50).select("shingle")
     )
     rare = inv.join(rare_shingles, "shingle")
+    # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
+    # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
+    # candidate pairs die on integer counts before any array work
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     s1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    prefiltered = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(3 * F.col("n_common") >= F.size("sh1") + F.size("sh2"))
+    )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - F.size(
         F.array_intersect("sh1", "sh2")
     ).cast("double")
     return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", inter / union)
+        prefiltered.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("id1", "id2", "jaccard")
     )
