@@ -17,3 +17,4 @@ from ai_dataingestion_spark import udf  # noqa: F401
 from ai_dataingestion_spark import sources  # noqa: F401
 from ai_dataingestion_spark import pipeline  # noqa: F401
 from ai_dataingestion_spark import streaming  # noqa: F401
+from ai_dataingestion_spark import plans  # noqa: F401

@@ -125,3 +125,18 @@ def test_partitioned_reread_prunes_partitions(spark, sf_small, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "l_returnflag" in pf_line
+
+
+def test_pipeline_plan_fuses_into_one_catalyst_plan(spark, sf_small):
+    """The declarative pipeline's step-3 language whitelist must push down
+    into the parquet scan — proof that PipelinePlan composes lazily and the
+    whole chain is one optimized plan, not materialized stages."""
+    from ai_dataingestion_spark.plans.pipeline import TEXT_INGEST_PLAN
+
+    df = TEXT_INGEST_PLAN.build(spark, sf_small)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "lang" in pushed, pushed
