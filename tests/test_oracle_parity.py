@@ -33,3 +33,26 @@ def test_oracle_parity(qid, spark, sf_small, con):
 def test_rows_only_runs(qid, spark, sf_small):
     df = SPECS[qid].fn(spark, sf_small)
     assert df.count() >= 0
+
+
+def test_driver_window_rotation():
+    """The driver hash-checks only the FIRST 50 entries of queries() per
+    round; registration order is the coverage rotation. The window must be
+    spent entirely on operators that (a) were not already driver-verified in
+    a previous round and (b) carry oracle SQL (a hash row > a rows-only row).
+    """
+    from ai_dataingestion_spark.catalog import _DRIVER_CHECKED
+
+    names = list(SPECS)
+    assert len(names) == 128
+    window = names[:50]
+    for n in window:
+        assert n not in _DRIVER_CHECKED, f"{n} wastes a window slot (already green)"
+        assert SPECS[n].oracle is not None, f"{n} rows-only in hash window"
+    # rows-only unchecked operators rank after oracle-backed unchecked ones
+    ranks = [
+        0 if (SPECS[n].oracle and n not in _DRIVER_CHECKED)
+        else (1 if n not in _DRIVER_CHECKED else 2)
+        for n in names
+    ]
+    assert ranks == sorted(ranks)
