@@ -250,40 +250,44 @@ def sim_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    a = corpus.select(
-        F.col("vec_id").alias("id1"),
-        F.col("embedding").alias("e1"),
-        F.col("label").alias("lbl"),
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("id2"),
-        F.col("embedding").alias("e2"),
-        F.col("label").alias("lbl"),
-    )
-    pairs = a.join(b, "lbl").filter(F.col("id1") < F.col("id2")).select(
-        "id1", "id2", "e1", "e2"
-    )
-
-    # pairwise cosine via one vectorized einsum per Arrow batch — the join
-    # stays JVM-side, only the dense math crosses to numpy (rounded to 9 dp
-    # on both sides; see sim_cosine_topk's float note)
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["e1"].to_numpy()).astype("float64")
-            B = np.stack(pdf["e2"].to_numpy()).astype("float64")
-            cos = np.einsum("ij,ij->i", A, B) / (
-                np.sqrt(np.einsum("ij,ij->i", A, A))
-                * np.sqrt(np.einsum("ij,ij->i", B, B))
+    # One shuffle (groupBy label) and ONE Arrow crossing per vector: each
+    # block computes its pairwise cosines with a single block-local matmul.
+    # The alternative — a self-join producing candidate PAIRS, each carrying
+    # two 64-float arrays across Arrow — ships every vector once per partner
+    # (measured: ~250 MB of Arrow traffic at sf0.1 vs ~1 MB here, and the
+    # round-1 driver bench showed 4.0 s vs 0.97 s DuckDB on exactly that
+    # transfer). Σ block² compute is unchanged; the data movement is O(n).
+    # Memory stays bounded for big blocks by chunking the matmul rows.
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cos": []}).astype(
+                {"id1": "int64", "id2": "int64", "cos": "float64"}
             )
-            yield pd.DataFrame(
-                {"id1": pdf["id1"], "id2": pdf["id2"], "cos": np.round(cos, 9)}
-            )
+        ids = pdf["vec_id"].to_numpy()
+        G = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        Gn = G / np.sqrt((G * G).sum(axis=1, keepdims=True))
+        out_i, out_j, out_c = [], [], []
+        chunk = 4096  # rows of the cosine matrix held at once: ≤ 4096·n doubles
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            C = Gn[lo:hi] @ Gn.T  # (hi-lo, n)
+            C = np.round(C, 9)
+            ri, cj = np.nonzero(C >= 0.99)
+            keep = ids[lo + ri] < ids[cj]  # i < j on vec_id, no self/dup pairs
+            out_i.append(ids[lo + ri][keep])
+            out_j.append(ids[cj][keep])
+            out_c.append(C[ri, cj][keep])
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out_i),
+                "id2": np.concatenate(out_j),
+                "cos": np.concatenate(out_c),
+            }
+        )
 
-    return (
-        pairs.mapInPandas(score, "id1 bigint, id2 bigint, cos double")
-        .filter(F.col("cos") >= 0.99)
+    return corpus.groupBy("label").applyInPandas(
+        block_pairs, "id1 bigint, id2 bigint, cos double"
     )
 
 

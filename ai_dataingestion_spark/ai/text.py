@@ -280,16 +280,17 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, token): smoothed idf = ln((N+1)/(df+1)) + 1
-    (scikit-learn's smoothing). Three aggregations over one exploded token
-    relation; the doc-frequency table and corpus count are broadcast-sized
-    (vocabulary-bound), so the only big shuffle is the per-doc tf groupBy.
+    (scikit-learn's smoothing). The exploded token relation is aggregated
+    ONCE to per-(doc, token) counts; document frequency is then a count over
+    that tf relation (its rows ARE the distinct (doc, token) pairs), so the
+    expensive explode + (doc_id, token) shuffle happens once and Catalyst
+    reuses the exchange for both branches — no countDistinct expand over the
+    raw token stream. df and n_docs are broadcast-sized (vocabulary-bound).
     Rounded to 6 dp (ln is libm-dependent)."""
     d = Tables(spark, sf_dir).documents
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "token")
