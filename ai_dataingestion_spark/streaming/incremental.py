@@ -22,12 +22,28 @@ import os
 import tempfile
 import time
 
+import contextlib
+
+import importlib.util
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.registry import load_table
+
+
+def has_tws_runtime() -> bool:
+    """transformWithStateInPandas (Spark 4's stateful API) talks to the
+    JVM state server over a protobuf protocol; the API is importable without
+    protobuf but fails at query start (STREAMING_PYTHON_RUNNER_INITIALIZATION
+    — measured in this container). Gate the runtime path, not the import."""
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package 'google' absent entirely
+        return False
 
 _RAW_EVENTS_DDL = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, "
@@ -201,8 +217,50 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """transformWithState requires the RocksDB state store provider (the
+    default HDFS-backed provider does not implement the multi-state /
+    timer API). The provider is bound per query at first start, so the conf
+    only needs to hold across .start(); restored afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, rocks)
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
+class _UserCountProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor: cumulative event count per user
+    carried in a ValueState across micro-batches (Spark 4's stateful API,
+    replacing the deprecated applyInPandasWithState)."""
+
+    def init(self, handle) -> None:
+        self._count = handle.getValueState("n", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
 def _count_per_user(key, pdf_iter, state: GroupState):
-    """applyInPandasWithState update fn: cumulative event count per user."""
+    """Legacy-API twin of _UserCountProcessor (applyInPandasWithState) for
+    containers without protobuf — same semantics, same output schema."""
     (user_id,) = key
     n = state.get[0] if state.exists else 0
     for pdf in pdf_iter:
@@ -217,26 +275,40 @@ def _count_per_user(key, pdf_iter, state: GroupState):
 )
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming: per-user running counters carried across
-    micro-batches in a GroupState (applyInPandasWithState, update mode).
-    Each batch emits the running total; the maximum per user is the final
-    count, which must equal the batch groupBy — proving state survived the
-    batch boundaries (3 files → 3 micro-batches)."""
+    micro-batches in per-key state. Primary path is Spark 4's
+    transformWithStateInPandas (ValueState + RocksDB store); when the
+    runtime lacks protobuf (this container) the deprecated-but-working
+    applyInPandasWithState twin runs instead — identical semantics, checked
+    by the same oracle. Each batch emits the running total; the maximum per
+    user is the final count, which must equal the batch groupBy — proving
+    state survived the batch boundaries (3 files → 3 micro-batches)."""
     staging = stage_event_files(spark, sf_dir, n_files=3)
     name = _memory_query_name()
-    running = (
-        _read_stream(spark, staging)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+
+    grouped = _read_stream(spark, staging).groupBy("user_id")
+    if has_tws_runtime():
+        running = grouped.transformWithStateInPandas(
+            statefulProcessor=_UserCountProcessor(),
+            outputStructType="user_id bigint, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        ctx = rocksdb_state_store(spark)
+    else:
+        running = grouped.applyInPandasWithState(
             _count_per_user,
             outputStructType="user_id bigint, n_events bigint",
             stateStructType="n bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    )
-    _run_available_now(
-        running.writeStream.format("memory").queryName(name).outputMode("update")
-    )
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _run_available_now(
+            running.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+        )
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -295,10 +367,19 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned = batch_df.filter(
             F.col("event_id").isNotNull() & F.col("event_type").isin(*valid_types)
         ).dropDuplicates(["event_id"])
-        try:
+        # Detect "sink empty" EXPLICITLY (first batch) instead of catching
+        # read errors: a transient IO failure or corrupt sink file must
+        # propagate and fail the batch — silently skipping the anti-join
+        # would append duplicates and break the idempotence this operator
+        # exists to prove. (At cluster scale this listing is the sink
+        # FileSystem's partition listing; locally it's the temp dir.)
+        sink_has_data = os.path.isdir(out) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(out)
+        )
+        if sink_has_data:
             existing = batch_df.sparkSession.read.parquet(out).select("event_id")
             fresh = cleaned.join(existing, "event_id", "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        else:
             fresh = cleaned
         (
             fresh.repartition("event_type")

@@ -75,9 +75,11 @@ def _run_windowed(spark, staging: str, name: str):
 
 
 def test_watermark_drops_late_rows(spark, staged_late_data):
-    """Event 3 (11:20) arrives after the watermark passed 11:50 — it must
-    NOT appear in the finalized 11:00 window. Event 4 (11:55) lands in the
-    12:00 window, which finalizes once the watermark passes 13:00."""
+    """Batch 0 (events at 11:05 and 13:30) pushes the watermark to 13:20,
+    so batch 1 (13:40) evicts + emits the finalized 11:00 window. Batch 2
+    then delivers the 11:20 straggler — behind the watermark, state already
+    evicted — which must be dropped, plus a 15:00 event whose window never
+    finalizes (the watermark never passes 16:00)."""
     got = _run_windowed(spark, staged_late_data, "wm_late_test")
     # 11:00 window evicted+emitted at end of batch 1 with only event 1;
     # batch 2's 11:20 straggler hit evicted state and was dropped.
@@ -144,3 +146,130 @@ def test_stream_sink_rerun_is_noop(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_processor_accumulates_across_batches():
+    """Unit test of the transformWithStateInPandas processor logic (the
+    primary stream_stateful path; end-to-end runs need protobuf, absent in
+    this container): ValueState round-trips between handleInputRows calls."""
+    import pandas as pd
+
+    from ai_dataingestion_spark.streaming.incremental import _UserCountProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, new):
+            self._v = tuple(new)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = _UserCountProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    out1 = pd.concat(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"x": range(3)})]), None)
+    )
+    out2 = pd.concat(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"x": range(2)}), pd.DataFrame({"x": range(4)})]),
+            None,
+        )
+    )
+    assert out1.n_events.tolist() == [3]
+    assert out2.n_events.tolist() == [9]  # 3 carried + 2 + 4
+    assert handle.states["n"].get() == (9,)
+    proc.close()
+
+
+def test_stateful_event_time_timeout_evicts_state(spark):
+    """State eviction via event-time timeout: user 1 goes quiet after 10:00
+    with a timeout registered at 10:30; user 2 keeps producing, pushing the
+    watermark past 10:30 by batch 2, so user 1's state times out — the
+    callback fires with hasTimedOut, emits a sentinel final row, and
+    removes the state. User 2 keeps renewing its timeout and never expires."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staging = tempfile.mkdtemp(prefix="timeout_fixture_")
+    _write_drop(spark, staging, "drop_0", [
+        Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1, value=1.0),
+        Row(event_id=2, ts=_ts("2024-01-01 10:00:00"), user_id=2, value=1.0),
+    ])
+    _write_drop(spark, staging, "drop_1", [
+        Row(event_id=3, ts=_ts("2024-01-01 12:00:00"), user_id=2, value=1.0),
+    ])
+    _write_drop(spark, staging, "drop_2", [
+        Row(event_id=4, ts=_ts("2024-01-01 12:30:00"), user_id=2, value=1.0),
+    ])
+
+    def count_with_timeout(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "final": [True]}
+            )
+        else:
+            n = state.get[0] if state.exists else 0
+            last_ms = 0
+            for pdf in pdf_iter:
+                n += len(pdf)
+                last_ms = max(
+                    last_ms, int(pdf["ts"].max().timestamp() * 1000)
+                )
+            state.update((n,))
+            # session closes 30 min after this user's latest event
+            state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "final": [False]}
+            )
+
+    name = "timeout_test"
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staging)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_with_timeout,
+            outputStructType="user_id bigint, n bigint, final boolean",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    finals = [(r.user_id, r.n) for r in rows if r.final]
+    assert finals == [(1, 1)]  # user 1 evicted with its carried count
+    # user 2 never timed out: no final row, running count reached 3
+    assert max(r.n for r in rows if r.user_id == 2 and not r.final) == 3
