@@ -72,16 +72,34 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_probe_cache: dict[str, tuple] = {}
+_probe_cache: dict[tuple, tuple] = {}
+
+
+def _embeddings_mtime(sf_dir: str) -> float:
+    """Latest mtime under the embeddings parquet path (file or directory) —
+    part of the memo key so regenerating the data invalidates the cache."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if os.path.isdir(path):
+        times = [os.path.getmtime(path)] + [
+            os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+        ]
+        return max(times)
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0  # non-local path (cloud storage): no invalidation signal
 
 
 def _probe_matrix(spark: SparkSession, sf_dir: str):
     """Probe ids + L2-normalized probe matrix (vec_id < 10), memoized per
-    sf_dir — probes are immutable corpus rows, and re-collecting them per
-    invocation would add a driver job to every benchmarked run."""
+    (sf_dir, mtime) — probes are immutable corpus rows, and re-collecting
+    them per invocation would add a driver job to every benchmarked run;
+    the mtime component drops the memo if the parquet is regenerated."""
     import numpy as np
 
-    key = sf_dir.rstrip("/")
+    key = (sf_dir.rstrip("/"), _embeddings_mtime(sf_dir))
     if key not in _probe_cache:
         rows = sorted(
             Tables(spark, sf_dir)

@@ -10,6 +10,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.registry import Tables
 
 _EVENT_TYPES = ("click", "purchase", "error", "signup", "view")
@@ -101,6 +102,35 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_bucket_table(spark: SparkSession, tab: str, df: DataFrame, key: str) -> None:
+    """Create bucketed table ``tab`` crash-safely: write under a temp name,
+    bind the final name only after the write completed (rename). A run
+    killed mid-write can therefore only leave a stale ``_w*`` temp — cleaned
+    on the next call — never a half-written table under the final name.
+    The final-name directory may still exist without a catalog entry (the
+    in-memory catalog dies with its session; the warehouse dir does not),
+    so it is cleared right before the rename."""
+    import glob
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for stale in glob.glob(f"{warehouse}/{tab}_w*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = f"{tab}_w{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        df.write.bucketBy(8, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    shutil.rmtree(f"{warehouse}/{tab}", ignore_errors=True)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {tab}")
+
+
 @register(
     "join_bucketed",
     oracle="""
@@ -122,22 +152,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_tab, o_tab = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
     for tab, df, key in ((li_tab, t.lineitem, "l_orderkey"), (o_tab, t.orders, "o_orderkey")):
         if not spark.catalog.tableExists(tab):
-            # a fresh session's in-memory catalog may not know a table whose
-            # warehouse directory survived a previous session — clear it
-            import shutil
-            from urllib.parse import urlparse
-
-            warehouse = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            shutil.rmtree(f"{warehouse}/{tab}", ignore_errors=True)
-            (
-                df.write.bucketBy(8, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tab)
-            )
+            _build_bucket_table(spark, tab, df, key)
     li, o = spark.table(li_tab), spark.table(o_tab)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -163,8 +178,6 @@ def quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-path metrics via df.observe(): the observation rides the job
     that writes the data (zero extra scans — at 100 TB a separate profiling
     pass doubles ingest cost), then the collected metrics are returned."""
-    import tempfile
-
     obs = Observation(f"ingest_metrics_{uuid.uuid4().hex[:8]}")
     o = Tables(spark, sf_dir).orders.observe(
         obs,
@@ -172,7 +185,7 @@ def quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_negative"),
     )
-    out = tempfile.mkdtemp(prefix="observe_sink_")
+    out = op_tmpdir("observe_sink_")
     o.write.mode("overwrite").parquet(out)  # the observed action
     m = obs.get
     return spark.createDataFrame(

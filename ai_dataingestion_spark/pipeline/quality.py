@@ -156,8 +156,7 @@ def schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_compact_latest",
     oracle="""
 WITH keyed AS (
-  SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 1000000
-            + event_id AS ord
+  SELECT *, CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS ord
   FROM events
 )
 SELECT user_id,
@@ -172,14 +171,22 @@ GROUP BY user_id
 def pipeline_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed compaction (Kafka-compaction / upsert-view semantics): reduce
     an append-only event log to the latest record per key in one aggregate
-    pass — max_by on a scalar (offset-µs, event_id) composite key (DuckDB's
+    pass — max_by on a scalar (epoch-µs, event_id) composite key (DuckDB's
     arg_max can't order by structs), no window, no self-join. At 100 TB
-    this is the standard 'current state' view over a CDC log."""
+    this is the standard 'current state' view over a CDC log.
+
+    The composite is 128-bit safe on both engines (Spark DECIMAL(38,0) ≙
+    DuckDB HUGEINT): epoch_us*1e9 tops out near 1.8e24, far under both
+    types' ~1e38 range for any representable timestamp, and the 1e9
+    multiplier leaves 100x headroom over the largest corpus event_id
+    (~1e7 at sf10). An int64 composite would overflow once the event span
+    exceeded ~106 days."""
     e = Tables(spark, sf_dir).events
-    base_us = 1_704_067_200_000_000  # 2024-01-01 epoch µs (corpus starts here)
     ord_key = (
-        F.unix_micros(F.col("ts").cast("timestamp")) - base_us
-    ) * 1_000_000 + F.col("event_id")
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * 1_000_000_000
+        + F.col("event_id")
+    )
     return e.groupBy("user_id").agg(
         F.max_by("event_id", ord_key).alias("last_event_id"),
         F.max_by("event_type", ord_key).alias("last_event_type"),

@@ -125,7 +125,17 @@ _EVENTS_RAW_SCHEMA = _s(
 
 EMBEDDING_DIM = 64  # measured: every embeddings.embedding has exactly 64 floats
 
-_conf_applied: set[int] = set()
+_conf_applied: set[str] = set()
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-JVM-session identity. id(spark) is unusable as a cache key
+    (CPython reuses addresses after GC, silently skipping the load-bearing
+    conf pin); the Spark application id is unique per started context."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Connect-style sessions: fall back to the session id
+        return str(getattr(spark, "session_id", None) or id(spark))
 
 
 def _ensure_read_conf(spark: SparkSession) -> None:
@@ -136,7 +146,7 @@ def _ensure_read_conf(spark: SparkSession) -> None:
     DataSource construction time) plus the UTC session timezone (NTZ↔TS cast
     semantics) are load-bearing for every events query. Both are
     runtime-settable, so the registry pins them at the read boundary."""
-    key = id(spark)
+    key = _session_key(spark)
     if key in _conf_applied:
         return
     for k, v in (
@@ -151,11 +161,13 @@ def _ensure_read_conf(spark: SparkSession) -> None:
     _conf_applied.add(key)
 
 
-# Opt-in warm-table cache (bench.py): {(sf_dir, name): cached DataFrame}.
+# Opt-in warm-table cache (bench.py): {(session, sf_dir, name): cached DF}.
 # The corpus files are single-row-group parquet, so cold scans are
 # single-task; caching REPARTITIONED tables restores intra-query parallelism
-# — the Spark analogue of an oracle engine's warm buffer pool.
-_warm_cache: dict[tuple[str, str], DataFrame] = {}
+# — the Spark analogue of an oracle engine's warm buffer pool. Keyed by the
+# owning session so a restarted/other session never receives DataFrames
+# bound to a dead SparkContext.
+_warm_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def warm_tables(
@@ -163,14 +175,16 @@ def warm_tables(
 ) -> None:
     """Materialize all tables into the in-memory columnar cache, split into
     n_partitions so downstream stages parallelize. Subsequent load_table
-    calls for (sf_dir, name) return the cached relation."""
+    calls for (sf_dir, name) from the SAME session return the cached
+    relation."""
     if n_partitions is None:
         n_partitions = max(4, spark.sparkContext.defaultParallelism // 2)
     key_sf = sf_dir.rstrip("/")
+    sess = _session_key(spark)
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name).repartition(n_partitions).cache()
         df.count()  # materialize
-        _warm_cache[(key_sf, name)] = df
+        _warm_cache[(sess, key_sf, name)] = df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -180,7 +194,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enforcement: Catalyst still prunes to referenced columns, and the parquet
     footer is never trusted for types the oracle compares.
     """
-    cached = _warm_cache.get((sf_dir.rstrip("/"), name))
+    cached = _warm_cache.get((_session_key(spark), sf_dir.rstrip("/"), name))
     if cached is not None:
         return cached
     _ensure_read_conf(spark)

@@ -14,11 +14,10 @@ downstream reads get partition pruning.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.registry import SCHEMAS, Tables, load_table
 
 
@@ -39,7 +38,7 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion with explicit schema + header: parquet → csv → read
     back. Null round-trip is exercised via nullValue on both sides."""
-    out = tempfile.mkdtemp(prefix="scan_csv_")
+    out = op_tmpdir("scan_csv_")
     nation = load_table(spark, sf_dir, "nation")
     nation.coalesce(1).write.mode("overwrite").option("header", True).option(
         "nullValue", "\\N"
@@ -57,7 +56,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion with explicit schema + corrupt-record column."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    out = tempfile.mkdtemp(prefix="scan_json_")
+    out = op_tmpdir("scan_json_")
     nation = load_table(spark, sf_dir, "nation")
     nation.coalesce(1).write.mode("overwrite").json(out)
     # copy the fields — StructType.add would mutate the shared registry schema
@@ -79,7 +78,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-line text ingestion (raw-document reader): one row per line."""
-    out = tempfile.mkdtemp(prefix="scan_text_")
+    out = op_tmpdir("scan_text_")
     docs = Tables(spark, sf_dir).documents
     docs.select("text").coalesce(1).write.mode("overwrite").text(out)
     return spark.read.text(out)
@@ -99,7 +98,7 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (one task's output per partition value → no file explosion),
     write partitionBy(l_returnflag), re-read and aggregate — proving the
     sink round-trips and the partition column survives directory encoding."""
-    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    out = op_tmpdir("sink_parquet_")
     li = Tables(spark, sf_dir).lineitem
     (
         li.repartition("l_returnflag")
@@ -125,8 +124,8 @@ SELECT 'json', count(*), sum(o_orderkey) FROM orders
 def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSONL export sinks, re-read and checksummed per format."""
     o = Tables(spark, sf_dir).orders.select("o_orderkey", "o_orderstatus")
-    out_csv = tempfile.mkdtemp(prefix="sink_csv_")
-    out_json = tempfile.mkdtemp(prefix="sink_json_")
+    out_csv = op_tmpdir("sink_csv_")
+    out_json = op_tmpdir("sink_json_")
     o.write.mode("overwrite").option("header", True).csv(out_csv)
     o.write.mode("overwrite").json(out_json)
     csv_back = (

@@ -18,13 +18,10 @@ anti-join-then-append is the idempotent ingest pattern.
 
 from __future__ import annotations
 
-import os
-import tempfile
-import time
-
 import contextlib
-
 import importlib.util
+import os
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -32,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.registry import load_table
 
 
@@ -61,7 +59,7 @@ def stage_event_files(
     the fixture for streaming dedup."""
     from pyspark.sql.window import Window
 
-    staging = tempfile.mkdtemp(prefix="stream_stage_")
+    staging = op_tmpdir("stream_stage_")
     e = load_table(spark, sf_dir, "events")
     # one job: rank by ts -> bucket id -> single partitioned write
     ranked = e.withColumn(
@@ -326,8 +324,8 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     run finds no new offsets and writes nothing, so counts still equal the
     batch answer. That double-run is the exactly-once proof."""
     staging = stage_event_files(spark, sf_dir, n_files=3)
-    out = tempfile.mkdtemp(prefix="stream_sink_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_sink_ckpt_")
+    out = op_tmpdir("stream_sink_out_")
+    ckpt = op_tmpdir("stream_sink_ckpt_")
     for _ in range(2):  # second run must be a no-op (same checkpoint)
         _run_available_now(
             _read_stream(spark, staging)
@@ -359,8 +357,8 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern that scales: the anti-join is against the sink's own partition
     subset, and each batch is one bounded unit of work."""
     staging = stage_event_files(spark, sf_dir, n_files=3, inject_dups=200)
-    out = tempfile.mkdtemp(prefix="ingest_out_")
-    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    out = op_tmpdir("ingest_out_")
+    ckpt = op_tmpdir("ingest_ckpt_")
     valid_types = ("click", "purchase", "error", "signup", "view")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

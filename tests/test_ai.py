@@ -104,3 +104,39 @@ def test_ivf_recall_vs_brute_force(spark, sf_small):
     assert all(v <= 5 for v in per_probe.values())
     recall = len(ivf_pairs & brute_pairs) / len(brute_pairs)
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_probe_cache_invalidated_on_regenerated_parquet(spark, sf_small, tmp_path):
+    """_probe_matrix memoizes per (sf_dir, mtime): rewriting the embeddings
+    parquet under the same path must drop the memo and return the new
+    probes, not the stale matrix."""
+    import shutil
+    import time
+
+    import numpy as np
+
+    from ai_dataingestion_spark.ai.similarity import _probe_matrix
+
+    sf = str(tmp_path)
+    shutil.copy(f"{sf_small.rstrip('/')}/embeddings.parquet",
+                f"{sf}/embeddings.parquet")
+    pids1, P1 = _probe_matrix(spark, sf)
+
+    # regenerate: same path, negated vectors (mtime strictly newer)
+    from ai_dataingestion_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    flipped = load_table(spark, sf_small, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+    ).toPandas()
+    time.sleep(0.05)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(flipped), f"{sf}/embeddings.parquet")
+
+    pids2, P2 = _probe_matrix(spark, sf)
+    assert (pids1 == pids2).all()
+    assert np.allclose(P1, -P2)  # stale memo would return P1 again

@@ -140,3 +140,30 @@ def test_pipeline_plan_fuses_into_one_catalyst_plan(spark, sf_small):
     plan = df._jdf.queryExecution().explainString(mode)
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "lang" in pushed, pushed
+
+
+def test_bucketed_join_survives_interrupted_write(spark, sf_small):
+    """A run killed mid-write must not poison later runs: simulate a crash
+    by planting a half-written temp table dir AND a corrupt directory under
+    the final table name (no catalog entry — the in-memory catalog died
+    with the 'crashed' session), then verify join_bucketed rebuilds cleanly
+    and still plans zero shuffle exchanges."""
+    import os
+    from urllib.parse import urlparse
+
+    from ai_dataingestion_spark.catalog import all_specs
+
+    suffix = sf_small.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tab in (f"li_bkt_{suffix}", f"o_bkt_{suffix}"):
+        spark.sql(f"DROP TABLE IF EXISTS {tab}")
+        spark.sql(f"DROP TABLE IF EXISTS {tab}_w99999")
+        for d in (f"{warehouse}/{tab}", f"{warehouse}/{tab}_w99999"):
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "part-00000.parquet"), "w") as f:
+                f.write("NOT A PARQUET FILE")  # torn write
+
+    df = all_specs()["join_bucketed"].fn(spark, sf_small)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
