@@ -1,0 +1,484 @@
+"""Round-2 surface extensions (SURVEY.md §2.N): deeper TPC-H composites,
+decorrelated scalar subqueries, robust statistics (median / IQR outliers /
+weighted means), a gap-filled time-series rollup, fuzzy string matching,
+per-label embedding centroids, SCD2 interval building, per-doc keyword
+extraction, and cross-source exact-dup (leakage) detection.
+
+Registered AFTER every round-1 module so these operators append to the end
+of the rotation order and never displace the current driver sweep window
+(catalog._rotation_rank).
+
+Float discipline follows SURVEY.md §5.4: sums of money PRODUCTS go through
+DECIMAL(20,6); quotients (averages, ratios) round at 6 dp; counts and keys
+are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import Tables
+
+
+def _dec_sum(col):
+    """Engine-exact money-product sum: DECIMAL(20,6) accumulation (summation
+    order can flip a rounded 2-dp digit in plain double — measured)."""
+    return F.sum(col.cast("decimal(20,6)")).cast("double")
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global agg —
+    the canonical predicate-pushdown showcase; all three predicates reach
+    the parquet scan, no shuffle beyond the final 1-row reduce."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount) END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): broadcast dim join + ratio of
+    conditional aggregates. The ratio is a quotient, so raw-double noise
+    cancels and 6 dp rounding is engine-stable (SURVEY.md §5.4)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = 'NATION_0' AND nc.n_name = 'NATION_1')
+    OR (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_0'))
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): fact⋈fact⋈fact chain with
+    two broadcast nation dims and a cross-nation pair predicate, grouped by
+    (supplier nation, customer nation, ship year). The nation filter is
+    pushed through both dim joins so only qualifying rows shuffle."""
+    t = Tables(spark, sf_dir)
+    ns = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
+    ) | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    return (
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+WITH type_avg AS (
+  SELECT p_type, avg(p_retailprice) AS avg_price FROM part GROUP BY p_type
+)
+SELECT p.p_type, count(*) AS n_above, round(any_value(t.avg_price), 6) AS avg_price
+FROM part p JOIN type_avg t ON p.p_type = t.p_type
+WHERE p.p_retailprice > t.avg_price
+GROUP BY p.p_type
+""",
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: parts priced above their type's average
+    — the correlated `WHERE price > (SELECT avg ...)` rewritten as the plan
+    an optimizer produces: tiny per-type aggregate, broadcast back onto the
+    base table. The average is a quotient (6 dp engine-stable)."""
+    p = Tables(spark, sf_dir).part
+    type_avg = p.groupBy("p_type").agg(F.avg("p_retailprice").alias("avg_price"))
+    return (
+        p.join(F.broadcast(type_avg), "p_type")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.any_value("avg_price"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+SELECT c_mktsegment, round(median(c_acctbal), 4) AS med_bal, count(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median account balance per market segment (both engines
+    interpolate the even-count midpoint with the same (a+b)/2 on identical
+    inputs, so the doubles agree before rounding)."""
+    return (
+        Tables(spark, sf_dir)
+        .customer.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+         AS wavg_price,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag: Σ(w·x)/Σ(w) as one
+    partial-aggregable pass (the ratio-of-sums form — never avg-of-avgs,
+    which is wrong under grouping and does not map-side combine)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "quality_outlier_iqr",
+    oracle="""
+WITH fences AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       round(any_value(f.q1), 4) AS q1,
+       round(any_value(f.q3), 4) AS q3,
+       count(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 END)
+         AS n_high,
+       count(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1) THEN 1 END)
+         AS n_low
+FROM orders o JOIN fences f ON o.o_orderstatus = f.o_orderstatus
+GROUP BY o.o_orderstatus
+""",
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (Tukey fences): per-status quartiles, then
+    counts beyond q3+1.5·IQR / q1−1.5·IQR. The tiny fence table broadcasts
+    back onto the base — two passes, both partial-aggregable; the fence
+    arithmetic is the identical double expression on both engines, so the
+    count comparisons see identical thresholds."""
+    o = Tables(spark, sf_dir).orders
+    fences = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        o.join(F.broadcast(fences), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.any_value("q1"), 4).alias("q1"),
+            F.round(F.any_value("q3"), 4).alias("q3"),
+            F.count(F.when(F.col("o_totalprice") > hi, 1)).alias("n_high"),
+            F.count(F.when(F.col("o_totalprice") < lo, 1)).alias("n_low"),
+        )
+    )
+
+
+@register(
+    "events_timeseries_rollup",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(s.d AS VARCHAR) AS day,
+       coalesce(dy.n, 0) AS n,
+       round(avg(coalesce(dy.n, 0)) OVER (
+         ORDER BY s.d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+""",
+)
+def events_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup + 7-day trailing mean: a generated date spine
+    LEFT-JOINs the daily aggregate so silent gaps become explicit zeros
+    (a rolling window over a gappy series silently averages the wrong
+    days), then a rows-frame moving average. At 100 TB the spine is trivially
+    broadcast and the daily aggregate is the only real shuffle."""
+    e = Tables(spark, sf_dir).events
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce("n_raw", F.lit(0)).alias("n"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.round(F.avg("n").over(w), 6).alias("ma7"),
+        )
+    )
+
+
+@register(
+    "fn_levenshtein_match",
+    oracle="""
+SELECT s_suppkey, s_name, n_name AS best_nation, dist FROM (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         levenshtein(s.s_name, n.n_name) AS dist,
+         row_number() OVER (
+           PARTITION BY s.s_suppkey
+           ORDER BY levenshtein(s.s_name, n.n_name) ASC, n.n_name ASC) AS rn
+  FROM supplier s CROSS JOIN nation n
+) WHERE rn = 1
+""",
+)
+def fn_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy nearest-name match (entity-resolution kernel): every supplier
+    against the broadcast nation list by edit distance, deterministic
+    tie-break on name. At scale the small side is always the broadcast
+    reference list and the cross product is bounded by its size."""
+    t = Tables(spark, sf_dir)
+    pairs = t.supplier.select("s_suppkey", "s_name").crossJoin(
+        F.broadcast(t.nation.select("n_name"))
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(
+        F.asc("dist"), F.asc("n_name")
+    )
+    return (
+        pairs.select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.levenshtein("s_name", "n_name").alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("best_nation"), "dist")
+    )
+
+
+@register(
+    "embed_label_centroid",
+    oracle="""
+SELECT label, i AS dim, round(avg(x), 6) AS centroid FROM (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+) GROUP BY label, i
+""",
+)
+def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode the
+    vector and average per component — fully partial-aggregable, no vector
+    UDF, the natural k-means-update / class-prototype kernel. (The exploded
+    relation is rows×dim, but each shuffle record is one double — at 100 TB
+    this is the map-side-combined plan, not a per-row array fold.)"""
+    e = Tables(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
+@register(
+    "pipeline_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction from a change log: each record's
+    validity spans until the key's next change (lead), open-ended for the
+    current row. Epoch-µs output (sub-second timestamp strings are not
+    engine-portable — SURVEY.md §5.4). One shuffle on the entity key; at
+    100 TB this is the dimension-history build over a CDC feed."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "text_keyword_extract",
+    oracle="""
+SELECT doc_id, token, tf, rn FROM (
+  SELECT doc_id, token, count(*) AS tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, token ASC) AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+) WHERE rn <= 3
+""",
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per document by term frequency (deterministic tie-break
+    on the token): the per-doc keyword kernel. One explode + one
+    (doc, token) shuffle; the window partitions by doc_id — bounded
+    partitions (a document's vocabulary), no hot-key risk, unlike a
+    corpus-wide token window."""
+    d = Tables(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "rn")
+    )
+
+
+_XSRC_OFFSET = 700_000
+
+
+@register(
+    "dedup_cross_source",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {_XSRC_OFFSET}, text, 'mirror' FROM documents
+  WHERE doc_id % 3 = 0
+),
+hashed AS (SELECT doc_id, source, sha256(text) AS text_sha FROM corpus)
+SELECT text_sha,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       count(DISTINCT source) AS n_sources
+FROM hashed
+GROUP BY text_sha
+HAVING count(DISTINCT source) >= 2
+""",
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-dup detection (train/eval leakage screen): hash
+    groups spanning ≥2 distinct sources (fixture: every 3rd doc mirrored
+    under a second source). Same uniform-digest shuffle as dedup_exact;
+    the distinct-source count is over a tiny per-group set. At 100 TB this
+    is the standard benchmark-contamination sweep over corpus snapshots."""
+    d = Tables(spark, sf_dir).documents
+    corpus = d.select("doc_id", "text", "source").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + _XSRC_OFFSET).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    return (
+        corpus.select("doc_id", "source", F.sha2("text", 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
