@@ -482,3 +482,154 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sources") >= 2)
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+cand AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 5 = 0
+),
+dir AS (SELECT src, dst FROM cand
+        WHERE src IN (SELECT node FROM nodes)
+          AND dst IN (SELECT node FROM nodes)),
+edges AS (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir),
+walk AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT node AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS component_size
+FROM comps
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a pair graph
+    (every near-dup pipeline ends here — pair lists must become cluster ids
+    before a keep-one policy can run). Deterministic edge fixture: chains
+    d—(d+1)—(d+2) for d % 5 == 0, so components need MULTI-HOP propagation
+    (d and d+2 share no edge).
+
+    Iterative min-label propagation (the Pregel kernel): each round joins
+    labels to edges and takes the min over (self, neighbors), materialized
+    per round to cut lineage, until a fixpoint. Rounds = graph diameter —
+    2 here; at 100 TB the same loop runs with the alternating large-star/
+    small-star optimization and checkpointed iterations. The driver-side
+    loop is bounded and each round is one shuffle — no per-row Python.
+
+    DuckDB twin: WITH RECURSIVE reachability closure + min per node.
+    """
+    d = Tables(spark, sf_dir).documents.select("doc_id")
+    nodes = d.select(F.col("doc_id").alias("node"))
+    fives = d.filter(F.col("doc_id") % 5 == 0)
+    cand = fives.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).unionByName(
+        fives.select(
+            (F.col("doc_id") + 1).alias("src"), (F.col("doc_id") + 2).alias("dst")
+        )
+    )
+    directed = cand.join(
+        nodes.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+    edges = directed.select("src", "dst").unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    labels = nodes.select("node", F.col("node").alias("comp")).persist()
+    labels.count()
+    for _ in range(12):  # bound >> fixture diameter; loop exits at fixpoint
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(F.broadcast(sizes), "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "component_size",
+    )
+
+
+_FRAME_LEN = 64       # bytes per sampled frame
+_FRAME_STRIDE = 256   # byte offset between samples
+_N_FRAMES = 3
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT d.doc_id, f.frame_idx,
+       f.frame_idx * {_FRAME_STRIDE} AS frame_off,
+       lower(substring(hex(encode(d.text)),
+                       f.frame_idx * {_FRAME_STRIDE} * 2 + 1,
+                       {_FRAME_LEN} * 2)) AS frame_hex
+FROM documents d
+CROSS JOIN (VALUES (0), (1), (2)) f(frame_idx)
+WHERE octet_length(encode(d.text)) >= f.frame_idx * {_FRAME_STRIDE} + {_FRAME_LEN}
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video-modality
+    plumbing shape): every document's payload is sampled at fixed byte
+    strides, emitting 0..3 fixed-length frames per row — a mapInPandas
+    stage whose output cardinality differs from its input, exactly like a
+    real frame extractor. Payload bytes stand in for codec frames (no
+    codecs in this container — see _decode_payload in ai/multimodal.py);
+    the byte plumbing, schema, and variable fan-out are real and
+    oracle-checked against hex slices of the same bytes."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType
+
+    d = Tables(spark, sf_dir).documents
+    binary = d.select(
+        "doc_id", F.encode("text", "UTF-8").cast(BinaryType()).alias("payload")
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out_id, out_idx, out_off, out_hex = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(_N_FRAMES):
+                    off = i * _FRAME_STRIDE
+                    if len(buf) >= off + _FRAME_LEN:
+                        out_id.append(doc_id)
+                        out_idx.append(i)
+                        out_off.append(off)
+                        out_hex.append(buf[off : off + _FRAME_LEN].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_off": pd.Series(out_off, dtype="int32"),
+                    "frame_hex": pd.Series(out_hex, dtype="object"),
+                }
+            )
+
+    return binary.mapInPandas(
+        sample, "doc_id bigint, frame_idx int, frame_off int, frame_hex string"
+    )
