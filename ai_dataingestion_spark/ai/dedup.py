@@ -282,34 +282,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split("text", " ")
     )
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
-    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare_shingles = (
-        inv.groupBy("shingle").count().filter(F.col("count") <= 50).select("shingle")
+    # The index/self-join phase runs on xxhash64(shingle) — 8-byte shuffle
+    # keys instead of ~30-byte shingle strings through the widest joins.
+    # A hash collision can only (a) merge two shingles' DF counts (DF cap
+    # is a heuristic bound — harmless) or (b) inflate a pair's n_common
+    # (prefilter keeps MORE, verify is exact) — final pairs are unaffected
+    # at any realistic corpus size, and the verify stage is still exact
+    # string-set Jaccard.
+    inv = docs.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
     )
-    rare = inv.join(rare_shingles, "shingle")
+    rare_hashes = (
+        inv.groupBy("h").count().filter(F.col("count") <= 50).select("h")
+    )
+    rare = inv.join(rare_hashes, "h")
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
     # candidate pairs die on integer counts before any array work
     cand = (
         rare.alias("a")
-        .join(rare.alias("b"), "shingle")
+        .join(rare.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # prefilter on per-doc shingle COUNTS (ints) first; full shingle arrays
+    # are attached only to the surviving ~0.1% of candidate pairs
+    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    prefiltered = (
+        cand.join(sizes.select(F.col("doc_id").alias("id1"),
+                               F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"),
+                           F.col("sz").alias("sz2")), "id2")
+        .filter(3 * F.col("n_common") >= F.col("sz1") + F.col("sz2"))
+        .select("id1", "id2")
+    )
     s1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
-    prefiltered = (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(3 * F.col("n_common") >= F.size("sh1") + F.size("sh2"))
-    )
+    survivors = prefiltered.join(s1, "id1").join(s2, "id2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - F.size(
-        F.array_intersect("sh1", "sh2")
-    ).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     return (
-        prefiltered.withColumn("jaccard", inter / union)
+        survivors.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("id1", "id2", "jaccard")
     )
