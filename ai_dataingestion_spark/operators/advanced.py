@@ -537,13 +537,40 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = cand.join(
         nodes.select(F.col("node").alias("src")), "src", "left_semi"
     ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-    edges = directed.select("src", "dst").unionByName(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    labels = connected_components(nodes, directed)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(F.broadcast(sizes), "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "component_size",
     )
 
-    labels = nodes.select("node", F.col("node").alias("comp")).persist()
-    labels.count()
-    for _ in range(12):  # bound >> fixture diameter; loop exits at fixpoint
+
+def connected_components(
+    nodes: DataFrame, directed_edges: DataFrame, max_iters: int = 32
+) -> DataFrame:
+    """Reusable min-label-propagation kernel: (node) × (src, dst) →
+    (node, comp) where comp is the smallest node id reachable in the
+    undirected closure. Each round is one shuffle (edges ⋈ labels → min);
+    exits at the fixpoint, whose round count is the graph diameter.
+    ``max_iters`` is a runaway bound for adversarial inputs — a path graph
+    of n nodes needs n-1 rounds, so callers with deep graphs must raise it
+    (or switch to large-star/small-star, which converges in O(log n)
+    rounds).
+
+    Each round's labels are localCheckpoint'ed: an iterative DataFrame that
+    references its previous state twice per round grows its logical plan
+    EXPONENTIALLY (2^rounds nodes — measured as a Catalyst OOM near round
+    29 on a 30-node path); checkpointing truncates the lineage so every
+    round plans against a materialized leaf. On a cluster prefer
+    ``checkpoint()`` to a reliable directory — localCheckpoint blocks die
+    with their executor."""
+    edges = directed_edges.select("src", "dst").unionByName(
+        directed_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iters):
         prop = edges.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), "comp"
         )
@@ -551,7 +578,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -560,17 +587,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
-    return labels.join(F.broadcast(sizes), "comp").select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("component"),
-        "component_size",
-    )
+    return labels
 
 
 _FRAME_LEN = 64       # bytes per sampled frame

@@ -123,3 +123,89 @@ def test_nanos_truncation_matches_duckdb(spark, sf_small):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_levenshtein_parity(spark, data):
+    """Spark's levenshtein vs DuckDB's over generated string pairs — both
+    must implement the same unweighted edit distance."""
+    pairs = data.draw(
+        st.lists(st.tuples(TEXTS, TEXTS), min_size=25, max_size=25)
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    con = duckdb.connect()
+    want = [
+        row[0]
+        for row in con.execute(
+            "SELECT levenshtein(a, b) FROM (SELECT unnest(?) AS a, unnest(?) AS b)",
+            [[p[0] for p in pairs], [p[1] for p in pairs]],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_median_interpolation_parity(spark, data):
+    """median over generated doubles: both engines interpolate even-count
+    midpoints as (a+b)/2 on identical inputs — the assumption agg_median's
+    oracle rests on."""
+    xs = data.draw(st.lists(DOUBLES, min_size=1, max_size=41))
+    from pyspark.sql import functions as F
+
+    df = _spark_one_col(spark, xs, "x double")
+    got = df.agg(F.round(F.median("x"), 6).alias("m")).collect()[0].m
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT round(median(x), 6) FROM (SELECT unnest(?) AS x)", [xs]
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property check of the reusable min-label-propagation kernel against
+    a Python union-find on pseudo-random graphs, including a long path
+    (multi-hop propagation well beyond the operator fixture's diameter-2
+    chains)."""
+    import random
+
+    from ai_dataingestion_spark.operators.advanced import connected_components
+
+    rng = random.Random(20260813)
+    cases = []
+    for _ in range(3):  # random sparse graphs
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        cases.append((n, edges))
+    cases.append((30, [(i, i + 1) for i in range(29)]))  # one long path
+
+    for n, edges in cases:
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "src bigint, dst bigint"
+        )
+        got = {
+            r.node: r.comp
+            for r in connected_components(nodes, edf, max_iters=64).collect()
+        }
+        assert got == want, (n, edges)
