@@ -653,3 +653,201 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(
         sample, "doc_id bigint, frame_idx int, frame_off int, frame_hex string"
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_type, count(*) AS n, count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY e.event_type
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical ingestion topology the
+    other streaming operators don't cover: a micro-batched event stream
+    joined against a static (slowly-changing) dimension inside the stream,
+    then aggregated. The dim side is re-planned per micro-batch (that is
+    Spark's stream-static contract), broadcast-sized here and at 100 TB
+    usually still broadcast after segment pruning. Final counts must equal
+    the batch join — exactly-once across the join."""
+    from ai_dataingestion_spark.registry import load_table
+    from ai_dataingestion_spark.streaming.incremental import (
+        _memory_query_name,
+        _read_stream,
+        _run_available_now,
+        stage_event_files,
+    )
+
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    name = _memory_query_name()
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    joined = (
+        _read_stream(spark, staging)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+    )
+    _run_available_now(
+        joined.writeStream.format("memory").queryName(name).outputMode("complete")
+    )
+    # exact distinct for the oracle: recompute from the staged parquet is
+    # unnecessary — the memory sink holds final counts; exact distinct users
+    # comes from a batch pass over the SAME staged files (one bounded read)
+    exact = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(staging)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return (
+        spark.table(name)
+        .select("event_type", "n")
+        .join(exact, "event_type")
+    )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the profiling/monitoring kernel): bin id via
+    floor division — a pure map-side expression, so the aggregate is one
+    partial-combined shuffle of (bin, partials); no sort, no percentile
+    state. Bin membership is exact integer math on both engines."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-867-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))  AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))  AS n_phones
+FROM seeded
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (a training-corpus compliance gate): regex scrubbing of
+    emails and phone numbers with per-doc redaction counts. The fixture
+    seeds deterministic PII into every 4th document so both the hit and
+    no-hit paths are exercised. All JVM-side regex — a 100 TB corpus never
+    crosses into Python for scrubbing; at scale the count columns feed the
+    quality dashboard, the scrubbed column feeds the sink."""
+    d = Tables(spark, sf_dir).documents
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(d.d AS VARCHAR) AS day, d.n,
+       round((d.n - s.mu) / s.sigma, 6) AS z
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE abs((d.n - s.mu) / s.sigma) >= 1.5
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (pipeline observability): per-type daily
+    counts z-scored against that type's own mean/stddev; days beyond
+    |z| >= 1.5 are flagged. Two partial-aggregable passes with the tiny
+    stats table broadcast back — the same shape as quality_outlier_iqr but
+    over a derived time series. z is a quotient of identically-computed
+    doubles, stable at 6 dp."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 1.5)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -167,3 +167,39 @@ def test_bucketed_join_survives_interrupted_write(spark, sf_small):
     assert df.count() > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_small):
+    """tpch_q6's three predicates must all push into the parquet scan, and
+    the scan must read only the four touched columns."""
+    plan = _formatted(spark, "tpch_q6_forecast_revenue", sf_small)
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({f})" in plan or f in plan.split("PushedFilters")[1].split("]")[0], plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q7_broadcasts_nation_dims(spark, sf_small):
+    """tpch_q7's two nation dims must be BroadcastHashJoins; the fact⋈fact
+    joins may shuffle, but no nested-loop/cartesian on the keyed path."""
+    plan = _executed_plan(spark, "tpch_q7_volume_shipping", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_and_zscore_broadcast_stats(spark, sf_small):
+    """The tiny per-group stats tables (fences / mu+sigma) must come back
+    as broadcast joins, never a shuffle join against the base."""
+    for qid in ("quality_outlier_iqr", "events_anomaly_zscore"):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "BroadcastHashJoin" in plan, (qid, plan)
+
+
+def test_pii_scrub_stays_jvm_side(spark, sf_small):
+    """Regex scrubbing must not plan Python evaluation — the corpus never
+    crosses into Python workers for PII redaction."""
+    plan = _executed_plan(spark, "text_pii_scrub", sf_small)
+    assert "EvalPython" not in plan
