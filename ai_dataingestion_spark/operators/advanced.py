@@ -851,3 +851,141 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+_CHUNK_LEN = 32    # tokens per chunk
+_CHUNK_STRIDE = 24 # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                                  i * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')
+         AS chunk_text_arr,
+       len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {_CHUNK_LEN})) AS n_tokens
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         unnest(range(0, CAST(floor((len(string_split(text, ' ')) - 1)
+                                    / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+  FROM documents
+)
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (context-window prep for training /
+    RAG): 32-token chunks every 24 tokens, one row per (doc, chunk) with
+    its token count. Pure expression work — sequence + slice + explode, no
+    Python; the fan-out is bounded by ceil(len/stride) and each output row
+    carries only its own slice, so shuffle volume ≈ corpus size × (1 +
+    overlap fraction)."""
+    d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    chunk_ids = F.sequence(
+        F.lit(0),
+        F.floor((F.size("toks") - 1) / _CHUNK_STRIDE).cast("bigint"),
+    )
+    return (
+        d.select("doc_id", "toks", F.explode(chunk_ids).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "toks",
+                    (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+                    _CHUNK_LEN,
+                ),
+                " ",
+            ).alias("chunk_text_arr"),
+            F.size(
+                F.slice(
+                    "toks",
+                    (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+                    _CHUNK_LEN,
+                )
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "split_train_eval",
+    oracle="""
+SELECT doc_id, bucket_hex,
+       CASE WHEN bucket_hex BETWEEN '0' AND 'b' THEN 'train'
+            WHEN bucket_hex BETWEEN 'c' AND 'd' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, substring(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 1)
+           AS bucket_hex
+  FROM documents
+)
+""",
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free key hashing
+    (md5 of the salted id — identical hex on every engine and every run,
+    unlike seeded sampling, which is not reproducible across engines or
+    partitionings): first hex nibble → 12/2/2 train/val/test. This is how
+    training pipelines split at 100 TB — stable under re-runs, joins, and
+    repartitioning, and a document's split never changes when the corpus
+    grows."""
+    d = Tables(spark, sf_dir).documents
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket_hex"),
+        F.when(bucket.between("0", "b"), "train")
+        .when(bucket.between("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_JOIN_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id % 25 END AS nk,
+         value
+  FROM events
+)
+SELECT n.n_name, count(*) AS n, round(avg(f.value), 6) AS avg_value
+FROM fact f JOIN nation n ON f.nk = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join for a skewed key (half the fact lands on one key by
+    construction): the fact side adds salt = event_id % 8, the dim side is
+    replicated across all 8 salts, and the join key becomes (key, salt) —
+    splitting the hot key's partition 8 ways. This is the manual fallback
+    when AQE skew-join can't see the skew (e.g. the hot key emerges from an
+    expression, as here). The result is provably identical to the unsalted
+    join, which is exactly what the oracle runs."""
+    t = Tables(spark, sf_dir)
+    fact = t.events.select(
+        F.when(F.col("user_id") % 10 < 5, 0)
+        .otherwise(F.col("user_id") % 25)
+        .alias("nk"),
+        "value",
+        (F.col("event_id") % _JOIN_SALTS).alias("salt"),
+    )
+    dim = t.nation.select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1))))
+    return (
+        fact.join(dim, ["nk", "salt"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
