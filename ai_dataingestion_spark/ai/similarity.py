@@ -109,8 +109,13 @@ def _probe_matrix(spark: SparkSession, sf_dir: str):
             key=lambda r: r.vec_id,
         )
         pids = np.array([r.vec_id for r in rows], dtype="int64")
-        P = np.array([r.embedding for r in rows], dtype="float64")
-        _probe_cache[key] = (pids, P / np.sqrt((P * P).sum(axis=1, keepdims=True)))
+        # empty corpus: a (0, dim) matrix keeps every downstream matmul
+        # shape-valid instead of crashing on a ragged empty stack
+        P = np.array(
+            [r.embedding for r in rows], dtype="float64"
+        ).reshape(len(rows), -1 if rows else EMBEDDING_DIM)
+        norm = np.sqrt((P * P).sum(axis=1, keepdims=True))
+        _probe_cache[key] = (pids, P / np.where(norm == 0, 1.0, norm))
     return _probe_cache[key]
 
 
@@ -161,6 +166,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf) or not len(pids):  # empty batch or no probes
+                continue
             B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
             C = Bn @ Pn.T  # (n_batch, n_probes)
@@ -414,11 +421,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    if not cent_rows:  # empty corpus: no centroids, no neighbors
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, cos double, rn int"
+        )
     C = np.array([r.embedding for r in cent_rows], dtype="float64")
     Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
             yield pd.DataFrame(

@@ -106,7 +106,10 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("l_returnflag")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema: a zero-row write leaves no data files, and schema
+    # inference over an empty partitioned dir fails; partition columns are
+    # still resolved from the directory names when files do exist
+    back = spark.read.schema(li.schema).parquet(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),

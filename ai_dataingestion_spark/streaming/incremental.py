@@ -335,8 +335,9 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .outputMode("append")
         )
+    # explicit schema: a quiet window writes zero files and inference fails
     return (
-        spark.read.parquet(out)
+        spark.read.schema(_RAW_EVENTS_DDL).parquet(out)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -391,8 +392,9 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", ckpt)
     )
+    # explicit schema: a quiet window writes zero files and inference fails
     return (
-        spark.read.parquet(out)
+        spark.read.schema(_RAW_EVENTS_DDL).parquet(out)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1,0 +1,40 @@
+"""Robustness sweep: every registered operator must run (not crash) on an
+EMPTY corpus — zero-row tables with the production schemas. At 100 TB,
+empty inputs are routine (a partition-pruned read, a filter matching
+nothing, a quiet ingestion window); an operator that throws on zero rows is
+a real bug, not an edge case."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ai_dataingestion_spark.catalog import all_specs
+from ai_dataingestion_spark.registry import (
+    SCHEMAS,
+    TABLE_NAMES,
+    _EVENTS_RAW_SCHEMA,
+)
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A corpus directory whose 10 tables all exist with 0 rows (events in
+    its raw on-disk form: int64 nanos ts, as the generator writes it)."""
+    root = tmp_path_factory.mktemp("sf_empty")
+    for name in TABLE_NAMES:
+        schema = _EVENTS_RAW_SCHEMA if name == "events" else SCHEMAS[name]
+        df = spark.createDataFrame([], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(root), f"{name}.parquet")
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize("qid", sorted(SPECS))
+def test_runs_on_empty_corpus(spark, empty_sf, qid):
+    df = SPECS[qid].fn(spark, empty_sf)
+    assert df.count() >= 0
