@@ -317,9 +317,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(3 * F.col("n_common") >= F.col("sz1") + F.col("sz2"))
         .select("id1", "id2")
     )
+    # shuffle_hash hints: the shingle-ARRAY relation must never broadcast —
+    # Catalyst's size estimate sees a narrow projection of the cached table
+    # and under-counts the arrays (measured at 10x sf0.1: a driver-OOM
+    # broadcast build). Array-carrying join sides get an explicit
+    # shuffle-hash strategy; the int-only joins above stay estimator-driven.
     s1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
-    survivors = prefiltered.join(s1, "id1").join(s2, "id2")
+    survivors = (
+        prefiltered.join(s1.hint("shuffle_hash"), "id1")
+        .join(s2.hint("shuffle_hash"), "id2")
+    )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     return (

@@ -46,7 +46,15 @@ def session_builder(
     if master:
         b = b.master(master)
     return (
-        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local mode runs every task inside the driver JVM; the 1g default
+        # heap OOMs on any broadcast build beyond toy scale (measured at
+        # 10x sf0.1). Only effective at JVM launch — a no-op when the
+        # driver hands us an already-started session.
+        b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
