@@ -989,3 +989,276 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+SELECT vec_id,
+       round(max_abs, 9) AS max_abs,
+       q_head, q_sum,
+       round(rmse, 6) AS rmse
+FROM (
+  SELECT vec_id, max_abs,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 127.0 / max_abs) AS BIGINT)
+           AS q_head,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT)))
+           AS BIGINT) AS q_sum,
+         sqrt(list_sum(list_transform(embedding,
+              x -> (CAST(x AS DOUBLE)
+                    - round(CAST(x AS DOUBLE) * 127.0 / max_abs)
+                      * max_abs / 127.0)
+                   * (CAST(x AS DOUBLE)
+                      - round(CAST(x AS DOUBLE) * 127.0 / max_abs)
+                        * max_abs / 127.0))) / len(embedding)) AS rmse
+  FROM (
+    SELECT vec_id, embedding,
+           nullif(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))), 0) AS max_abs
+    FROM embeddings
+  )
+)
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (the vector-storage
+    compression every 100 TB ANN index does — 4x smaller than float32):
+    per-vector absmax scale, q = round(x·127/absmax), summarized as exact
+    integer checksums (q_head, q_sum — engine-exact) plus the
+    reconstruction RMSE. Expression-only; at corpus scale the same math
+    runs as one numpy pass per Arrow batch, but the semantics — and the
+    oracle — are these."""
+    e = Tables(spark, sf_dir).embeddings
+    x = lambda c: c.cast("double")  # noqa: E731
+    max_abs = F.nullif(
+        F.array_max(F.transform("embedding", lambda v: F.abs(x(v)))),
+        F.lit(0.0),
+    )
+    d = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    q = lambda v: F.round(x(v) * 127.0 / F.col("max_abs"), 0)  # noqa: E731
+    return d.select(
+        "vec_id",
+        F.round("max_abs", 9).alias("max_abs"),
+        q(F.element_at("embedding", 1)).cast("bigint").alias("q_head"),
+        F.aggregate(
+            F.transform("embedding", lambda v: q(v).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_sum"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        # square by self-multiplication, NOT pow(r, 2):
+                        # libm pow introduces 1-ulp drift between engines
+                        lambda v: (x(v) - q(v) * F.col("max_abs") / 127.0)
+                        * (x(v) - q(v) * F.col("max_abs") / 127.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("embedding")
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+total AS (SELECT count(*) AS t FROM toks)
+SELECT doc_id,
+       round(avg(-ln(CAST(v.c AS DOUBLE) / total.t)), 6) AS avg_neg_logprob,
+       count(*) AS n_tokens
+FROM toks JOIN vocab v USING (token) CROSS JOIN total
+GROUP BY doc_id
+""",
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal score per document (a perplexity proxy — the
+    cheap corpus-fit signal quality filters use before any model scoring):
+    avg over the doc's tokens of -ln(corpus unigram probability). One
+    explode; the vocabulary aggregate is map-side combined and joined back
+    broadcast (vocabulary ≪ corpus at every scale); per-doc aggregation is
+    the only wide shuffle."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "tpch_q4_late_orders",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS-correlated subquery
+    — Catalyst decorrelates it into a LEFT SEMI join on l_orderkey with the
+    cross-relation ship-lag predicate evaluated inside the join condition.
+    The corpus lineitem has no commit/receipt dates, so 'late' is shipped
+    more than 60 days after the order date. One shuffle (semi join keys),
+    then a 5-group agg."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = t.lineitem
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_priority_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split; the corpus carries no
+    l_shipmode, so the grouping key is l_returnflag): fact-to-fact join with
+    the year filter pushed into the lineitem scan, then conditional CASE
+    sums — the map-side-combinable 'pivot a flag into two counts' idiom."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    an extra non-equi predicate on the join (status filter must NOT drop
+    customers — the zero-order bucket is the point), double aggregation:
+    per-customer count, then histogram of counts. count(o_orderkey) counts
+    only matched rows, so no-order customers land in c_count = 0."""
+    t = Tables(spark, sf_dir)
+    joined = t.customer.join(
+        t.orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderstatus") != "F"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS order_epoch_us,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as the
+    probe side — the per-order quantity rollup shrinks lineitem ~7x before
+    any join, the tiny survivor set then joins orders and customer (both
+    joins broadcast the survivor side at every scale: the >250 filter is
+    ~1%-selective). Quantities are small integers, exact in double, so the
+    sum is order-insensitive. Order date exported as epoch-µs (timestamp
+    string forms differ between engines)."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        t.orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_epoch_us"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
