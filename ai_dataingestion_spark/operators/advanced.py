@@ -1262,3 +1262,331 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "text_contamination_ngram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         substring(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 1) AS b
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, b,
+         unnest(list_transform(range(1, len(t) - 5 + 2),
+                i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks WHERE len(t) >= 5
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE b >= 'e'),
+tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE b < 'e')
+SELECT tr.doc_id, count(*) AS n_hit_grams
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+ORDER BY n_hit_grams DESC, tr.doc_id
+""",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the screen every training corpus runs
+    before an eval release): 5-gram overlap between the train split and the
+    held-out split (same deterministic md5-nibble split as
+    `split_train_eval`). The eval gram set is distinct-deduped and — being
+    orders of magnitude smaller than the corpus at every scale — broadcast
+    into the probe join; train docs are scored by how many of their
+    distinct 5-grams appear verbatim in eval. Expression-only gram
+    generation (sequence + slice + array_join), no Python."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split("text", " ")
+    grams = (
+        # filter BEFORE sequence(): Spark's sequence(1, n) with n < 1 is a
+        # DESCENDING sequence, not empty — short docs must never reach it
+        d.filter(F.size(t) >= 5).select(
+            "doc_id",
+            F.substring(
+                F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ).alias("b"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 4),
+                    lambda i: F.array_join(F.slice(t, i, 5), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    ev = grams.filter(F.col("b") >= "e").select("g").distinct()
+    tr = grams.filter(F.col("b") < "e").select("doc_id", "g").distinct()
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         max(c) AS top_tok
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1])) AS bg
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bi_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, n_tokens,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+       round(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_token_share,
+       round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_share
+FROM tok_stats t JOIN bi_stats USING (doc_id)
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens: per-doc distinct-token ratio, most-
+    frequent-token share, and most-frequent-bigram share — the cheap
+    signals that catch boilerplate/spam before any model-based scoring.
+    Two explode→two-level-aggregate passes (token, bigram), joined on
+    doc_id; every ratio is a quotient (engine-safe at any rounding)."""
+    d = Tables(spark, sf_dir).documents
+    t = F.split("text", " ")
+    toks = d.select("doc_id", F.explode(t).alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bi = d.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bi_counts = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    x = lambda c: F.col(c).cast("double")  # noqa: E731
+    return tok_stats.join(bi_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(x("n_distinct") / x("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(x("top_tok") / x("n_tokens"), 6).alias("top_token_share"),
+        F.round(x("top_bigram") / x("n_bigrams"), 6).alias("top_bigram_share"),
+    )
+
+
+@register(
+    "dedup_normalized_text",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         upper(replace(text, ' ', '  ')) || ' !!'
+  FROM documents WHERE doc_id % 4 = 0
+),
+norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_digest
+  FROM corpus
+)
+SELECT norm_digest, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM norm
+GROUP BY norm_digest
+HAVING count(*) > 1
+ORDER BY n_docs DESC, norm_digest
+""",
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (the 'fuzzy-exact' stage between byte-exact
+    and MinHash in every corpus pipeline): lowercase → strip non-
+    alphanumerics → collapse whitespace → trim, then group by the md5 of
+    the canonical form. The fixture unions in noised copies of every 4th
+    doc (upper-case, doubled spaces, trailing punctuation) that byte-exact
+    dedup would MISS — each must land in its original's group. Uniform
+    digest keys shuffle evenly at any scale; the keeper is the minimum
+    doc_id, deterministically."""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    noised = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace("text", " ", "  ")), F.lit(" !!")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(noised)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        corpus.select("doc_id", F.md5(canon).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_frac
+FROM (
+  SELECT source,
+         substring(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 1)
+           < (CASE WHEN source IN ('src0','src1','src2','src3')
+                   THEN '8' ELSE '2' END) AS kept
+  FROM documents
+)
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing control: up-sample
+    head domains at 8/16, tail at 2/16): keep a row iff the first md5
+    nibble of its salted id clears the per-stratum threshold. Hash-based,
+    so the sample is stable under re-runs, repartitioning, and engine
+    choice — unlike rand()-based sampling. Pure map-side until the audit
+    aggregate."""
+    d = Tables(spark, sf_dir).documents
+    nib = F.substring(
+        F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    thr = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit("8")
+    ).otherwise(F.lit("2"))
+    kept = (nib < thr).cast("int")
+    return (
+        d.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(
+                F.sum("kept").cast("double") / F.count(F.lit(1)), 6
+            ).alias("kept_frac"),
+        )
+    )
+
+
+@register(
+    "pack_context_windows",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+           AS window_id
+  FROM sized
+)
+SELECT source, window_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY source, window_id
+ORDER BY source, window_id
+""",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (greedy sequential fill used to batch docs
+    into fixed token budgets for training): within each source, docs in
+    doc_id order are assigned to a window by the running token count
+    before the doc, quantized at 512 tokens. One window cumsum per
+    source partition — at corpus scale each source shard packs
+    independently, so the partition key IS the parallelism."""
+    d = Tables(spark, sf_dir).documents
+    sized = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "window_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+    )
+    return packed.groupBy("source", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+SELECT user_id, event_type AS mode_type, c AS mode_count
+FROM (
+  SELECT user_id, event_type, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rn
+  FROM (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY user_id, event_type
+  )
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break (count
+    desc, then value asc): two-level aggregate then a 1-row-per-group
+    window — the shuffle on user_id is reused by both steps, and the
+    count pre-aggregation map-side-combines before anything wide."""
+    e = Tables(spark, sf_dir).events
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("c").alias("mode_count"),
+        )
+    )
