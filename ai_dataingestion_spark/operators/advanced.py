@@ -1590,3 +1590,170 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("mode_count"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH win AS (
+  SELECT o_orderkey, o_custkey, o_orderdate AS s,
+         o_orderdate + INTERVAL 14 DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, count(*) AS n_overlap_pairs
+FROM win a JOIN win b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.o_custkey
+ORDER BY n_overlap_pairs DESC, custkey
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (temporal conflict detection): count
+    pairs of the same customer's 14-day order windows that overlap. The
+    join is an EQUI-join on the entity key with the overlap predicate
+    evaluated inside the join — never a cartesian: per-key groups are
+    small (order count per customer), so the pair space is Σ group², not
+    n². At 100 TB the same plan holds because the entity key is the
+    shuffle key; a time-bucket explode would be layered on only if single
+    keys grew pathological (the salting playbook, join_salted_skew)."""
+    o = Tables(spark, sf_dir).orders
+    win = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    a, b = win.alias("a"), win.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
+    )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, rn_all - rn_type AS grp, count(*) AS run_len
+  FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT user_id, count(*) AS n_islands, max(run_len) AS longest_run
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (consecutive same-type event runs per user) via the
+    classic two-row_number difference: both windows partition by user, so
+    ONE shuffle on user_id feeds both rankings, the island grouping, and
+    the final per-user rollup. Deterministic ordering ties broken by
+    event_id."""
+    e = Tables(spark, sf_dir).events
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    islands = seq.groupBy(
+        "user_id", "event_type", (F.col("rn_all") - F.col("rn_type")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("run_len"))
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+    )
+
+
+@register(
+    "quality_domain_cap",
+    oracle="""
+SELECT source, doc_id, n_chars, rnk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= 10
+ORDER BY source, rnk
+""",
+)
+def quality_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (domain balancing — stops a single crawl
+    domain from dominating the training mix): keep the top 10 docs per
+    source by length with a deterministic tie-break. One shuffle on
+    source; at corpus scale the window is the standard top-k-per-group
+    plan (partial top-k map-side under AQE)."""
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+per_doc AS (
+  SELECT first_doc AS doc_id, count(*) AS n_new
+  FROM firsts GROUP BY first_doc
+)
+SELECT doc_id, n_new,
+       CAST(sum(n_new) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law diagnostic — how fast the corpus
+    stops yielding new tokens, a saturation signal for data collection):
+    each token is attributed to the first doc that introduces it
+    (min(doc_id) per token — a uniform-key aggregate), then a running sum
+    over doc order. The cumsum's single-partition window runs over the
+    ALREADY-AGGREGATED per-doc relation (≤ one row per doc introducing
+    anything new — vanishingly small next to the token relation), so the
+    narrow final window is not the bottleneck at any scale."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_doc.select(
+        "doc_id", "n_new", F.sum("n_new").over(w).alias("vocab_size")
+    )
