@@ -203,3 +203,57 @@ def test_pii_scrub_stays_jvm_side(spark, sf_small):
     crosses into Python workers for PII redaction."""
     plan = _executed_plan(spark, "text_pii_scrub", sf_small)
     assert "EvalPython" not in plan
+
+
+def test_q18_survivor_side_broadcast(spark, sf_small):
+    """tpch_q18's HAVING-filtered rollup is ~1%-selective, so both its
+    joins must be broadcast — a sort-merge join would shuffle orders and
+    customer for a survivor set of a few hundred rows."""
+    plan = _executed_plan(spark, "tpch_q18_large_orders", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_plans_left_semi(spark, sf_small):
+    """tpch_q4's EXISTS must stay a LEFT SEMI join (no row multiplication
+    from multi-lineitem orders) with the ship-lag predicate evaluated
+    inside the join, never post-join."""
+    plan = _executed_plan(spark, "tpch_q4_late_orders", sf_small)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_eval_grams_broadcast(spark, sf_small):
+    """text_contamination_ngram probes the train grams against the eval
+    gram set; eval is orders of magnitude smaller and must be the broadcast
+    side — shuffling the full train gram relation against it would be the
+    100 TB bottleneck."""
+    plan = _executed_plan(spark, "text_contamination_ngram", sf_small)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_is_keyed_not_cartesian(spark, sf_small):
+    """join_interval_overlap must plan as an equi-join on the entity key
+    with the overlap predicate as a residual — BroadcastNestedLoopJoin or
+    CartesianProduct here is the O(n²) failure the operator exists to
+    avoid."""
+    plan = _executed_plan(spark, "join_interval_overlap", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_islands_single_shuffle(spark, sf_small):
+    """Both row_number windows, the island grouping, and the per-user
+    rollup partition by user_id (the second window adds event_type, a
+    strict refinement) — the plan must contain exactly one exchange."""
+    plan = _executed_plan(spark, "win_gaps_islands", sf_small)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_perplexity_vocab_broadcast(spark, sf_small):
+    """text_perplexity_proxy joins tokens back to the vocabulary aggregate;
+    the vocabulary (distinct tokens) is ≪ the token relation at every scale
+    and must be the broadcast side."""
+    plan = _executed_plan(spark, "text_perplexity_proxy", sf_small)
+    assert "BroadcastHashJoin" in plan
