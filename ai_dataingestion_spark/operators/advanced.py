@@ -1757,3 +1757,69 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_new", F.sum("n_new").over(w).alias("vocab_size")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, pu.event_id AS purchase_id,
+       epoch_us(pu.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events pu
+  ON c.user_id = pu.user_id
+ AND c.event_type = 'click' AND pu.event_type = 'purchase'
+ AND pu.ts >= c.ts AND pu.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY c.user_id, click_id, purchase_id
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution — the last
+    first-class Structured Streaming topology the suite didn't cover): two
+    watermarked event streams joined on user_id with an event-time range
+    condition. The time bound + both watermarks let Spark EVICT click
+    state once the purchase-side watermark passes click.ts + 1 hour — the
+    state-bounding contract that makes stream-stream joins viable at
+    100 TB (without it, the join buffers a stream forever).
+
+    The 2-hour watermark delay strictly dominates the 1-hour join window
+    plus batch skew on the ts-ordered drops, so no valid pair is ever
+    dropped and the append output equals the batch join exactly."""
+    from ai_dataingestion_spark.streaming.incremental import (
+        _memory_query_name,
+        _read_stream,
+        _run_available_now,
+        stage_event_files,
+    )
+
+    staging = stage_event_files(spark, sf_dir, n_files=3)
+    name = _memory_query_name()
+
+    def side(event_type: str, prefix: str):
+        return (
+            _read_stream(spark, staging)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    pairs = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    _run_available_now(
+        pairs.writeStream.format("memory").queryName(name).outputMode("append")
+    )
+    return spark.table(name).select(
+        F.col("click_user").alias("user_id"),
+        F.col("click_id"),
+        F.col("purchase_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )
