@@ -23,14 +23,20 @@ from ai_dataingestion_spark.registry import Tables
 
 def _dec_sum(col):
     """Engine-exact money-product sum: DECIMAL(20,6) accumulation (summation
-    order can flip a rounded 2-dp digit in plain double — measured)."""
-    return F.sum(col.cast("decimal(20,6)")).cast("double")
+    order can flip a rounded 2-dp digit in plain double — measured).
+
+    Returns the DECIMAL sum: callers round in the decimal domain (HALF_UP
+    in both engines, verified at exact .xx5 boundaries) and only THEN cast
+    to double — rounding after the double cast diverges between engines
+    when the exact sum lands on a half-cent boundary (measured:
+    lineitem_abc_pareto at sf0.01, two parts off by a cent each)."""
+    return F.sum(col.cast("decimal(20,6)"))
 
 
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE), 2)
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2) AS DOUBLE)
          AS revenue,
        count(*) AS n_lines
 FROM lineitem
@@ -51,9 +57,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-        ).alias("revenue"),
+        F.round(_dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -98,7 +102,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        year(l.l_shipdate) AS ship_year,
-       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE)
          AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
@@ -137,9 +141,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(
-                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).cast("double").alias("revenue")
         )
     )
 
@@ -1822,4 +1824,300 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
             "lag_us"
         ),
+    )
+
+
+@register(
+    "events_sessionize_batch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM seq
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       CAST(max(dur_us) AS BIGINT) AS max_session_dur_us
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with the 30-minute-gap rule (the offline twin
+    of `stream_session`'s session windows): flag session starts with lag,
+    running-sum the flags into session ids, then roll up per session and
+    per user. All four windows/aggregations partition by user_id — one
+    shuffle feeds the entire pipeline. Durations exported as epoch-µs
+    deltas (sub-second timestamps never cross engines as strings)."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.select(
+        "user_id", "ts", F.sum("is_new").over(cum).alias("session_id")
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_us").alias("max_session_dur_us"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         epoch_us(max(o_orderdate)) AS last_us,
+         count(*) AS freq,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey)    AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles — the
+    classic customer-value cube): one aggregate over orders, three ntile
+    rankings with deterministic tie-breaks, rolled up to segment counts.
+    The ntile windows are global but run over the per-customer AGGREGATE
+    (|customers| ≪ |orders|); at extreme cardinality the same scores come
+    from approx quantile cutpoints + a broadcast bin join. Monetary uses
+    decimal accumulation (2-dp-quantized money sums land exactly on round
+    boundaries otherwise — SURVEY §5.4)."""
+    o = Tables(spark, sf_dir).orders
+    rfm = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(_dec_sum(F.col("o_totalprice")), 2).cast("double").alias("monetary"),
+    )
+    def score(col: str) -> F.Column:
+        return F.ntile(4).over(
+            Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+        )
+    scored = rfm.select(
+        score("last_us").cast("bigint").alias("r_score"),
+        score("freq").cast("bigint").alias("f_score"),
+        score("monetary").cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "lineitem_abc_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+              WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue
+  FROM ranked
+)
+SELECT abc_class, count(*) AS n_parts,
+       CAST(round(sum(CAST(revenue AS DECIMAL(20,6))), 2) AS DOUBLE)
+         AS class_revenue
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (which parts carry 50/80% of revenue):
+    per-part revenue rollup, a descending cumulative share over the
+    aggregated relation, CASE into classes, re-aggregate. The global
+    cumsum window runs over per-part aggregates (20k rows per million
+    lineitems), not the fact table. Revenue is 2-dp-quantized money ×
+    discount — decimal accumulation on both engines, and the class
+    boundaries are revenue RATIOS (never on a rounding grid), so the
+    CASE is engine-stable."""
+    li = Tables(spark, sf_dir).lineitem
+    rev = li.groupBy("l_partkey").agg(
+        F.round(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).cast("double").alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)
+    classed = rev.select(
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "revenue",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(_dec_sum(F.col("revenue")), 2).cast("double").alias("class_revenue"),
+    )
+
+
+@register(
+    "embed_centroid_outliers",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim
+),
+dist AS (
+  SELECT d.vec_id, d.label,
+         round(sqrt(sum((d.v - c.c) * (d.v - c.c))), 6) AS dist
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.vec_id, d.label
+)
+SELECT label, vec_id, dist
+FROM (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rn
+  FROM dist
+)
+WHERE rn <= 5
+ORDER BY label, rn
+""",
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen (mislabeled/corrupt vector detection):
+    distance of every vector from its label centroid, top-5 per label.
+    Fully relational — posexplode to (vec, label, dim, value), centroid by
+    (label, dim), squared-diff re-aggregate by vec — so both engines run
+    the identical plan shape and no array math crosses the oracle
+    boundary. The (label, dim) centroid relation is tiny and broadcasts;
+    the top-5 is a WindowGroupLimit at scale.
+
+    DuckDB's avg() and Spark's partial-agg avg differ by summation order
+    only in the last ulp; distances are rounded at 6 dp (random
+    boundaries, engine-safe per SURVEY §5.4) and ranked by the ROUNDED
+    value with a vec_id tie-break, so rank flips cannot occur."""
+    e = Tables(spark, sf_dir).embeddings
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "v_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))),
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "dist")
+    )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar / OLS slope+intercept
+    — the profiling pass before any feature is trusted): all are
+    partial-aggregable moment sketches (sum, sum², sum·xy) that map-side
+    combine; corr and the regression terms are RATIOS of centered moments,
+    so cross-engine rounding is safe at the chosen precisions."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )

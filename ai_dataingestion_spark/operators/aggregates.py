@@ -22,10 +22,10 @@ SELECT
   l_linestatus,
   round(sum(l_quantity), 2)                                        AS sum_qty,
   round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                      AS DECIMAL(20,6))) AS DOUBLE), 2)            AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                      AS DECIMAL(20,6))) AS DOUBLE), 2)            AS sum_charge,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(20,6))), 2) AS DOUBLE)            AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(20,6))), 2) AS DOUBLE)            AS sum_charge,
   round(avg(l_quantity), 4)                                        AS avg_qty,
   round(avg(l_extendedprice), 4)                                   AS avg_price,
   round(avg(l_discount), 6)                                        AS avg_disc,
@@ -51,14 +51,10 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(disc_price.cast("decimal(20,6)")).cast("double"), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
+                F.sum(disc_price.cast("decimal(20,6)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(
                     (disc_price * (1 + F.col("l_tax"))).cast("decimal(20,6)")
-                ).cast("double"),
-                2,
-            ).alias("sum_charge"),
+                ), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

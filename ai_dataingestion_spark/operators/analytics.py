@@ -16,7 +16,7 @@ from ai_dataingestion_spark.registry import Tables
     "tpch_q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
        CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)          AS orderdate,
        o.o_orderpriority
 FROM customer c
@@ -45,14 +45,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
+            F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(20,6)"
                     )
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+                ), 2).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -69,7 +66,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     oracle="""
 SELECT n.n_name,
-       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -104,14 +101,11 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
+            F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(20,6)"
                     )
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+                ), 2).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -121,7 +115,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
        round(c.c_acctbal, 2) AS acctbal,
        n.n_name
 FROM customer c
@@ -153,14 +147,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(
+            F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(20,6)"
                     )
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+                ), 2).cast("double").alias("revenue")
         )
         .select(
             "c_custkey",

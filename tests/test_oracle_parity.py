@@ -44,7 +44,7 @@ def test_driver_window_rotation():
     from ai_dataingestion_spark.catalog import _DRIVER_CHECKED
 
     names = list(SPECS)
-    assert len(names) == 167  # 128 round-1 + 39 round-2 (§2.N)
+    assert len(names) == 172  # 128 round-1 + 44 round-2 (§2.N)
     window = names[:50]
     for n in window:
         assert n not in _DRIVER_CHECKED, f"{n} wastes a window slot (already green)"
