@@ -284,17 +284,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     # The index/self-join phase runs on xxhash64(shingle) — 8-byte shuffle
     # keys instead of ~30-byte shingle strings through the widest joins.
-    # A hash collision can only (a) merge two shingles' DF counts (DF cap
-    # is a heuristic bound — harmless) or (b) inflate a pair's n_common
-    # (prefilter keeps MORE, verify is exact) — final pairs are unaffected
-    # at any realistic corpus size, and the verify stage is still exact
-    # string-set Jaccard.
-    inv = docs.select("doc_id", F.explode("shingles").alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
-    )
+    # The DF cap is computed on the STRING shingle, not the hash: hashing
+    # first could merge two shingles' DF counts and push a truly-rare
+    # shingle over the cap, silently dropping a true J>=0.5 pair (~1e-8
+    # odds at test scale but expected at ~1e12 shingles / 100 TB; ADVICE
+    # r2). With a string-DF cap, a collision can only let a hot shingle
+    # ride a rare shingle's hash into the index — which ADDS candidates
+    # (bounded skew) that the exact string-set verify below removes. The
+    # one groupBy on strings is map-side-combined; every wide join still
+    # shuffles 8-byte keys.
+    shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     rare_hashes = (
-        inv.groupBy("h").count().filter(F.col("count") <= 50).select("h")
+        shingle_rows.groupBy("sh").count().filter(F.col("count") <= 50)
+        .select(F.xxhash64("sh").alias("h")).distinct()
     )
+    inv = shingle_rows.select("doc_id", F.xxhash64("sh").alias("h"))
     rare = inv.join(rare_hashes, "h")
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw

@@ -330,66 +330,129 @@ def _hyperplanes(n_planes: int = 6, dim: int = EMBEDDING_DIM) -> list[list[float
 
 
 _N_TABLES = 8
-_PLANES_PER_TABLE = 4
+_BITS_PER_TABLE = 6
+
+
+def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Deduplicated LSH candidate pairs (probe_id, vec_id) — the shared
+    candidate generator behind sim_ann_lsh, exposed so bench.py can report
+    the candidate-set size next to recall@5. Returns None on an empty
+    corpus (no probes).
+
+    Corpus side: one numpy matmul per Arrow batch computes all 8 table
+    buckets, exploded JVM-side. Probe side: buckets (exact + every
+    Hamming-distance-1 flip) are computed driver-side from the memoized
+    probe matrix and broadcast — 10 probes × 8 tables × 7 buckets."""
+    import numpy as np
+    import pandas as pd
+
+    e = Tables(spark, sf_dir).embeddings
+    P = np.array(_hyperplanes(_N_TABLES * _BITS_PER_TABLE), dtype="float64")
+    weights = (1 << np.arange(_BITS_PER_TABLE)).astype("int64")
+
+    def corpus_buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (B @ P.T) > 0  # (n, tables*bits)
+            bkts = (
+                bits.reshape(len(B), _N_TABLES, _BITS_PER_TABLE) @ weights
+            )  # (n, tables)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "buckets": list(bkts)})
+
+    sigs = e.select("vec_id", "embedding").mapInPandas(
+        corpus_buckets, "vec_id bigint, buckets array<bigint>"
+    )
+    corpus_tb = sigs.select(
+        "vec_id", F.posexplode("buckets").alias("tbl", "bkt")
+    )
+
+    pids, Pn = _probe_matrix(spark, sf_dir)
+    if not len(pids):
+        return None
+    pbits = (Pn @ P.T) > 0  # normalization preserves signs
+    pbkts = pbits.reshape(len(pids), _N_TABLES, _BITS_PER_TABLE) @ weights
+    probe_rows = [
+        (int(pid), t, int(b) ^ flip)
+        for pid, row in zip(pids, pbkts)
+        for t, b in enumerate(row)
+        for flip in [0] + [1 << i for i in range(_BITS_PER_TABLE)]
+    ]
+    probe_tb = spark.createDataFrame(
+        probe_rows, "probe_id bigint, tbl int, bkt bigint"
+    )
+
+    return (
+        corpus_tb.join(F.broadcast(probe_tb), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
 
 
 @register("sim_ann_lsh")  # rows-only: bucketing is engine-internal by design
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via multi-table random-hyperplane
-    LSH (Charikar 2002): 8 tables × 4 sign bits (OR-amplification — a pair
-    is a candidate if ANY table agrees on all 4 bits, lifting recall for
-    moderate-angle neighbors from ~5% single-table to ~70%); exact cosine +
-    rank on the deduplicated candidates only.
+    LSH (Charikar 2002) with probe-side multiprobe (Lv et al. 2007): 8
+    tables × 6 sign bits; a probe queries its exact bucket PLUS the 6
+    Hamming-distance-1 buckets in every table.
 
-    This is the ANN scale path: the full cross product of sim_cosine_topk is
-    replaced by an equality join on (table, bucket) whose fan-in AQE can
-    see. Recall vs the brute-force baseline is asserted in tests/test_ai.py.
+    Why this shape (vs the round-2 8×4 exact-bucket variant, recall@5 0.68):
+    multiprobe fans out only the PROBE side — 10 probes × 8 tables × 7
+    buckets = 560 broadcast rows — while the corpus side still emits exactly
+    one (table, bucket) row per table per vector. Distance-1 probing lifts
+    per-table hit prob for a neighbor at angle θ (p = 1-θ/π) from p⁶ to
+    p⁶ + 6p⁵(1-p), OR-amplified across the 8 tables. Parameters were chosen
+    by measured sweep at sf0.01 (see BENCH history): this corpus is RANDOM
+    64-dim noise, so true top-5 neighbors sit at cos ≈ 0.3 (p ≈ 0.6) and
+    recall ≥ 0.9 inherently requires touching ~60% of the corpus; 8×6×mp1
+    is the cheapest config that clears 0.9 (measured 0.96 vs 8×8 exact+mp1
+    0.56, 16×8 mp1 0.82). On real clustered embeddings (neighbor cos ≥ 0.8,
+    p ≥ 0.8) the identical config prunes to a few percent — the candidate
+    fraction, not the recall, is what scales down with data quality.
+
+    Signatures are one numpy matmul per Arrow batch ((n,dim) @ (dim,48) —
+    the previous 32 per-row HOF dot products were the measured slow path);
+    the embedding ships across Arrow once, buckets explode JVM-side.
+    Candidate pair ids are deduplicated BEFORE re-attaching embeddings, so
+    the distinct never shuffles array columns. At 100 TB the candidate-id
+    set for a bounded probe set stays broadcast-sized, so the corpus-side
+    join is shuffle-free. Recall vs brute force is asserted in
+    tests/test_ai.py; recall AND candidate-set size are reported per-round
+    in BENCH_r{N}.json.
     """
-    e = Tables(spark, sf_dir).embeddings
-    planes = _hyperplanes(_N_TABLES * _PLANES_PER_TABLE)
-    table_buckets = []
-    for t in range(_N_TABLES):
-        bucket = F.lit(0)
-        for i in range(_PLANES_PER_TABLE):
-            plane = planes[t * _PLANES_PER_TABLE + i]
-            lit_plane = F.array(*[F.lit(v) for v in plane])
-            bucket = bucket + (_dot(F.col("embedding"), lit_plane) > 0).cast(
-                "long"
-            ) * (1 << i)
-        table_buckets.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt"))
-        )
-    signed = e.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.array(*table_buckets)).alias("tb"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bkt").alias("bkt"),
-    )
+    import numpy as np
+    import pandas as pd
 
-    probes = signed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        "tbl",
-        "bkt",
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(signed, ["tbl", "bkt"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
-        .distinct()
-    )
-    scored = cand.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            _dot(F.col("pe"), F.col("embedding"))
-            / (_norm(F.col("pe")) * _norm(F.col("embedding")))
-        ).alias("cos"),
+    e = Tables(spark, sf_dir).embeddings
+    pids, Pn = _probe_matrix(spark, sf_dir)
+    cand_ids = lsh_candidate_ids(spark, sf_dir)
+    if cand_ids is None:  # empty corpus: no probes, no neighbors
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, cos double, rn int"
+        )
+    cand = e.select("vec_id", "embedding").join(F.broadcast(cand_ids), "vec_id")
+
+    pid_to_row = {int(p): i for i, p in enumerate(pids)}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
+            rows = np.array([pid_to_row[p] for p in pdf["probe_id"]])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cos": np.round((Bn * Pn[rows]).sum(axis=1), 9),
+                }
+            )
+
+    scored = cand.select("probe_id", "vec_id", "embedding").mapInPandas(
+        score, "probe_id bigint, neighbor_id bigint, cos double"
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -169,7 +169,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        count(*)                                   AS n_docs,
-       sum(n_chars)                               AS total_chars,
+       CAST(sum(n_chars) AS BIGINT)               AS total_chars,
        round(avg(n_chars), 4)                     AS avg_chars,
        round(quantile_cont(n_chars, 0.5), 4)      AS median_chars
 FROM documents

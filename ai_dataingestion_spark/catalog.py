@@ -45,15 +45,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Operators the round-1 driver sweep already verified green (CORRECTNESS_r01:
-# 49 hash-green + agg_approx_distinct rows-only). The driver caps its oracle
-# sweep at the FIRST 50 entries of queries() per round, so registration order
-# is the coverage rotation knob: not-yet-driver-checked operators must come
-# first to earn their green rows. Oracle-backed ones outrank rows-only ones
-# (a hash row is stronger evidence than a rows-only row). Rotate this set
-# forward each round as CORRECTNESS_r{N}.json accumulates coverage.
+# Operators earlier driver sweeps already verified green (CORRECTNESS_r01:
+# 49 hash-green + agg_approx_distinct rows-only; CORRECTNESS_r02: 49
+# hash-green — text_lang_stats is deliberately NOT here: its r2 hash-FAIL was
+# an oracle HUGEINT cast bug, fixed in ai/text.py, and it must re-enter the
+# window for its green row). The driver caps its oracle sweep at the FIRST 50
+# entries of queries() per round, so registration order is the coverage
+# rotation knob: not-yet-driver-checked operators must come first to earn
+# their green rows. Oracle-backed ones outrank rows-only ones (a hash row is
+# stronger evidence than a rows-only row). Rotate this set forward each round
+# as CORRECTNESS_r{N}.json accumulates coverage.
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     {
+        # --- round 1 green ---
         "agg_groupby", "agg_global", "agg_distinct", "agg_approx_distinct",
         "agg_having", "agg_rollup", "agg_cube", "agg_grouping_sets",
         "agg_percentile", "agg_stats", "agg_collect", "agg_conditional",
@@ -68,6 +72,20 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "filter_pred", "filter_like_regex", "distinct_rows", "set_union_all",
         "set_union_distinct", "set_intersect", "set_except", "sort_multi",
         "topk_global",
+        # --- round 2 green ---
+        "dedup_exact", "dedup_ngram_jaccard", "embed_normalize", "fn_array",
+        "fn_array_hof", "fn_bitwise", "fn_cond", "fn_date", "fn_hash",
+        "fn_json", "fn_map", "fn_math", "fn_null_semantics", "fn_regex",
+        "fn_string", "fn_string_parts", "fn_struct_array", "fn_timestamp",
+        "fn_trig", "limit_offset", "multimodal_binary_features",
+        "multimodal_join", "sentiment_lexicon", "sim_cosine_topk",
+        "sim_knn_label", "sim_pair_dedup", "text_clean", "text_langid",
+        "text_ngrams", "text_quality_filter", "text_quality_score",
+        "text_stopwords", "text_tfidf", "text_token_count", "text_tokenize",
+        "udf_grouped_map", "udf_map_in_pandas", "udf_pandas_agg",
+        "udf_pandas_scalar", "udf_python", "win_first_last",
+        "win_lag_default", "win_lag_lead", "win_moving", "win_moving_range",
+        "win_ntile_dist", "win_rank", "win_running", "win_topk_group",
     }
 )
 

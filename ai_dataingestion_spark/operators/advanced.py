@@ -1831,7 +1831,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize_batch",
     oracle="""
 WITH seq AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
@@ -1841,8 +1841,11 @@ WITH seq AS (
   FROM events
 ),
 sess AS (
+  -- event_id tiebreak matches the Spark cum window: with duplicate
+  -- (user_id, ts) rows a ts-only ROWS frame would make the cumsum order
+  -- nondeterministic (ADVICE r2)
   SELECT user_id, ts,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM seq
 ),

@@ -116,7 +116,21 @@ def _build_bucket_table(spark: SparkSession, tab: str, df: DataFrame, key: str) 
     from urllib.parse import urlparse
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # Only reclaim temp dirs whose owner pid is dead: a blanket {tab}_w*
+    # sweep would clobber another live process's mid-write temp when two
+    # runs share a warehouse (ADVICE r2). Crashed runs' leftovers still get
+    # reaped (their pid no longer exists); os.kill(pid, 0) probes liveness.
     for stale in glob.glob(f"{warehouse}/{tab}_w*"):
+        pid_part = stale.rsplit("_w", 1)[-1]
+        try:
+            os.kill(int(pid_part), 0)
+            continue  # owner alive: leave its in-progress write alone
+        except ValueError:
+            pass  # malformed suffix: not one of ours? still stale — reap
+        except ProcessLookupError:
+            pass  # owner dead: stale — reap
+        except PermissionError:
+            continue  # pid exists under another uid: treat as alive
         shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{tab}_w{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")

@@ -144,7 +144,7 @@ deduped AS (
 )
 SELECT lang, count(*) AS n_docs,
        count(DISTINCT sha256(text)) AS n_unique,
-       sum(len(string_split(text, ' '))) AS total_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM deduped
 GROUP BY lang
 """,

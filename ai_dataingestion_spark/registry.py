@@ -181,6 +181,12 @@ def warm_tables(
         n_partitions = max(4, spark.sparkContext.defaultParallelism // 2)
     key_sf = sf_dir.rstrip("/")
     sess = _session_key(spark)
+    # Evict entries owned by OTHER (dead) sessions: repeated session
+    # restarts in one Python process would otherwise accumulate DataFrame
+    # handles (and their plan objects) unboundedly (ADVICE r2). At most one
+    # session's tables are warm at a time.
+    for k in [k for k in _warm_cache if k[0] != sess]:
+        del _warm_cache[k]
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name).repartition(n_partitions).cache()
         df.count()  # materialize

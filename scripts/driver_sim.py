@@ -30,10 +30,13 @@ TABLES = (
 
 
 def norm_cell(v):
+    # Type-strict on int-vs-float (mirrors tests/parity.py): the driver's
+    # value hash distinguishes int64 from float64, so 1234 vs 1234.0 must
+    # fail here too (the round-2 text_lang_stats HUGEINT trap).
     if v is None:
         return None
     if isinstance(v, float):
-        return None if math.isnan(v) else v
+        return ("f", "nan") if math.isnan(v) else ("f", v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if isinstance(v, datetime):
@@ -41,7 +44,7 @@ def norm_cell(v):
     if isinstance(v, np.ndarray):
         return tuple(norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):
-        return v.item()
+        return norm_cell(v.item())
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v

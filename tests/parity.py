@@ -29,13 +29,21 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    Type-strict on the int-vs-float axis: the driver's value hash is
+    type-sensitive, so ``1234`` (Spark int64) vs ``1234.0`` (DuckDB HUGEINT
+    materialized as float64) must FAIL here the way it fails there — Python's
+    ``1234 == 1234.0`` being True is exactly how the round-2
+    ``text_lang_stats`` oracle bug slipped past this harness (VERDICT r2 §2).
+    Floats are tagged ``("f", value)`` so they never compare equal to ints.
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return None
-        return v
+            return ("f", "nan")
+        return ("f", v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if isinstance(v, datetime):
@@ -43,7 +51,7 @@ def _norm_cell(v):
     if isinstance(v, np.ndarray):
         return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
-        return v.item()
+        return _norm_cell(v.item())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v

@@ -45,6 +45,7 @@ def test_driver_window_rotation():
 
     names = list(SPECS)
     assert len(names) == 172  # 128 round-1 + 44 round-2 (§2.N)
+    assert len(_DRIVER_CHECKED) == 99  # r1: 50 (incl. 1 rows-only) + r2: 49
     window = names[:50]
     for n in window:
         assert n not in _DRIVER_CHECKED, f"{n} wastes a window slot (already green)"

@@ -198,6 +198,62 @@ def test_stateful_processor_accumulates_across_batches():
     proc.close()
 
 
+def test_tws_runtime_gate_both_ways(monkeypatch):
+    """The stream_stateful primary-path gate (has_tws_runtime) has never
+    executed its True branch in this container (protobuf absent) — verify
+    the gate's wiring both ways by mocking the import probe (VERDICT r2 #7):
+    present → True, absent → False, and a missing PARENT package (which
+    makes find_spec itself raise, the measured container behavior) → False.
+    """
+    import importlib.util
+
+    from ai_dataingestion_spark.streaming import incremental
+
+    real_find_spec = importlib.util.find_spec
+
+    def fake(name, *a, **kw):
+        if name == "google.protobuf":
+            return object()  # a ModuleSpec stand-in: truthy, non-None
+        return real_find_spec(name, *a, **kw)
+
+    monkeypatch.setattr(importlib.util, "find_spec", fake)
+    assert incremental.has_tws_runtime() is True
+
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a, **kw: None if name == "google.protobuf"
+        else real_find_spec(name, *a, **kw),
+    )
+    assert incremental.has_tws_runtime() is False
+
+    def raising(name, *a, **kw):
+        if name == "google.protobuf":
+            raise ModuleNotFoundError("No module named 'google'")
+        return real_find_spec(name, *a, **kw)
+
+    monkeypatch.setattr(importlib.util, "find_spec", raising)
+    assert incremental.has_tws_runtime() is False
+
+
+def test_rocksdb_state_store_sets_and_restores_conf(spark):
+    """The TWS branch binds the RocksDB state-store provider for the
+    duration of the query start; the conf must not leak afterwards."""
+    from ai_dataingestion_spark.streaming.incremental import rocksdb_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    with rocksdb_state_store(spark):
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
+
+
 def test_stateful_event_time_timeout_evicts_state(spark):
     """State eviction via event-time timeout: user 1 goes quiet after 10:00
     with a timeout registered at 10:30; user 2 keeps producing, pushing the
