@@ -45,57 +45,91 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Operators earlier driver sweeps already verified green (CORRECTNESS_r01:
-# 49 hash-green + agg_approx_distinct rows-only; CORRECTNESS_r02: 49
-# hash-green — text_lang_stats is deliberately NOT here: its r2 hash-FAIL was
-# an oracle HUGEINT cast bug, fixed in ai/text.py, and it must re-enter the
-# window for its green row). The driver caps its oracle sweep at the FIRST 50
-# entries of queries() per round, so registration order is the coverage
-# rotation knob: not-yet-driver-checked operators must come first to earn
-# their green rows. Oracle-backed ones outrank rows-only ones (a hash row is
-# stronger evidence than a rows-only row). Rotate this set forward each round
-# as CORRECTNESS_r{N}.json accumulates coverage.
+# Operators earlier driver sweeps already verified green on the CURRENT
+# corpus. The driver caps its oracle sweep at the FIRST 50 entries of
+# queries() per round, so registration order is the coverage rotation knob:
+# not-yet-driver-checked operators must come first to earn their green rows.
+# Round-4 rotation (VERDICT r3 items 2+3): the corpus was regenerated with
+# µs timestamps right before the r3 sweep, so every events-touching green
+# row from r1/r2 is stale evidence — the 8 ts-bug casualties (fn_timestamp,
+# win_lag_lead, win_moving_range, win_first_last, join_range, join_asof,
+# agg_cube, events_cohort_retention) are REMOVED from this set to re-enter
+# at rank 0, and the remaining events-touching formerly-green IDs re-enter
+# at rank 1 via _EVENTS_RECHECK below. agg_approx_distinct is removed
+# because it now has a real oracle (tolerance asserted in-query) instead of
+# its r1 `no_oracle` row.
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     {
-        # --- round 1 green ---
-        "agg_groupby", "agg_global", "agg_distinct", "agg_approx_distinct",
-        "agg_having", "agg_rollup", "agg_cube", "agg_grouping_sets",
-        "agg_percentile", "agg_stats", "agg_collect", "agg_conditional",
-        "agg_top_groups", "agg_salted_skew", "agg_arg_minmax",
+        # --- round 1 green (still attested: no events dependency) ---
+        "agg_groupby", "agg_global", "agg_distinct",
+        "agg_having", "agg_rollup", "agg_grouping_sets",
+        "agg_percentile", "agg_stats", "agg_collect",
+        "agg_top_groups", "agg_arg_minmax",
         "agg_rollup_grouping", "agg_bool", "tpch_q3_shipping_priority",
-        "tpch_q5_local_volume", "tpch_q10_returned_items", "events_funnel",
-        "events_cohort_retention", "pivot_wide", "unpivot_melt",
+        "tpch_q5_local_volume", "tpch_q10_returned_items",
+        "unpivot_melt",
         "win_nth_value", "join_bucketed", "quality_observe", "join_inner",
         "join_broadcast", "join_left", "join_right", "join_full",
-        "join_semi", "join_anti", "join_cross", "join_range", "join_asof",
+        "join_semi", "join_anti", "join_cross",
         "join_multiway", "join_null_safe", "project_select", "project_cast",
-        "filter_pred", "filter_like_regex", "distinct_rows", "set_union_all",
+        "filter_pred", "filter_like_regex", "distinct_rows",
         "set_union_distinct", "set_intersect", "set_except", "sort_multi",
         "topk_global",
-        # --- round 2 green ---
+        # --- round 2 green (still attested) ---
         "dedup_exact", "dedup_ngram_jaccard", "embed_normalize", "fn_array",
         "fn_array_hof", "fn_bitwise", "fn_cond", "fn_date", "fn_hash",
-        "fn_json", "fn_map", "fn_math", "fn_null_semantics", "fn_regex",
-        "fn_string", "fn_string_parts", "fn_struct_array", "fn_timestamp",
+        "fn_math", "fn_null_semantics", "fn_regex",
+        "fn_string", "fn_string_parts", "fn_struct_array",
         "fn_trig", "limit_offset", "multimodal_binary_features",
         "multimodal_join", "sentiment_lexicon", "sim_cosine_topk",
         "sim_knn_label", "sim_pair_dedup", "text_clean", "text_langid",
         "text_ngrams", "text_quality_filter", "text_quality_score",
         "text_stopwords", "text_tfidf", "text_token_count", "text_tokenize",
-        "udf_grouped_map", "udf_map_in_pandas", "udf_pandas_agg",
-        "udf_pandas_scalar", "udf_python", "win_first_last",
-        "win_lag_default", "win_lag_lead", "win_moving", "win_moving_range",
+        "udf_pandas_agg",
+        "udf_pandas_scalar", "udf_python",
         "win_ntile_dist", "win_rank", "win_running", "win_topk_group",
+        # --- round 3 green (checked against the regenerated µs corpus) ---
+        "text_lang_stats", "udtf_python", "scan_parquet", "scan_csv",
+        "scan_json", "scan_text", "sink_parquet_part", "sink_csv_json",
+        "quality_profile", "quality_constraints", "schema_evolve",
+        "pipeline_upsert_merge", "pipeline_cdc_diff", "source_stream_file",
+        "stream_dedup", "stream_stateful", "stream_sink_parquet",
+        "ingest_incremental", "pipeline_e2e_text", "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue", "tpch_q7_volume_shipping",
+        "subquery_scalar_avg", "agg_median", "agg_weighted_avg",
+        "quality_outlier_iqr", "fn_levenshtein_match", "embed_label_centroid",
+        "text_keyword_extract", "dedup_cross_source",
+        "dedup_cluster_components", "multimodal_frame_sample",
+        "stream_static_join", "agg_histogram_bins", "text_pii_scrub",
+        "text_chunk_overlap", "split_train_eval", "join_salted_skew",
+        "embed_quantize_int8", "text_perplexity_proxy", "tpch_q4_late_orders",
+        "tpch_q12_priority_by_flag", "tpch_q13_order_distribution",
+    }
+)
+
+# Formerly-green oracle-backed IDs that READ the events table but were not
+# value-broken by the ts bug (their r1/r2 green rows predate the corpus
+# regen, so the evidence is stale): re-check them right after the rank-0
+# block. 11 IDs — with the 33 rank-0 and 6 rows-only IDs this fills the
+# driver's 50-slot window exactly.
+_EVENTS_RECHECK: frozenset[str] = frozenset(
+    {
+        "agg_conditional", "agg_salted_skew", "events_funnel", "fn_json",
+        "fn_map", "pivot_wide", "set_union_all", "udf_grouped_map",
+        "udf_map_in_pandas", "win_lag_default", "win_moving",
     }
 )
 
 
 def _rotation_rank(spec: QuerySpec) -> int:
-    """0 = unchecked with oracle (front of the driver window), 1 = unchecked
-    rows-only, 2 = already driver-green (back of the line)."""
+    """0 = unchecked with oracle (front of the driver window), 1 = stale
+    events-touching green needing re-check, 2 = unchecked rows-only,
+    3 = attested driver-green (back of the line)."""
+    if spec.name in _EVENTS_RECHECK:
+        return 1
     if spec.name in _DRIVER_CHECKED:
-        return 2
-    return 0 if spec.oracle is not None else 1
+        return 3
+    return 0 if spec.oracle is not None else 2
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -112,14 +112,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: Spark HLL != DuckDB HLL
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_tol
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users per event_type (approx_count_distinct).
-    Sketch values are engine-specific, so this is rows-verified; the unit
-    test asserts <5% error vs the exact count."""
+
+    The raw sketch estimate is engine-specific (Spark HLL != DuckDB HLL), so
+    the oracle-checkable surface is the TOLERANCE: the query emits the exact
+    distinct count plus a boolean asserting the HLL estimate landed within
+    5% of it, and the oracle expects that boolean to be uniformly TRUE. A
+    drifting HLL implementation now fails the hash check loudly instead of
+    hiding behind a rows-only record (VERDICT r3 item 8)."""
     e = Tables(spark, sf_dir).events
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("hll_within_tol"),
+        )
     )
 
 

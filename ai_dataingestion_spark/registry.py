@@ -193,12 +193,60 @@ def warm_tables(
         _warm_cache[(sess, key_sf, name)] = df
 
 
+# Per-path memo of the events.ts physical parquet type ("ns" | "us").
+# The driver regenerated the corpus between rounds and silently switched
+# ts from timestamp[ns] to timestamp[us]; a hard-coded shim then produced
+# wrong answers in 17 queries (VERDICT r3). Sniffing the footer makes the
+# reader self-correcting, and anything other than ns/us fails LOUDLY.
+_events_ts_unit: dict[str, str] = {}
+
+
+def _sniff_events_ts_unit(path: str) -> str:
+    """Read the parquet footer and classify events.ts as 'ns' or 'us'.
+
+    Handles both a single .parquet file and a Spark-written directory of
+    part files (sniffs the first part). Raises on any other physical type
+    so a future silent corpus change surfaces as one clear error instead
+    of hash-mismatched query results.
+    """
+    unit = _events_ts_unit.get(path)
+    if unit is not None:
+        return unit
+    import glob
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        target = parts[0]
+    ts_type = pq.read_schema(target).field("ts").type
+    ts_str = str(ts_type)
+    if ts_str.startswith("timestamp[ns"):
+        unit = "ns"
+    elif ts_str.startswith("timestamp[us"):
+        unit = "us"
+    else:
+        raise TypeError(
+            f"events.ts at {target} has unexpected physical type {ts_str!r}; "
+            "expected timestamp[ns] or timestamp[us]. The corpus schema "
+            "changed — update registry.SCHEMAS / the read shim deliberately "
+            "rather than letting queries return silently wrong timestamps."
+        )
+    _events_ts_unit[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its declared schema (events get the shim).
 
     Declaring the read schema (rather than inferring) doubles as column-prune
     enforcement: Catalyst still prunes to referenced columns, and the parquet
-    footer is never trusted for types the oracle compares.
+    footer is never trusted for types the oracle compares — EXCEPT events.ts,
+    where the footer's ns-vs-µs physical unit decides whether the nanos shim
+    applies (it must divide only genuine nanoseconds by 1000).
     """
     cached = _warm_cache.get((_session_key(spark), sf_dir.rstrip("/"), name))
     if cached is not None:
@@ -206,10 +254,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_read_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)")
-        )
+        if _sniff_events_ts_unit(path) == "ns":
+            # NANOS parquet is unreadable by Spark natively; nanosAsLong
+            # delivers int64 ns, which we truncate-divide to µs (matches
+            # DuckDB's silent ns→µs truncation exactly).
+            raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+            return raw.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"),
+            )
+        # µs corpus: the declared TimestampNTZType schema reads natively.
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 

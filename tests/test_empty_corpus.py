@@ -11,23 +11,19 @@ import os
 import pytest
 
 from ai_dataingestion_spark.catalog import all_specs
-from ai_dataingestion_spark.registry import (
-    SCHEMAS,
-    TABLE_NAMES,
-    _EVENTS_RAW_SCHEMA,
-)
+from ai_dataingestion_spark.registry import SCHEMAS, TABLE_NAMES
 
 SPECS = all_specs()
 
 
 @pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
-    """A corpus directory whose 10 tables all exist with 0 rows (events in
-    its raw on-disk form: int64 nanos ts, as the generator writes it)."""
+    """A corpus directory whose 10 tables all exist with 0 rows, in the
+    current on-disk form (events.ts as timestamp[us] NTZ, as the
+    regenerated corpus stores it)."""
     root = tmp_path_factory.mktemp("sf_empty")
     for name in TABLE_NAMES:
-        schema = _EVENTS_RAW_SCHEMA if name == "events" else SCHEMAS[name]
-        df = spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], SCHEMAS[name])
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(str(root), f"{name}.parquet")
         )
