@@ -57,11 +57,57 @@ def canon(df: pd.DataFrame):
     return cols, rows
 
 
+def corpus_fingerprint(sf_dir: str) -> dict:
+    """Physical schema + row count per table, straight from the parquet
+    footers. Recorded at sweep start and diffed against the committed
+    record so a silent driver-side corpus regeneration (the round-3
+    ns→µs switch that broke 17 queries) is reported as ONE loud
+    'corpus changed' line instead of a pile of mystery mismatches."""
+    import pyarrow.parquet as pq
+
+    fp = {}
+    for t in TABLES:
+        path = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        f = pq.ParquetFile(path)
+        fp[t] = {
+            "rows": f.metadata.num_rows,
+            "schema": {
+                fld.name: str(fld.type) for fld in f.schema_arrow
+            },
+        }
+    return fp
+
+
+def check_corpus_fingerprint(sf_dir: str) -> None:
+    import json
+
+    record_path = REPO / "scripts" / "corpus_fingerprint.json"
+    current = corpus_fingerprint(sf_dir)
+    previous = {}
+    if record_path.exists():
+        previous = json.loads(record_path.read_text())
+    prev_sf = previous.get(sf_dir)
+    if prev_sf is None:
+        print(f"[corpus] no fingerprint on record for {sf_dir}; recording")
+    elif prev_sf != current:
+        print(f"[corpus] *** CORPUS CHANGED at {sf_dir} since last record ***")
+        for t in TABLES:
+            if prev_sf.get(t) != current.get(t):
+                print(f"[corpus]   {t}: was {prev_sf.get(t)}")
+                print(f"[corpus]   {t}: now {current.get(t)}")
+    else:
+        print(f"[corpus] fingerprint unchanged for {sf_dir}")
+    previous[sf_dir] = current
+    record_path.write_text(json.dumps(previous, indent=1, sort_keys=True) + "\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("queries", nargs="*", help="subset of query ids (default: all)")
     args = ap.parse_args()
+
+    check_corpus_fingerprint(args.sf_dir)
 
     import __spark_entry__ as mod
     from pyspark.sql import SparkSession
