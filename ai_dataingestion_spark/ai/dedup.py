@@ -284,22 +284,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     # The index/self-join phase runs on xxhash64(shingle) — 8-byte shuffle
     # keys instead of ~30-byte shingle strings through the widest joins.
-    # The DF cap is computed on the STRING shingle, not the hash: hashing
-    # first could merge two shingles' DF counts and push a truly-rare
-    # shingle over the cap, silently dropping a true J>=0.5 pair (~1e-8
-    # odds at test scale but expected at ~1e12 shingles / 100 TB; ADVICE
-    # r2). With a string-DF cap, a collision can only let a hot shingle
-    # ride a rare shingle's hash into the index — which ADDS candidates
-    # (bounded skew) that the exact string-set verify below removes. The
-    # one groupBy on strings is map-side-combined; every wide join still
-    # shuffles 8-byte keys.
+    # DF-cap semantics must match the oracle's STRING-level cap, but a
+    # string-keyed groupBy over every shingle row was the measured r3
+    # regression (+21%). Observation: hash_count(h) >= string_DF(s) for
+    # every s hashing to h, so a hash whose TOTAL count is <= 50 can only
+    # contain truly-rare strings — those rows enter the index with no
+    # string work at all. Only HOT hashes (count > 50, a handful of
+    # distinct values) can hide a rare string behind a collision with a
+    # hot string (ADVICE r2), so only their rows — a broadcast-pruned
+    # sliver of the corpus — are re-counted at string level, and strings
+    # that prove rare are rescued into the index. Net: the wide shuffles
+    # all carry 8-byte keys; the string aggregate runs on the hot sliver
+    # only (empty of rescues unless a 64-bit collision actually lands).
     shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    rare_hashes = (
-        shingle_rows.groupBy("sh").count().filter(F.col("count") <= 50)
-        .select(F.xxhash64("sh").alias("h")).distinct()
+    inv = shingle_rows.select(
+        "doc_id", "sh", F.xxhash64("sh").alias("h")
     )
-    inv = shingle_rows.select("doc_id", F.xxhash64("sh").alias("h"))
-    rare = inv.join(rare_hashes, "h")
+    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
+    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
+    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
+    rescued = (
+        inv.join(F.broadcast(hot_h), "h")
+        .groupBy("sh", "h")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .filter(F.col("scnt") <= 50)
+        .select("sh", "h")
+    )
+    # rare_h is ~all distinct shingles — never broadcast it; hot_h/rescued
+    # are the Zipf head (bounded by total_rows / cap) and stay broadcastable.
+    rare = inv.join(rare_h, "h").select("doc_id", "h").unionByName(
+        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
+    )
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
     # candidate pairs die on integer counts before any array work
