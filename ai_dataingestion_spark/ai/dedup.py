@@ -57,6 +57,19 @@ array_distinct(transform(
 """
 
 
+# Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+# int64. md5 is bit-identical across Spark and DuckDB (verified incl.
+# unicode), so minhash/simhash signatures built on it are oracle-checkable
+# end-to-end — unlike xxhash64, which has no DuckDB twin and forced these
+# operators into rows-only verification through round 3.
+def _spark_h(s: str) -> str:
+    return f"CAST(conv(substring(md5({s}),1,15),16,10) AS BIGINT)"
+
+
+def _duck_h(s: str) -> str:
+    return f"CAST('0x'||substring(md5({s}),1,15) AS BIGINT)"
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -93,13 +106,72 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_minhash")  # rows-only: xxhash64 signatures have no DuckDB twin
+def _minhash_band_bucket_duck(b: int) -> str:
+    """DuckDB bucket expression for band b: portable hash of the band's 4
+    minhash values, '#'-joined with a band tag (mirrors the Spark side)."""
+    cols = ", ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return _duck_h(f"concat_ws('#', 'b{b}', {cols})")
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
+  FROM documents WHERE doc_id % 5 = 0
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
+         )) AS shingles
+  FROM corpus
+),
+sp AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sig AS (
+  SELECT doc_id,
+         {", ".join("min(" + _duck_h("concat('s%d#', shingle)" % i) + ") AS h%d" % i for i in range(N_HASHES))}
+  FROM sp GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join("SELECT doc_id, %d AS band, %s AS bucket FROM sig" % (b, _minhash_band_bucket_duck(b)) for b in range(N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+            AS DOUBLE) /
+       (len(s1.shingles) + len(s2.shingles)
+        - len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s))))
+         AS jaccard
+FROM cand
+JOIN shingled s1 ON s1.doc_id = id1
+JOIN shingled s2 ON s2.doc_id = id2
+WHERE CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+           AS DOUBLE) /
+      (len(s1.shingles) + len(s2.shingles)
+       - len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s))))
+        >= 0.6
+"""
+
+
+@register("dedup_near_minhash", oracle=_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs (Broder 1997), DataFrame-pure:
 
-    3-token shingles → 32 minhash values (min over xxhash64 of the
-    seed-tagged shingle) → 8 bands × 4 rows → band-bucket self-join for
-    candidates → exact Jaccard verify on candidate pairs → pairs ≥ 0.6.
+    3-token shingles → 32 minhash values (min over a portable md5-derived
+    60-bit hash of the seed-tagged shingle) → 8 bands × 4 rows →
+    band-bucket self-join for candidates → exact Jaccard verify on
+    candidate pairs → pairs ≥ 0.6. The hash is engine-portable, so the
+    whole pipeline — signatures, banding, candidates, verification — is
+    oracle-verified end-to-end (rows-only until round 4).
 
     Deliberately NOT pyspark.ml's MinHashLSH: plain expressions keep the
     hash deterministic and Catalyst in charge of the joins. The only
@@ -114,17 +186,24 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = pairs.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"s{i}#"), F.col("shingle")))).alias(
-                f"h{i}"
-            )
+            F.min(F.expr(_spark_h(f"concat('s{i}#', shingle)"))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            F.expr(
+                _spark_h(
+                    "concat_ws('#', 'b%d', %s)"
+                    % (
+                        b,
+                        ", ".join(
+                            f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)"
+                            for r in range(ROWS_PER_BAND)
+                        ),
+                    )
+                )
             ).alias("bucket"),
         )
         for b in range(N_BANDS)
@@ -156,7 +235,64 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based bits have no DuckDB twin
+def _simhash_votes_duck() -> str:
+    """64 per-bit vote aggregates: bit b of the signature comes from bit
+    b%16 of the portable chunk-seeded hash hc{b//16}."""
+    return ", ".join(
+        "sum(CASE WHEN (hc%d >> %d) & 1 = 1 THEN 1 ELSE -1 END) AS v%d"
+        % (b // 16, b % 16, b)
+        for b in range(64)
+    )
+
+
+def _simhash_chunk_duck(c: int) -> str:
+    terms = " + ".join(
+        "CASE WHEN v%d > 0 THEN %d ELSE 0 END" % (c * 16 + b, 1 << b)
+        for b in range(16)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents WHERE doc_id % 2 = 0
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+th AS (
+  SELECT doc_id,
+         {", ".join(_duck_h("concat('c%d#', tok)" % c) + " AS hc%d" % c for c in range(4))}
+  FROM tok
+),
+votes AS (SELECT doc_id, {_simhash_votes_duck()} FROM th GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         {", ".join(_simhash_chunk_duck(c) + " AS c%d" % c for c in range(4))}
+  FROM votes
+),
+chunked AS (
+  {" UNION ALL ".join("SELECT doc_id, %d AS chunk_idx, c%d AS chunk_val FROM sig" % (c, c) for c in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM chunked a JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       CAST(bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1))
+          + bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3))
+         AS BIGINT) AS hamming
+FROM cand
+JOIN sig s1 ON s1.doc_id = id1
+JOIN sig s2 ON s2.doc_id = id2
+WHERE bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1))
+    + bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Charikar 2002 / Manku et al. 2007):
 
@@ -166,18 +302,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument, hamming(a,b) ≤ 3 ⇒ at least one chunk is equal, so candidate
     generation is an equality join on (chunk_idx, chunk_value) and exact
     hamming distance is verified on candidates only.
+
+    Bit b of the signature is bit b%16 of a chunk-seeded portable
+    md5-derived hash of the token (4 seeds × 16 low bits), so DuckDB
+    reproduces the signatures exactly and the operator is oracle-verified
+    end-to-end (rows-only until round 4).
     """
     corpus = _corpus_with_exact_dups(spark, sf_dir)
-    # (doc, token-hash) rows, then 64 conditional sums — all whole-stage
+    # (doc, chunk-hash) rows, then 64 conditional sums — all whole-stage
     # codegen, one shuffle on doc_id. (A first cut folded 64-wide arrays with
     # aggregate(zip_with(...)) per row; that was ~20x slower.)
     tok_hash = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        *[
+            F.expr(_spark_h(f"concat('c{c}#', tok)")).alias(f"hc{c}")
+            for c in range(4)
+        ],
+    )
     votes = tok_hash.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"hc{b // 16}"), b % 16).bitwiseAND(1) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(64)
         ]

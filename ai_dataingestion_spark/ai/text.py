@@ -242,19 +242,33 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_slice(list_sort(list_transform(
+         range(1, greatest(len(toks) - 2, 2)),
+         i -> CAST('0x'||substring(
+                md5(array_to_string(list_slice(toks, i, i + 3), ' ')),
+                1, 15) AS BIGINT)
+       )), 1, 4) AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: rolling 4-token window hashes, keep the 4
     smallest (winnowing-style selection, Schleimer et al. 2003). Emitted as
     a sorted array of int64 — two docs sharing fingerprint hashes are
-    near-dup candidates. Pure expression work (sequence + transform +
-    xxhash64), no Python."""
+    near-dup candidates. Pure expression work (sequence + transform + a
+    portable md5-derived 60-bit hash — bit-identical in DuckDB, so the
+    fingerprints are oracle-verified end-to-end; rows-only until round 4),
+    no Python."""
     d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
     window_hashes = F.expr(
         """
         transform(
           sequence(1, greatest(size(toks) - 3, 1)),
-          i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))
+          i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, 4))),1,15),16,10) AS BIGINT)
         )
         """
     )

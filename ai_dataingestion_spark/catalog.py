@@ -110,8 +110,10 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # Formerly-green oracle-backed IDs that READ the events table but were not
 # value-broken by the ts bug (their r1/r2 green rows predate the corpus
 # regen, so the evidence is stale): re-check them right after the rank-0
-# block. 11 IDs — with the 33 rank-0 and 6 rows-only IDs this fills the
-# driver's 50-slot window exactly.
+# block. 11 IDs — with the 36 rank-0 IDs (incl. the three md5-portable
+# conversions: dedup_near_minhash, dedup_simhash, text_fingerprint) and the
+# 3 remaining genuinely-rows-only IDs (sim_ann_lsh, sim_ann_ivf,
+# stream_watermark_late) this fills the driver's 50-slot window exactly.
 _EVENTS_RECHECK: frozenset[str] = frozenset(
     {
         "agg_conditional", "agg_salted_skew", "events_funnel", "fn_json",
