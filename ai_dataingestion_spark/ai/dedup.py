@@ -504,3 +504,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id1", "id2", "jaccard")
     )
+
+
+_FP_WINDOW = 4      # rolling window width (tokens) for fingerprint hashes
+_FP_KEEP = 8        # smallest window hashes kept per document
+_FP_MIN_SHARED = 2  # candidate pairs must share >= this many hashes
+
+
+_FINGERPRINT_PAIRS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
+  FROM documents WHERE doc_id % 5 = 0
+),
+fp AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {_FP_WINDOW - 2}, 2)),
+           i -> CAST('0x'||substring(
+                  md5(array_to_string(list_slice(toks, i, i + {_FP_WINDOW - 1}), ' ')),
+                  1, 15) AS BIGINT)
+         ))), 1, {_FP_KEEP}) AS fingerprint
+  FROM corpus
+),
+inv AS (SELECT doc_id, unnest(fingerprint) AS h FROM fp)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_FP_MIN_SHARED}
+"""
+
+
+@register("dedup_fingerprint_pairs", oracle=_FINGERPRINT_PAIRS_ORACLE)
+def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint candidate pairs (Schleimer et al. 2003,
+    the MOSS approach): each document keeps its 8 smallest distinct rolling
+    4-token-window hashes (portable md5-derived, oracle-reproducible); docs
+    sharing >= 2 fingerprint hashes are near-dup candidates with the shared
+    count reported. Candidate generation is an equality join on the hash —
+    per-hash fan-out is bounded by the fingerprint width, never all-pairs,
+    so the shuffle carries 8 rows per document at any corpus size."""
+    corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
+        "toks", F.split("text", " ")
+    )
+    window_hashes = F.expr(
+        f"""
+        transform(
+          sequence(1, greatest(size(toks) - {_FP_WINDOW - 1}, 1)),
+          i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, {_FP_WINDOW}))),1,15),16,10) AS BIGINT)
+        )
+        """
+    )
+    fp = corpus.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(window_hashes)), 1, _FP_KEEP
+        ).alias("fingerprint"),
+    )
+    inv = fp.select("doc_id", F.explode("fingerprint").alias("h"))
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _FP_MIN_SHARED)
+    )

@@ -263,3 +263,96 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag(event_type) within (user, ts-order) gives bigrams, counted and
+    normalized per source state. The lag window shuffles once on user_id;
+    the transition counts then collapse to |event_types|² rows, so the
+    normalizing window runs on a broadcast-sized relation at any corpus
+    size. Deterministic ordering via the (ts, event_id) tie-break."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    counts = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "events_dau_mau",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         date_trunc('month', ts) AS month,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+),
+monthly AS (
+  SELECT date_trunc('month', ts) AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.day, d.dau, m.mau,
+       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM daily d JOIN monthly m USING (month)
+""",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU engagement: distinct users per day, per month, and the
+    day-over-month stickiness ratio. Two partial-aggregable distinct
+    counts; the day->month join is broadcast-sized (one row per month) at
+    any scale. The month column rides along in the daily aggregate so the
+    join needs no recomputation from day values."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = e.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return daily.join(F.broadcast(monthly), "month").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -37,23 +37,27 @@ def test_rows_only_runs(qid, spark, sf_small):
 
 def test_driver_window_rotation():
     """The driver hash-checks only the FIRST 50 entries of queries() per
-    round; registration order is the coverage rotation. The window must be
-    spent entirely on operators that (a) were not already driver-verified in
-    a previous round and (b) carry oracle SQL (a hash row > a rows-only row).
+    round; registration order is the coverage rotation. Round-4 window:
+    every slot must carry oracle SQL and be either never-driver-checked or
+    an events-touching re-check whose old green row predates the corpus
+    regeneration. Ordering must follow the rotation rank exactly.
     """
-    from ai_dataingestion_spark.catalog import _DRIVER_CHECKED
+    from ai_dataingestion_spark.catalog import (
+        _DRIVER_CHECKED,
+        _EVENTS_RECHECK,
+        _rotation_rank,
+    )
 
     names = list(SPECS)
-    assert len(names) == 172  # 128 round-1 + 44 round-2 (§2.N)
-    assert len(_DRIVER_CHECKED) == 99  # r1: 50 (incl. 1 rows-only) + r2: 49
+    assert len(names) == 175  # 172 rounds 1-3 + 3 round-4 additions (§2.N)
     window = names[:50]
     for n in window:
-        assert n not in _DRIVER_CHECKED, f"{n} wastes a window slot (already green)"
         assert SPECS[n].oracle is not None, f"{n} rows-only in hash window"
-    # rows-only unchecked operators rank after oracle-backed unchecked ones
-    ranks = [
-        0 if (SPECS[n].oracle and n not in _DRIVER_CHECKED)
-        else (1 if n not in _DRIVER_CHECKED else 2)
-        for n in names
-    ]
+        assert n not in _DRIVER_CHECKED or n in _EVENTS_RECHECK, (
+            f"{n} wastes a window slot (already green on the current corpus)"
+        )
+    # every re-check ID must be oracle-backed, else re-checking is pointless
+    for n in _EVENTS_RECHECK:
+        assert SPECS[n].oracle is not None, f"{n} recheck without oracle"
+    ranks = [_rotation_rank(SPECS[n]) for n in names]
     assert ranks == sorted(ranks)
