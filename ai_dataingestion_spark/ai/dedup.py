@@ -572,3 +572,117 @@ def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _FP_MIN_SHARED)
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         list_slice(string_split(text, ' '),
+                    1, greatest(len(string_split(text, ' ')) // 2, {SHINGLE_K}))
+  FROM documents WHERE doc_id % 7 = 0
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
+         )) AS shingles
+  FROM corpus
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+df AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
+rare AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN df USING (shingle)),
+cand AS (
+  SELECT a.doc_id AS small_id, b.doc_id AS big_id, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT small_id, big_id,
+       CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+            AS DOUBLE) / len(s1.shingles) AS containment
+FROM cand
+JOIN shingled s1 ON s1.doc_id = small_id
+JOIN shingled s2 ON s2.doc_id = big_id
+WHERE 10 * n_common >= 8 * len(s1.shingles)
+  AND CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+           AS DOUBLE) / len(s1.shingles) >= 0.8
+"""
+
+
+@register("text_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection (Broder's containment
+    coefficient): C(A,B) = |A∩B| / |A| over 3-token shingle sets, flagging
+    documents mostly CONTAINED in another (excerpts, quotes, truncated
+    copies) that symmetric Jaccard misses — at half-length, J ≈ 0.5 but
+    C = 1.0. The fixture embeds a half-truncated copy of every 7th doc.
+
+    Same scale shape as the Jaccard path: rare-shingle inverted index
+    (DF ≤ 50 skew cap), integer n_common ≥ 0.8·|A| prefilter before any
+    array work, exact shingle-set verify on surviving candidates only —
+    never all-pairs. Directional: (small, big) ordered pairs."""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    toks = F.split("text", " ")
+    truncated = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    (F.size(toks) / 2).cast("int"), F.lit(SHINGLE_K)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.unionByName(truncated).withColumn("toks", F.split("text", " "))
+    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    inv = shingle_rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
+    # hash-keyed DF cap + hot-hash string rescue — same collision-safety
+    # argument as dedup_ngram_jaccard: hcnt <= 50 implies every underlying
+    # string is rare; only the Zipf-head hot hashes are re-counted at
+    # string level so a collision can never silently drop a rare shingle.
+    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
+    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
+    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
+    rescued = (
+        inv.join(F.broadcast(hot_h), "h")
+        .groupBy("sh", "h")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .filter(F.col("scnt") <= 50)
+        .select("sh", "h")
+    )
+    rare = inv.join(rare_h, "h").select("doc_id", "h").unionByName(
+        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("small_id"),
+            F.col("b.doc_id").alias("big_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    prefiltered = cand.join(
+        sizes.select(F.col("doc_id").alias("small_id"), F.col("sz").alias("sz1")),
+        "small_id",
+    ).filter(10 * F.col("n_common") >= 8 * F.col("sz1")).select("small_id", "big_id")
+    s1 = docs.select(F.col("doc_id").alias("small_id"), F.col("shingles").alias("sh1"))
+    s2 = docs.select(F.col("doc_id").alias("big_id"), F.col("shingles").alias("sh2"))
+    containment = (
+        F.size(F.array_intersect("sh1", "sh2")).cast("double") / F.size("sh1")
+    )
+    return (
+        prefiltered.join(s1.hint("shuffle_hash"), "small_id")
+        .join(s2.hint("shuffle_hash"), "big_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= 0.8)
+        .select("small_id", "big_id", "containment")
+    )

@@ -561,3 +561,40 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "cos", "rn")
     )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+SELECT i AS dim,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS std,
+       round(min(x), 6) AS min_v,
+       round(max(x), 6) AS max_v,
+       count(*) AS n
+FROM (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY i
+""",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (mean/std/min/max/count
+    per coordinate) — the embedding-QA pass a training pipeline runs before
+    trusting a 100 TB vector corpus (dead dimensions, scale drift, NaN
+    screens). posexplode + groupBy(dim): fully partial-aggregable moment
+    sketches, shuffle carries 64 rows per task regardless of corpus size."""
+    e = Tables(spark, sf_dir).embeddings
+    exploded = e.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select((F.col("dim0") + 1).cast("bigint").alias("dim"),
+             F.col("x").cast("double").alias("x"))
+    return exploded.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_v"),
+        F.round(F.max("x"), 6).alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
