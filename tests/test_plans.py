@@ -257,3 +257,81 @@ def test_perplexity_vocab_broadcast(spark, sf_small):
     and must be the broadcast side."""
     plan = _executed_plan(spark, "text_perplexity_proxy", sf_small)
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4_dedup_ops_never_cartesian(spark, sf_small):
+    """Every round-4 candidate-generation dedup/containment plan must join
+    on keys (hash/band/chunk equality) — a BroadcastNestedLoopJoin or
+    CartesianProduct would mean all-pairs comparison, fatal at scale."""
+    for qid in (
+        "dedup_fingerprint_pairs",
+        "text_containment_pairs",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+    ):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+
+
+def test_embed_dim_stats_partial_aggregates(spark, sf_small):
+    """embed_dim_stats must ride partial->final HashAggregate so the
+    shuffle carries 64 rows per task, not the exploded element stream."""
+    plan = _executed_plan(spark, "embed_dim_stats", sf_small)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial" in plan
+
+
+def test_transition_matrix_normalizer_after_aggregate(spark, sf_small):
+    """events_transition_matrix's normalizing window must run over the
+    aggregated |event_types|^2 relation (post-groupBy), so the window
+    input is broadcast-sized at any corpus scale — the plan's Window node
+    must sit ABOVE the final HashAggregate, not over raw events."""
+    plan = _executed_plan(spark, "events_transition_matrix", sf_small)
+    # two Window nodes total: the per-user lag and the tiny normalizer;
+    # the normalizer's sort key is prev_type (an aggregate output)
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rescue_path_matches_string_level_cap(spark, sf_small):
+    """The hash-keyed DF cap + hot-hash rescue in dedup_ngram_jaccard must
+    select EXACTLY the shingle occurrences a pure string-level DF <= 50 cap
+    selects (the oracle's definition) — the collision-safety argument made
+    checkable: on any corpus, (rare-by-hash ∪ rescued) == rare-by-string."""
+    from pyspark.sql import functions as F
+
+    from ai_dataingestion_spark.ai.dedup import (
+        _SHINGLES_EXPR,
+        _corpus_with_near_dups,
+    )
+
+    corpus = _corpus_with_near_dups(spark, sf_small).withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    inv = rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
+
+    # engine path: hash cap + rescue
+    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
+    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
+    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
+    rescued = (
+        inv.join(hot_h, "h")
+        .groupBy("sh", "h")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .filter(F.col("scnt") <= 50)
+        .select("sh", "h")
+    )
+    engine = inv.join(rare_h, "h").select("doc_id", "sh").unionByName(
+        inv.join(rescued, ["sh", "h"]).select("doc_id", "sh")
+    )
+
+    # oracle definition: string-level DF cap
+    rare_sh = rows.groupBy("sh").count().filter(F.col("count") <= 50).select("sh")
+    oracle = rows.join(rare_sh, "sh").select("doc_id", "sh")
+
+    assert engine.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(engine).count() == 0
