@@ -106,13 +106,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_band_bucket_duck(b: int) -> str:
-    """DuckDB bucket expression for band b: portable hash of the band's 4
-    minhash values, '#'-joined with a band tag (mirrors the Spark side)."""
-    cols = ", ".join(
-        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
-    )
-    return _duck_h(f"concat_ws('#', 'b{b}', {cols})")
+# Carter-Wegman universal hashing over one base digest: h_i(x) =
+# (A_i * (H(x) % P) + B_i) % P with P = 2^31 - 1 (Mersenne). ONE md5 per
+# shingle row instead of N_HASHES — the hash work in the signature map
+# stage drops 32x, and every product stays < 2^62 so the arithmetic is
+# overflow-identical in Spark (silent-wrap) and DuckDB (which would ERROR
+# on int64 overflow — staying in-range is what makes this portable).
+_MERSENNE_P = (1 << 31) - 1
+_CW_A = [(i * 2654435761 + 104729) % _MERSENNE_P or 1 for i in range(N_HASHES)]
+_CW_B = [(i * 40503 + 7919) % _MERSENNE_P for i in range(N_HASHES)]
+
+
+def _minhash_band_bucket(prefix: str, b: int) -> str:
+    """Band-bucket combine (both dialects): polynomial roll of the band's 4
+    minhash values — each value < 2^31, so ((((b*31+h)*31+h)...) stays well
+    under 2^63 with 31-ary rolling over 4 values mod P per step."""
+    expr = str(b)
+    for r in range(ROWS_PER_BAND):
+        expr = f"(({expr}) * 31 + {prefix}{b * ROWS_PER_BAND + r}) % {_MERSENNE_P}"
+    return f"CAST({expr} AS BIGINT)"
 
 
 _MINHASH_ORACLE = f"""
@@ -131,14 +143,15 @@ shingled AS (
          )) AS shingles
   FROM corpus
 ),
-sp AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
+       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
 sig AS (
   SELECT doc_id,
-         {", ".join("min(" + _duck_h("concat('s%d#', shingle)" % i) + ") AS h%d" % i for i in range(N_HASHES))}
+         {", ".join("min((%d * hm + %d) %% %d) AS h%d" % (_CW_A[i], _CW_B[i], _MERSENNE_P, i) for i in range(N_HASHES))}
   FROM sp GROUP BY doc_id
 ),
 banded AS (
-  {" UNION ALL ".join("SELECT doc_id, %d AS band, %s AS bucket FROM sig" % (b, _minhash_band_bucket_duck(b)) for b in range(N_BANDS))}
+  {" UNION ALL ".join("SELECT doc_id, %d AS band, %s AS bucket FROM sig" % (b, _minhash_band_bucket("h", b)) for b in range(N_BANDS))}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -166,10 +179,11 @@ WHERE CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs (Broder 1997), DataFrame-pure:
 
-    3-token shingles → 32 minhash values (min over a portable md5-derived
-    60-bit hash of the seed-tagged shingle) → 8 bands × 4 rows →
+    3-token shingles → ONE portable md5-derived base hash per shingle →
+    32 minhash values via Carter-Wegman affine transforms mod 2³¹−1
+    (cheap int math replaces 32 per-row digests) → 8 bands × 4 rows →
     band-bucket self-join for candidates → exact Jaccard verify on
-    candidate pairs → pairs ≥ 0.6. The hash is engine-portable, so the
+    candidate pairs → pairs ≥ 0.6. Every step is engine-portable, so the
     whole pipeline — signatures, banding, candidates, verification — is
     oracle-verified end-to-end (rows-only until round 4).
 
@@ -183,28 +197,22 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
 
-    pairs = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id",
+        F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm"),
+    )
     sig = pairs.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(_spark_h(f"concat('s{i}#', shingle)"))).alias(f"h{i}")
+            F.min(
+                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i])) % _MERSENNE_P
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.expr(
-                _spark_h(
-                    "concat_ws('#', 'b%d', %s)"
-                    % (
-                        b,
-                        ", ".join(
-                            f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)"
-                            for r in range(ROWS_PER_BAND)
-                        ),
-                    )
-                )
-            ).alias("bucket"),
+            F.expr(_minhash_band_bucket("h", b)).alias("bucket"),
         )
         for b in range(N_BANDS)
     ]
@@ -262,7 +270,7 @@ WITH corpus AS (
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
 th AS (
   SELECT doc_id,
-         {", ".join(_duck_h("concat('c%d#', tok)" % c) + " AS hc%d" % c for c in range(4))}
+         {", ".join("CAST('0x'||substring(md5(tok), %d, 4) AS BIGINT) AS hc%d" % (c * 4 + 1, c) for c in range(4))}
   FROM tok
 ),
 votes AS (SELECT doc_id, {_simhash_votes_duck()} FROM th GROUP BY doc_id),
@@ -303,8 +311,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equality join on (chunk_idx, chunk_value) and exact
     hamming distance is verified on candidates only.
 
-    Bit b of the signature is bit b%16 of a chunk-seeded portable
-    md5-derived hash of the token (4 seeds × 16 low bits), so DuckDB
+    Bit b of the signature is bit b%16 of hex-slice b//16 of ONE portable
+    md5 digest per token (chunk c = hex chars [4c+1, 4c+4] parsed as a
+    16-bit int — one digest, four cheap substring parses), so DuckDB
     reproduces the signatures exactly and the operator is oracle-verified
     end-to-end (rows-only until round 4).
     """
@@ -317,7 +326,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         *[
-            F.expr(_spark_h(f"concat('c{c}#', tok)")).alias(f"hc{c}")
+            F.expr(
+                f"CAST(conv(substring(md5(tok), {c * 4 + 1}, 4), 16, 10) AS BIGINT)"
+            ).alias(f"hc{c}")
             for c in range(4)
         ],
     )
