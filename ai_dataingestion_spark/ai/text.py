@@ -356,3 +356,110 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "text_paragraph_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+),
+paras AS (
+  SELECT doc_id, trim(p) AS para
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS p FROM corpus)
+  WHERE len(trim(p)) >= 20
+),
+freq AS (
+  SELECT md5(para) AS para_md5, min(para) AS para_text,
+         count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(para)
+)
+SELECT para_md5, para_text, n_occurrences, n_docs
+FROM freq WHERE n_docs >= 2
+""",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level duplicate detection (the C4/RefinedWeb pass that
+    removes repeated paragraphs rather than whole documents): split on
+    sentence-ish boundaries, hash each >=20-char paragraph, and report
+    paragraphs occurring in >= 2 distinct documents with occurrence and
+    document counts. The measured corpus has no cross-doc repeated
+    paragraphs, so the query unions in exact copies of even-id docs (the
+    dedup_exact fixture) to make the check non-trivial. One explode + one
+    md5-keyed groupBy — uniform 128-bit keys, map-side combined, no skew;
+    the repeated-paragraph relation is a tiny fraction of the corpus at
+    any scale."""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    paras = (
+        corpus.select("doc_id", F.explode(F.split("text", "\\. ")).alias("p"))
+        .select("doc_id", F.trim("p").alias("para"))
+        .filter(F.length("para") >= 20)
+    )
+    return (
+        paras.groupBy(F.md5("para").alias("para_md5"))
+        .agg(
+            F.min("para").alias("para_text"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle="""
+WITH augmented AS (
+  SELECT source, text || '. all rights reserved contact ' || source AS text
+  FROM documents
+),
+lines AS (
+  SELECT source, trim(p) AS line
+  FROM (SELECT source, unnest(string_split(text, '. ')) AS p FROM augmented)
+  WHERE len(trim(p)) >= 10
+),
+per_source AS (
+  SELECT source, md5(line) AS line_md5, min(line) AS line_text,
+         count(*) AS n
+  FROM lines GROUP BY source, md5(line)
+)
+SELECT source, line_md5, line_text, n
+FROM per_source WHERE n >= 5
+""",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection (RefinedWeb-style): lines repeated
+    >= 5 times WITHIN one source are navigation/footer boilerplate to
+    strip, not content. The measured corpus has no repeated lines, so the
+    query appends a per-source footer sentence to every document in-query
+    (the fixture a crawler's site template produces naturally) and must
+    isolate exactly those. Grouping key is (source, line-hash) — a hot
+    source cannot concentrate a partition because the hash spreads it; the
+    boilerplate relation is broadcast-sized for the downstream strip join."""
+    d = Tables(spark, sf_dir).documents
+    augmented = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(". all rights reserved contact "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    lines = (
+        augmented.select("source", F.explode(F.split("text", "\\. ")).alias("p"))
+        .select("source", F.trim("p").alias("line"))
+        .filter(F.length("line") >= 10)
+    )
+    return (
+        lines.groupBy("source", F.md5("line").alias("line_md5"))
+        .agg(F.min("line").alias("line_text"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

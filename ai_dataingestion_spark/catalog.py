@@ -123,14 +123,31 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 )
 
 
+# Operators added AFTER this round's 50-slot window was finalized: they
+# rank behind the rows-only tier so they don't evict the planned re-checks
+# mid-round; drop them from this set next round to rotate them into the
+# window (they are locally oracle-verified + unit-tested meanwhile).
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        "text_paragraph_dedup",
+        "text_boilerplate_lines",
+        "tpch_q15_top_supplier",
+        "tpch_q19_disjunctive",
+    }
+)
+
+
 def _rotation_rank(spec: QuerySpec) -> int:
     """0 = unchecked with oracle (front of the driver window), 1 = stale
     events-touching green needing re-check, 2 = unchecked rows-only,
-    3 = attested driver-green (back of the line)."""
+    3 = deferred-to-next-round additions, 4 = attested driver-green
+    (back of the line)."""
     if spec.name in _EVENTS_RECHECK:
         return 1
-    if spec.name in _DRIVER_CHECKED:
+    if spec.name in _DEFER_TO_NEXT_ROUND:
         return 3
+    if spec.name in _DRIVER_CHECKED:
+        return 4
     return 0 if spec.oracle is not None else 2
 
 

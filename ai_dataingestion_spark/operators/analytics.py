@@ -356,3 +356,110 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregate reused twice (per-supplier revenue AND its max). The
+    revenue relation is computed once and self-compared via a broadcast
+    single-row max (Catalyst reuses the exchange for both branches); money
+    stays in the decimal domain until the final rounding."""
+    t = Tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(20,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t.supplier.join(
+            revenue, F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three conjunctive predicate blocks
+    spanning both join sides (brand/size on part, quantity on lineitem).
+    The planner's job — and what the plan test pins — is extracting the
+    common join key while pushing the single-side conjuncts
+    (brand IN (...), size/quantity range unions) below the join so the OR
+    does not force a full-table scan-and-filter above it."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(
+        F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    block = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        j.filter(
+            block("Brand#1", 1, 15, 1, 20)
+            | block("Brand#2", 10, 30, 10, 35)
+            | block("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(20,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
