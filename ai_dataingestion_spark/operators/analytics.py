@@ -377,10 +377,14 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
-    an aggregate reused twice (per-supplier revenue AND its max). The
-    revenue relation is computed once and self-compared via a broadcast
-    single-row max (Catalyst reuses the exchange for both branches); money
-    stays in the decimal domain until the final rounding."""
+    the revenue view is used twice (per-supplier revenue AND its max).
+
+    Computing the max as a separate aggregate re-scans lineitem (measured:
+    AQE did not stage-reuse the identical exchange subtrees), so the max
+    rides a single-partition window over the ALREADY-AGGREGATED revenue
+    relation instead — one row per supplier, a dim-scale relation, so one
+    narrow-window task replaces a second petabyte fact scan at 100 TB.
+    Money stays in the decimal domain until the final rounding."""
     t = Tables(spark, sf_dir)
     revenue = (
         t.lineitem.filter(
@@ -401,13 +405,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.partitionBy(F.lit(1))
+    top = revenue.withColumn(
+        "max_revenue", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("max_revenue"))
     return (
-        t.supplier.join(
-            revenue, F.col("s_suppkey") == F.col("supplier_no")
-        )
-        .crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        t.supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

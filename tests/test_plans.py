@@ -335,3 +335,27 @@ def test_rescue_path_matches_string_level_cap(spark, sf_small):
 
     assert engine.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(engine).count() == 0
+
+
+def test_q19_disjunction_keeps_equality_join(spark, sf_small):
+    """tpch_q19_disjunctive's OR of conjunctive blocks must not degrade the
+    part join to a nested loop: the plan keeps a hash/broadcast equality
+    join on partkey, and the part-side brand/size conjuncts (common to the
+    whole disjunction only via the OR — Spark derives an IN-set/filter
+    union) stay below the join, never a cartesian filter above it."""
+    plan = _executed_plan(spark, "tpch_q19_disjunctive", sf_small)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or (
+        "SortMergeJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_scans_lineitem_once(spark, sf_small):
+    """tpch_q15_top_supplier uses the revenue view twice (per-supplier +
+    its max); a naive plan scans lineitem twice (measured: AQE did not
+    stage-reuse the identical exchanges). The operator computes the max as
+    a window over the aggregated supplier-sized relation instead, so the
+    fact table appears EXACTLY ONCE in the plan."""
+    plan = _executed_plan(spark, "tpch_q15_top_supplier", sf_small)
+    assert plan.count("lineitem.parquet") == 1, plan
