@@ -133,6 +133,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_boilerplate_lines",
         "tpch_q15_top_supplier",
         "tpch_q19_disjunctive",
+        "events_bot_rate_flag",
     }
 )
 

@@ -466,3 +466,40 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "events_bot_rate_flag",
+    oracle="""
+WITH rate AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         max(n) AS peak_daily,
+         CAST(sum(n) AS BIGINT) AS total_events,
+         count(*) AS active_days
+  FROM rate GROUP BY user_id
+)
+SELECT user_id, peak_daily, total_events, active_days
+FROM per_user WHERE peak_daily >= 7
+""",
+)
+def events_bot_rate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/abuse screen (the ingestion gate a training pipeline
+    runs before trusting behavioral data): bucket events per (user, day),
+    flag users whose peak daily rate >= 7 (the measured p99+ of this
+    corpus), reporting peak, volume, and active days. Two stacked
+    partial-aggregable groupBys — the (user, day) relation is the only
+    shuffle that scales with data, and it carries counts, not events."""
+    e = Tables(spark, sf_dir).events
+    rate = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_user = rate.groupBy("user_id").agg(
+        F.max("n").alias("peak_daily"),
+        F.sum("n").alias("total_events"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    return per_user.filter(F.col("peak_daily") >= 7)
