@@ -463,3 +463,99 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("line").alias("line_text"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+SELECT doc_id,
+       round(CAST(len(text) - len(replace(replace(replace(replace(text,
+               '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
+             / len(text), 6) AS code_char_ratio,
+       round(CAST(len(text) - len(replace(text, '(', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS paren_per_token,
+       CASE WHEN CAST(len(text) - len(replace(replace(replace(replace(text,
+                   '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
+                 / len(text) > 0.01
+              OR CAST(len(text) - len(replace(text, '(', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) > 0.2
+            THEN 'code' ELSE 'prose' END AS kind
+FROM documents WHERE len(text) > 0
+""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose classifier (the pretraining split that routes
+    documents to code vs natural-language pipelines): density of code
+    punctuation ({};=) per char and parens per token, thresholded. Counting
+    is length-difference after char removal — identical integer arithmetic
+    in both engines, no regex engine divergence. Pure expressions, one
+    scan, no shuffle at all."""
+    d = Tables(spark, sf_dir).documents.filter(F.length("text") > 0)
+    stripped = F.col("text")
+    for ch in ("{", "}", ";", "="):
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    code_ratio = (
+        (F.length("text") - F.length(stripped)).cast("double")
+        / F.length("text")
+    )
+    paren_rate = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("("), F.lit("")))).cast("double")
+        / F.size(F.split("text", " "))
+    )
+    return d.select(
+        "doc_id",
+        F.round(code_ratio, 6).alias("code_char_ratio"),
+        F.round(paren_rate, 6).alias("paren_per_token"),
+        F.when((code_ratio > 0.01) | (paren_rate > 0.2), "code")
+        .otherwise("prose")
+        .alias("kind"),
+    )
+
+
+@register(
+    "text_entropy_filter",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE len(text) > 0
+),
+hist AS (
+  SELECT doc_id, ch, count(*) AS n FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM hist GROUP BY doc_id)
+SELECT h.doc_id,
+       round(-sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total))
+             / ln(2), 6) AS char_entropy_bits,
+       CASE WHEN -sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total))
+                 / ln(2) < 3.0 THEN 'low_entropy' ELSE 'ok' END AS gate
+FROM hist h JOIN tot USING (doc_id)
+GROUP BY h.doc_id, total
+""",
+)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy gate (Gopher-style repetitive-
+    garbage screen: near-constant documents score < 3 bits and are
+    flagged). explode-to-chars → (doc, char) histogram → one entropy
+    aggregate per doc — both groupBys are map-side combinable and the
+    histogram relation is bounded by |alphabet| per doc, so the shuffle
+    carries ~70 rows per document regardless of document length. Entropy
+    summed in a deterministic order via ordered aggregation inputs is NOT
+    required: both engines sum the same ~70 doubles and the result is
+    rounded to 6 dp."""
+    d = Tables(spark, sf_dir).documents.filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    ent = -F.sum(p * F.log(p)) / F.log(F.lit(2.0))
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.round(ent, 6).alias("char_entropy_bits"),
+            F.when(ent < 3.0, "low_entropy").otherwise("ok").alias("gate"),
+        )
+        .select("doc_id", "char_entropy_bits", "gate")
+    )

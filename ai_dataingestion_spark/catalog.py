@@ -134,6 +134,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "tpch_q15_top_supplier",
         "tpch_q19_disjunctive",
         "events_bot_rate_flag",
+        "text_code_detect",
+        "text_entropy_filter",
     }
 )
 
