@@ -559,3 +559,101 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "char_entropy_bits", "gate")
     )
+
+
+_CMS_D = 4          # sketch depth (independent hash rows)
+_CMS_W = 256        # sketch width (buckets per row)
+_CMS_P = (1 << 31) - 1
+
+
+def _cms_row_duck(r: int) -> str:
+    """DuckDB bucket index for sketch row r over column `token`."""
+    return (
+        f"((({2 * r + 3} * (CAST('0x'||substring(md5(token),1,15) AS BIGINT)"
+        f" % {_CMS_P}) + {1000003 * r + 12345}) % {_CMS_P}) % {_CMS_W})"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+assigned AS (
+  SELECT token,
+         {", ".join("%s AS b%d" % (_cms_row_duck(r), r) for r in range(_CMS_D))}
+  FROM toks
+),
+sketch AS (
+  {" UNION ALL ".join("SELECT %d AS row_idx, b%d AS bucket, count(*) AS c FROM assigned GROUP BY b%d" % (r, r, r) for r in range(_CMS_D))}
+),
+exact AS (
+  SELECT token, count(*) AS exact_count,
+         {", ".join("min(b%d) AS b%d" % (r, r) for r in range(_CMS_D))}
+  FROM assigned GROUP BY token
+  ORDER BY exact_count DESC, token ASC LIMIT 20
+)
+SELECT e.token, e.exact_count,
+       least({", ".join("s%d.c" % r for r in range(_CMS_D))}) AS cms_estimate,
+       least({", ".join("s%d.c" % r for r in range(_CMS_D))}) >= e.exact_count
+         AS cms_admissible
+FROM exact e
+{" ".join("JOIN sketch s%d ON s%d.row_idx = %d AND s%d.bucket = e.b%d" % (r, r, r, r, r) for r in range(_CMS_D))}
+"""
+
+
+@register("agg_count_min_topk", oracle=_CMS_ORACLE)
+def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a
+    4×256 CMS over the corpus token stream, then the true top-20 tokens
+    with exact count, CMS estimate (min over the 4 bucket counts), and the
+    admissibility invariant estimate >= exact. The sketch hashes are
+    portable (md5 base + affine rows mod 2³¹−1), so BOTH engines build the
+    bit-identical sketch and the driver hash-compares the whole thing —
+    a sketch operator with an exact oracle, like agg_approx_distinct.
+
+    Scale shape: the sketch build is d=4 map-side-combinable groupBys of
+    width ≤ 256 — constant-size state per executor, the canonical
+    streaming-sketch plan; the exact top-20 exists only to verify."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    base = F.expr(
+        f"CAST(conv(substring(md5(token),1,15),16,10) AS BIGINT) % {_CMS_P}"
+    )
+    assigned = toks.select(
+        "token",
+        *[
+            (((F.lit(2 * r + 3) * base + F.lit(1000003 * r + 12345)) % _CMS_P)
+             % _CMS_W).alias(f"b{r}")
+            for r in range(_CMS_D)
+        ],
+    )
+    sketch = None
+    for r in range(_CMS_D):
+        part = assigned.groupBy(F.col(f"b{r}").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(r).alias("row_idx"), "bucket", "c")
+        sketch = part if sketch is None else sketch.unionByName(part)
+    exact = (
+        assigned.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("exact_count"),
+            *[F.min(f"b{r}").alias(f"b{r}") for r in range(_CMS_D)],
+        )
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(20)
+    )
+    joined = exact
+    for r in range(_CMS_D):
+        s = sketch.filter(F.col("row_idx") == r).select(
+            F.col("bucket").alias(f"bk{r}"), F.col("c").alias(f"c{r}")
+        )
+        joined = joined.join(
+            F.broadcast(s), F.col(f"b{r}") == F.col(f"bk{r}")
+        )
+    est = F.least(*[F.col(f"c{r}") for r in range(_CMS_D)])
+    return joined.select(
+        "token",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est >= F.col("exact_count")).alias("cms_admissible"),
+    )

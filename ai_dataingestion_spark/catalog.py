@@ -110,10 +110,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # Formerly-green oracle-backed IDs that READ the events table but were not
 # value-broken by the ts bug (their r1/r2 green rows predate the corpus
 # regen, so the evidence is stale): re-check them right after the rank-0
-# block. 11 IDs — with the 36 rank-0 IDs (incl. the three md5-portable
-# conversions: dedup_near_minhash, dedup_simhash, text_fingerprint) and the
-# 3 remaining genuinely-rows-only IDs (sim_ann_lsh, sim_ann_ivf,
-# stream_watermark_late) this fills the driver's 50-slot window exactly.
+# block. With 41 rank-0 IDs (ts-bug re-entries, never-checked IDs, the
+# three md5-portable conversions, and the first five round-4 additions)
+# the 50-slot window holds 41 rank-0 + the first 9 of these 11; the two
+# evicted (udf_grouped_map, udf_map_in_pandas — UDF plumbing, corpus-
+# insensitive) re-enter next round with the deferred tier below.
 _EVENTS_RECHECK: frozenset[str] = frozenset(
     {
         "agg_conditional", "agg_salted_skew", "events_funnel", "fn_json",
@@ -136,6 +137,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_bot_rate_flag",
         "text_code_detect",
         "text_entropy_filter",
+        "agg_count_min_topk",
     }
 )
 
