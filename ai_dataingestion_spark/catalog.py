@@ -138,6 +138,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_code_detect",
         "text_entropy_filter",
         "agg_count_min_topk",
+        "join_bloom_prefilter",
     }
 )
 

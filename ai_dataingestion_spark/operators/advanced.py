@@ -2124,3 +2124,124 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_WORDS = 16   # per filter: 16 x 63-bit words = 1008 bits
+_BLOOM_CUTOFF = 495000.0
+
+
+def _bloom_parts_sql(key_expr: str, dialect: str) -> dict[str, str]:
+    """Word/bit index expressions for the two independent single-hash
+    blooms (A AND B membership == k=2 bloom): identical integer paths in
+    both dialects from one md5 base hash."""
+    if dialect == "spark":
+        base = (
+            f"CAST(conv(substring(md5(CAST({key_expr} AS STRING)),1,15),16,10)"
+            f" AS BIGINT) % {_BLOOM_P}"
+        )
+    else:
+        base = (
+            f"CAST('0x'||substring(md5(CAST({key_expr} AS VARCHAR)),1,15)"
+            f" AS BIGINT) % {_BLOOM_P}"
+        )
+    return {
+        "word_a": f"((3 * ({base}) + 17) % {_BLOOM_P}) % {_BLOOM_WORDS}",
+        "bit_a": f"((5 * ({base}) + 29) % {_BLOOM_P}) % 63",
+        "word_b": f"((7 * ({base}) + 101) % {_BLOOM_P}) % {_BLOOM_WORDS}",
+        "bit_b": f"((11 * ({base}) + 7) % {_BLOOM_P}) % 63",
+    }
+
+
+_BP_S = _bloom_parts_sql("o_custkey", "duck")
+_BP_C = _bloom_parts_sql("c_custkey", "duck")
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > {_BLOOM_CUTOFF}
+),
+build_h AS (
+  SELECT o_custkey, {_BP_S['word_a']} AS wa, {_BP_S['bit_a']} AS ba,
+         {_BP_S['word_b']} AS wb, {_BP_S['bit_b']} AS bb
+  FROM build
+),
+bloom_a AS (SELECT wa AS word, bit_or(CAST(1 AS BIGINT) << ba) AS bits
+            FROM build_h GROUP BY wa),
+bloom_b AS (SELECT wb AS word, bit_or(CAST(1 AS BIGINT) << bb) AS bits
+            FROM build_h GROUP BY wb),
+probe AS (
+  SELECT c_custkey, {_BP_C['word_a']} AS wa, {_BP_C['bit_a']} AS ba,
+         {_BP_C['word_b']} AS wb, {_BP_C['bit_b']} AS bb
+  FROM customer
+),
+cand AS (
+  SELECT p.c_custkey
+  FROM probe p
+  JOIN bloom_a a ON a.word = p.wa AND ((a.bits >> p.ba) & 1) = 1
+  JOIN bloom_b b ON b.word = p.wb AND ((b.bits >> p.bb) & 1) = 1
+)
+SELECT (SELECT count(*) FROM build)                     AS n_build_keys,
+       (SELECT count(*) FROM cand)                      AS n_candidates,
+       (SELECT count(*) FROM cand
+         JOIN build ON o_custkey = c_custkey)           AS n_real,
+       (SELECT count(*) FROM cand) -
+       (SELECT count(*) FROM cand
+         JOIN build ON o_custkey = c_custkey)           AS n_false_positives
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, built from scratch as a relational
+    plan (the runtime-filter technique engines inject for selective joins
+    — here explicit, portable, and oracle-verified): high-value-order
+    custkeys are folded into two 16×63-bit bitmaps (bit_or aggregates, k=2
+    via A∧B membership), the probe side joins the BROADCAST 16-row bitmaps
+    and keeps rows whose bits are set, and the exact join then runs only on
+    survivors. Output counts expose the pruning quality (build keys,
+    candidates, exact matches, false positives). At 100 TB the bitmap is
+    constant-size regardless of build cardinality — the prefilter drops
+    probe rows before any fact-table shuffle."""
+    t = Tables(spark, sf_dir)
+    sp_build = _bloom_parts_sql("o_custkey", "spark")
+    sp_probe = _bloom_parts_sql("c_custkey", "spark")
+    build = (
+        t.orders.filter(F.col("o_totalprice") > _BLOOM_CUTOFF)
+        .select("o_custkey").distinct()
+    )
+    build_h = build.select(
+        "o_custkey",
+        *[F.expr(sp_build[k]).alias(k) for k in ("word_a", "bit_a", "word_b", "bit_b")],
+    )
+    bloom_a = build_h.groupBy(F.col("word_a").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit_a)")).alias("bits_a")
+    )
+    bloom_b = build_h.groupBy(F.col("word_b").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit_b)")).alias("bits_b")
+    )
+    probe = t.customer.select(
+        "c_custkey",
+        *[F.expr(sp_probe[k]).alias(k) for k in ("word_a", "bit_a", "word_b", "bit_b")],
+    )
+    cand = (
+        probe.join(F.broadcast(bloom_a), probe.word_a == bloom_a.word)
+        .filter(F.expr("(bits_a >> bit_a) & 1 = 1"))
+        .join(F.broadcast(bloom_b), probe.word_b == bloom_b.word)
+        .filter(F.expr("(bits_b >> bit_b) & 1 = 1"))
+        .select("c_custkey")
+    )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_real = (
+        cand.join(build, cand.c_custkey == build.o_custkey)
+        .agg(F.count(F.lit(1)).alias("n_real"))
+    )
+    return (
+        n_build.crossJoin(n_cand).crossJoin(n_real)
+        .select(
+            "n_build_keys",
+            "n_candidates",
+            "n_real",
+            (F.col("n_candidates") - F.col("n_real")).alias("n_false_positives"),
+        )
+    )
