@@ -209,3 +209,71 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(nodes, edf, max_iters=64).collect()
         }
         assert got == want, (n, edges)
+
+
+UNICODE_TEXTS = st.text(min_size=0, max_size=40)  # full unicode plane
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_portable_hash_parity(spark, data):
+    """The md5-derived 60-bit hash every portable-signature operator rests
+    on (minhash, simhash, fingerprints, CMS, bloom) must agree between
+    Spark's conv(...,16,10) and DuckDB's '0x...' cast for ARBITRARY
+    unicode strings — a drift here silently skews every signature."""
+    texts = data.draw(st.lists(UNICODE_TEXTS, min_size=20, max_size=20))
+    from pyspark.sql import functions as F
+
+    df = _spark_one_col(spark, texts, "s string")
+    got = [
+        r.h
+        for r in df.select(
+            F.expr(
+                "CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT)"
+            ).alias("h")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        row[0]
+        for row in con.execute(
+            "SELECT CAST('0x'||substring(md5(s),1,15) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS s)",
+            [texts],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_carter_wegman_transform_parity(spark, data):
+    """The affine minhash transforms (a*h + b) % (2^31-1) must be
+    overflow-identical in both engines across the full base-hash range."""
+    P = (1 << 31) - 1
+    hs = data.draw(
+        st.lists(st.integers(min_value=0, max_value=P - 1),
+                 min_size=20, max_size=20)
+    )
+    a, b = 2654435761 % P, 104729
+    from pyspark.sql import functions as F
+
+    df = _spark_one_col(spark, hs, "h bigint")
+    got = [
+        r.v
+        for r in df.select(
+            ((F.lit(a) * F.col("h") + F.lit(b)) % P).alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    # CAST to BIGINT as the real oracle does (its base hash is already a
+    # BIGINT expression) — raw unnest infers INT32 and overflows.
+    want = [
+        row[0]
+        for row in con.execute(
+            f"SELECT ({a} * CAST(h AS BIGINT) + {b}) % {P} "
+            "FROM (SELECT unnest(?) AS h)",
+            [hs],
+        ).fetchall()
+    ]
+    assert got == want
