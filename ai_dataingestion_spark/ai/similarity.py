@@ -598,3 +598,125 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("x"), 6).alias("max_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_KM_K = 8  # clusters; deterministic seeds = vectors with vec_id < 8
+
+_KM_DIST = (
+    "round(list_sum(list_transform(e.v, (x, i) -> (x - c{it}.cv[i]) * (x - c{it}.cv[i]))), 6)"
+)
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT e.vec_id, c0.cid, {_KM_DIST.format(it='0')} AS dist
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+pd1 AS (
+  SELECT a1.cid, i AS dim, round(avg(x), 6) AS m
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e) ex
+  JOIN a1 USING (vec_id)
+  GROUP BY a1.cid, i
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM pd1 GROUP BY cid),
+d2 AS (
+  SELECT e.vec_id, c1.cid, {_KM_DIST.format(it='1')} AS dist
+  FROM e CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+pd2 AS (
+  SELECT a2.cid, i AS dim, round(avg(x), 6) AS m
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e) ex
+  JOIN a2 USING (vec_id)
+  GROUP BY a2.cid, i
+),
+c2 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM pd2 GROUP BY cid),
+sizes AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid)
+SELECT s.cid, s.n_members,
+       round(c2.cv[1], 6) AS centroid_head,
+       round(list_sum(c2.cv), 6) AS centroid_sum
+FROM sizes s JOIN c2 USING (cid)
+"""
+
+
+@register("embed_kmeans_iterations", oracle=_KMEANS_ORACLE)
+def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k=8, deterministic seed
+    centroids vec_id < 8) expressed relationally — the iterative-algorithm
+    pattern (assign → recompute → assign) as pure DataFrame ops with an
+    unrolled-CTE oracle verifying BOTH iterations end-to-end.
+
+    Determinism across engines: distances are left-to-right double
+    reductions rounded to 6 dp BEFORE the argmin (row_number with a
+    centroid-id tie-break), and centroid components are rounded to 6 dp
+    each iteration, so both engines iterate from bit-equal state. Scale
+    shape per iteration: one broadcast of k×dim centroids, one n×k
+    distance evaluation (map-side), one posexplode + partial-aggregable
+    per-(cluster, dim) mean — the canonical distributed Lloyd step; more
+    iterations are the same plan repeated."""
+    e = Tables(spark, sf_dir).embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.round(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        )
+        d = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", "v", dist.alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("dim0", "x"))
+            .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        return per_dim.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("cv")
+        )
+
+    a1 = assign(c0)
+    c1 = recompute(a1)
+    a2 = assign(c1)
+    c2 = recompute(a2)
+    sizes = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(c2, "cid").select(
+        "cid",
+        "n_members",
+        F.round(F.element_at("cv", 1), 6).alias("centroid_head"),
+        F.round(
+            F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("centroid_sum"),
+    )

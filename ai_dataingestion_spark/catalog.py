@@ -139,6 +139,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_entropy_filter",
         "agg_count_min_topk",
         "join_bloom_prefilter",
+        "scan_orc",
+        "embed_kmeans_iterations",
     }
 )
 

@@ -146,3 +146,21 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("json").alias("fmt"), "n_rows", "key_sum")
     )
     return csv_back.unionByName(json_back)
+
+
+@register(
+    "scan_orc",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format round-trip (the columnar format Spark supports natively
+    besides parquet — Hive-ecosystem interop): write nation as ORC with
+    zlib compression, read it back with the declared schema. DuckDB cannot
+    read ORC, so the oracle verifies the round-tripped CONTENT against the
+    parquet source — format fidelity, not format parsing."""
+    out = op_tmpdir("scan_orc_")
+    n = Tables(spark, sf_dir).nation
+    n.coalesce(1).write.mode("overwrite").option("compression", "zlib").orc(out)
+    return spark.read.schema(n.schema).orc(out)
