@@ -141,6 +141,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "join_bloom_prefilter",
         "scan_orc",
         "embed_kmeans_iterations",
+        "events_ewma_daily",
     }
 )
 

@@ -503,3 +503,78 @@ def events_bot_rate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("active_days"),
     )
     return per_user.filter(F.col("peak_daily") >= 7)
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+         first_value(x) OVER (PARTITION BY event_type ORDER BY day) AS x0
+  FROM daily
+),
+acc AS (
+  SELECT event_type, day, x, t, x0,
+         sum(CASE WHEN t = 0 THEN 0.0
+                  ELSE x * power({1 - _EWMA_ALPHA}, -t) END)
+           OVER (PARTITION BY event_type ORDER BY t) AS wsum
+  FROM seq
+)
+SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+       round(power({1 - _EWMA_ALPHA}, t) * (x0 + {_EWMA_ALPHA} * wsum), 6)
+         AS ewma
+FROM acc
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (recursive y_t = (1-α)y_(t-1) + αx_t, y_0 = x_0) — the smoothing
+    primitive of anomaly/trend monitors, expressed NON-recursively via the
+    closed form y_t = (1-α)^t·x_0 + α·Σ (1-α)^(t-i)·x_i, which is one
+    running window sum of power-weighted terms. The weight (1-α)^(-i)
+    grows only to (0.7)^-30 ≈ 4e4 over this corpus's 30-day span, so the
+    prefix-sum trick is numerically safe; both engines evaluate identical
+    double math, rounded to 6 dp. One shuffle on event_type; window input
+    is days × types — broadcast-sized at any event volume."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.first("x").over(w_ord).alias("x0"),
+    )
+    w_acc = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    beta = 1 - _EWMA_ALPHA
+    wsum = F.sum(
+        F.when(F.col("t") == 0, 0.0).otherwise(
+            F.col("x") * F.pow(F.lit(beta), -F.col("t"))
+        )
+    ).over(w_acc)
+    return seq.select(
+        "event_type",
+        "day",
+        F.col("x").cast("bigint").alias("n_events"),
+        F.round(
+            F.pow(F.lit(beta), F.col("t"))
+            * (F.col("x0") + _EWMA_ALPHA * wsum),
+            6,
+        ).alias("ewma"),
+    )

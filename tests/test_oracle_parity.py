@@ -49,7 +49,7 @@ def test_driver_window_rotation():
     )
 
     names = list(SPECS)
-    assert len(names) == 188  # 172 rounds 1-3 + 16 round-4 additions (§2.O)
+    assert len(names) == 189  # 172 rounds 1-3 + 17 round-4 additions (§2.O)
     window = names[:50]
     for n in window:
         assert SPECS[n].oracle is not None, f"{n} rows-only in hash window"
