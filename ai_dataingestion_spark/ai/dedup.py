@@ -70,6 +70,34 @@ def _duck_h(s: str) -> str:
     return f"CAST('0x'||substring(md5({s}),1,15) AS BIGINT)"
 
 
+def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
+    """(doc_id, h) rows of shingles whose STRING-level document frequency
+    is <= cap, computed from 8-byte hash keys: hash-count <= cap implies
+    every underlying string is rare (hash count >= string DF), so those
+    rows enter with no string work; only HOT hashes (count > cap — the
+    Zipf head, broadcast-sized) are re-counted at string level, and
+    strings that prove rare are rescued, so a 64-bit collision can never
+    silently drop a rare shingle. `inv` must have (doc_id, sh, h) columns.
+    Shared by dedup_ngram_jaccard and text_containment_pairs; its
+    equivalence to a pure string-level DF cap is proven on the real corpus
+    in tests/test_plans.py::test_rescue_path_matches_string_level_cap."""
+    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
+    rare_h = hash_df.filter(F.col("hcnt") <= cap).select("h")
+    hot_h = hash_df.filter(F.col("hcnt") > cap).select("h")
+    rescued = (
+        inv.join(F.broadcast(hot_h), "h")
+        .groupBy("sh", "h")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .filter(F.col("scnt") <= cap)
+        .select("sh", "h")
+    )
+    # rare_h is ~all distinct shingles — never broadcast it; hot_h/rescued
+    # are bounded by total_rows / cap and stay broadcastable.
+    return inv.join(rare_h, "h").select("doc_id", "h").unionByName(
+        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
+    )
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -461,21 +489,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = shingle_rows.select(
         "doc_id", "sh", F.xxhash64("sh").alias("h")
     )
-    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
-    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
-    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
-    rescued = (
-        inv.join(F.broadcast(hot_h), "h")
-        .groupBy("sh", "h")
-        .agg(F.count(F.lit(1)).alias("scnt"))
-        .filter(F.col("scnt") <= 50)
-        .select("sh", "h")
-    )
-    # rare_h is ~all distinct shingles — never broadcast it; hot_h/rescued
-    # are the Zipf head (bounded by total_rows / cap) and stay broadcastable.
-    rare = inv.join(rare_h, "h").select("doc_id", "h").unionByName(
-        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
-    )
+    rare = _rare_shingle_index(inv, cap=50)
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
     # candidate pairs die on integer counts before any array work
@@ -520,6 +534,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_WINDOW = 4      # rolling window width (tokens) for fingerprint hashes
 _FP_KEEP = 8        # smallest window hashes kept per document
 _FP_MIN_SHARED = 2  # candidate pairs must share >= this many hashes
+_FP_DF_CAP = 50     # hashes in > this many docs are boilerplate: skip them
 
 
 _FINGERPRINT_PAIRS_ORACLE = f"""
@@ -540,9 +555,11 @@ fp AS (
          ))), 1, {_FP_KEEP}) AS fingerprint
   FROM corpus
 ),
-inv AS (SELECT doc_id, unnest(fingerprint) AS h FROM fp)
+inv AS (SELECT doc_id, unnest(fingerprint) AS h FROM fp),
+df AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= {_FP_DF_CAP}),
+rare AS (SELECT inv.doc_id, inv.h FROM inv JOIN df USING (h))
 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
-FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {_FP_MIN_SHARED}
 """
@@ -554,9 +571,14 @@ def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MOSS approach): each document keeps its 8 smallest distinct rolling
     4-token-window hashes (portable md5-derived, oracle-reproducible); docs
     sharing >= 2 fingerprint hashes are near-dup candidates with the shared
-    count reported. Candidate generation is an equality join on the hash —
-    per-hash fan-out is bounded by the fingerprint width, never all-pairs,
-    so the shuffle carries 8 rows per document at any corpus size."""
+    count reported. Candidate generation is an equality join on the hash,
+    guarded by a document-frequency cap (hashes present in > 50 docs are
+    template/boilerplate windows whose self-join fan-out would otherwise be
+    quadratic in their popularity — the same skew guard as the shingle
+    index); the shuffle carries 8 rows per document at any corpus size.
+    The cap runs on the hash itself on BOTH sides (the hash IS the content
+    key here; an md5 collision merging two windows' counts is ~2^-60 and
+    the oracle applies the identical hash-level cap, so parity is exact)."""
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
@@ -575,9 +597,11 @@ def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
     )
     inv = fp.select("doc_id", F.explode("fingerprint").alias("h"))
+    rare_h = inv.groupBy("h").count().filter(F.col("count") <= _FP_DF_CAP).select("h")
+    rare = inv.join(rare_h, "h")
     return (
-        inv.alias("a")
-        .join(inv.alias("b"), "h")
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -653,23 +677,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     inv = shingle_rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
-    # hash-keyed DF cap + hot-hash string rescue — same collision-safety
-    # argument as dedup_ngram_jaccard: hcnt <= 50 implies every underlying
-    # string is rare; only the Zipf-head hot hashes are re-counted at
-    # string level so a collision can never silently drop a rare shingle.
-    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
-    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
-    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
-    rescued = (
-        inv.join(F.broadcast(hot_h), "h")
-        .groupBy("sh", "h")
-        .agg(F.count(F.lit(1)).alias("scnt"))
-        .filter(F.col("scnt") <= 50)
-        .select("sh", "h")
-    )
-    rare = inv.join(rare_h, "h").select("doc_id", "h").unionByName(
-        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
-    )
+    rare = _rare_shingle_index(inv, cap=50)
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "h")

@@ -424,8 +424,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     config prunes to a few percent — the candidate fraction, not the recall,
     is what scales down with data quality.
 
-    Signatures are one numpy matmul per Arrow batch ((n,dim) @ (dim,48) —
-    the previous 32 per-row HOF dot products were the measured slow path);
+    Signatures are one numpy matmul per Arrow batch ((n,dim) @ (dim,384)
+    for the 32×12 planes — per-row HOF dot products were the measured
+    slow path);
     the embedding ships across Arrow once, buckets explode JVM-side.
     Candidate pair ids are deduplicated BEFORE re-attaching embeddings, so
     the distinct never shuffles array columns. At 100 TB the candidate-id
@@ -603,7 +604,7 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8  # clusters; deterministic seeds = vectors with vec_id < 8
 
 _KM_DIST = (
-    "round(list_sum(list_transform(e.v, (x, i) -> (x - c{it}.cv[i]) * (x - c{it}.cv[i]))), 6)"
+    "round(list_sum(list_transform(e.v, (x, i) -> (x - c{it}.cv[i]) * (x - c{it}.cv[i]))), 4)"
 )
 
 _KMEANS_ORACLE = f"""
@@ -623,7 +624,7 @@ a1 AS (
   ) WHERE rn = 1
 ),
 pd1 AS (
-  SELECT a1.cid, i AS dim, round(avg(x), 6) AS m
+  SELECT a1.cid, i AS dim, round(avg(x), 4) AS m
   FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e) ex
   JOIN a1 USING (vec_id)
   GROUP BY a1.cid, i
@@ -640,7 +641,7 @@ a2 AS (
   ) WHERE rn = 1
 ),
 pd2 AS (
-  SELECT a2.cid, i AS dim, round(avg(x), 6) AS m
+  SELECT a2.cid, i AS dim, round(avg(x), 4) AS m
   FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e) ex
   JOIN a2 USING (vec_id)
   GROUP BY a2.cid, i
@@ -662,9 +663,15 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle verifying BOTH iterations end-to-end.
 
     Determinism across engines: distances are left-to-right double
-    reductions rounded to 6 dp BEFORE the argmin (row_number with a
-    centroid-id tie-break), and centroid components are rounded to 6 dp
-    each iteration, so both engines iterate from bit-equal state. Scale
+    reductions rounded to 4 dp BEFORE the argmin (row_number with a
+    centroid-id tie-break), and centroid components (whose avg() sums in
+    engine-specific partition order, unlike the left-to-right distance
+    reductions) are rounded to 4 dp each iteration, so both engines
+    iterate from bit-equal state. 4 dp is deliberate flake insurance: the
+    cross-engine FP discrepancy on these sums is ~1e-14, so the chance any
+    of the ~1k rounded values straddles a 5e-5 boundary is ~1e-9 per run
+    (at 6 dp it was ~1e-5 — small, but a per-sweep lottery not worth
+    playing for a verification artifact). Scale
     shape per iteration: one broadcast of k×dim centroids, one n×k
     distance evaluation (map-side), one posexplode + partial-aggregable
     per-(cluster, dim) mean — the canonical distributed Lloyd step; more
@@ -683,7 +690,7 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, z: acc + z,
             ),
-            6,
+            4,
         )
         d = e.crossJoin(F.broadcast(cents)).select(
             "vec_id", "cid", "v", dist.alias("dist")
@@ -699,7 +706,7 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim = (
             assigned.select("cid", F.posexplode("v").alias("dim0", "x"))
             .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .agg(F.round(F.avg("x"), 4).alias("m"))
         )
         return per_dim.groupBy("cid").agg(
             F.expr(

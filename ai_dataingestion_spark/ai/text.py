@@ -358,13 +358,16 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ai_dataingestion_spark.ai.dedup import _DUP_OFFSET as _TEXT_DUP_OFFSET
+
+
 @register(
     "text_paragraph_dedup",
-    oracle="""
+    oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+  SELECT doc_id + {_TEXT_DUP_OFFSET}, text FROM documents WHERE doc_id % 2 = 0
 ),
 paras AS (
   SELECT doc_id, trim(p) AS para
@@ -392,12 +395,9 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-keyed groupBy — uniform 128-bit keys, map-side combined, no skew;
     the repeated-paragraph relation is a tiny fraction of the corpus at
     any scale."""
-    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
-    corpus = d.unionByName(
-        d.filter(F.col("doc_id") % 2 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    )
+    from ai_dataingestion_spark.ai.dedup import _corpus_with_exact_dups
+
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
     paras = (
         corpus.select("doc_id", F.explode(F.split("text", "\\. ")).alias("p"))
         .select("doc_id", F.trim("p").alias("para"))

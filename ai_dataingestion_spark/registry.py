@@ -224,16 +224,22 @@ def _sniff_events_ts_unit(path: str) -> str:
         target = parts[0]
     ts_type = pq.read_schema(target).field("ts").type
     ts_str = str(ts_type)
-    if ts_str.startswith("timestamp[ns"):
+    # tz-aware (isAdjustedToUTC=true) must NOT silently classify: reading
+    # an instant-semantics column with the NTZ schema would shift every
+    # wall-clock value — the exact silent-wrong-answer class this sniffer
+    # exists to catch.
+    tz = getattr(ts_type, "tz", None)
+    if ts_str.startswith("timestamp[ns") and tz is None:
         unit = "ns"
-    elif ts_str.startswith("timestamp[us"):
+    elif ts_str.startswith("timestamp[us") and tz is None:
         unit = "us"
     else:
         raise TypeError(
             f"events.ts at {target} has unexpected physical type {ts_str!r}; "
-            "expected timestamp[ns] or timestamp[us]. The corpus schema "
-            "changed — update registry.SCHEMAS / the read shim deliberately "
-            "rather than letting queries return silently wrong timestamps."
+            "expected tz-naive timestamp[ns] or timestamp[us]. The corpus "
+            "schema changed — update registry.SCHEMAS / the read shim "
+            "deliberately rather than letting queries return silently wrong "
+            "timestamps."
         )
     _events_ts_unit[path] = unit
     return unit

@@ -82,22 +82,29 @@ def check_corpus_fingerprint(sf_dir: str) -> None:
     import json
 
     record_path = REPO / "scripts" / "corpus_fingerprint.json"
-    current = corpus_fingerprint(sf_dir)
+    # normalize: '/dir/' and '/dir' must hit the same record, or a
+    # trailing slash silently skips the diff and re-baselines
+    key = sf_dir.rstrip("/")
+    current = corpus_fingerprint(key)
     previous = {}
     if record_path.exists():
         previous = json.loads(record_path.read_text())
-    prev_sf = previous.get(sf_dir)
+    prev_sf = previous.get(key)
     if prev_sf is None:
-        print(f"[corpus] no fingerprint on record for {sf_dir}; recording")
+        print(f"[corpus] no fingerprint on record for {key}; recording")
     elif prev_sf != current:
-        print(f"[corpus] *** CORPUS CHANGED at {sf_dir} since last record ***")
+        print(f"[corpus] *** CORPUS CHANGED at {key} since last record ***")
         for t in TABLES:
             if prev_sf.get(t) != current.get(t):
                 print(f"[corpus]   {t}: was {prev_sf.get(t)}")
                 print(f"[corpus]   {t}: now {current.get(t)}")
+        # preserve the superseded evidence: a crash or scrolled-away log
+        # must not leave run 2 reporting 'unchanged' with no trace that a
+        # regeneration ever happened
+        previous[f"{key}@superseded"] = prev_sf
     else:
-        print(f"[corpus] fingerprint unchanged for {sf_dir}")
-    previous[sf_dir] = current
+        print(f"[corpus] fingerprint unchanged for {key}")
+    previous[key] = current
     record_path.write_text(json.dumps(previous, indent=1, sort_keys=True) + "\n")
 
 

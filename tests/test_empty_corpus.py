@@ -34,3 +34,30 @@ def empty_sf(spark, tmp_path_factory):
 def test_runs_on_empty_corpus(spark, empty_sf, qid):
     df = SPECS[qid].fn(spark, empty_sf)
     assert df.count() >= 0
+
+
+def test_tz_aware_events_rejected(spark, tmp_path):
+    """A regenerated corpus writing events.ts as tz-aware (isAdjustedToUTC)
+    must FAIL LOUDLY at the sniffer, not silently reinterpret instants as
+    wall-clock NTZ values — the silent-wrong-answer class the footer sniff
+    exists to prevent."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ai_dataingestion_spark.registry import _sniff_events_ts_unit
+
+    path = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01", tz="UTC")],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+    with _pytest.raises(TypeError, match="tz-naive"):
+        _sniff_events_ts_unit(path)

@@ -296,15 +296,18 @@ def test_transition_matrix_normalizer_after_aggregate(spark, sf_small):
 
 
 def test_rescue_path_matches_string_level_cap(spark, sf_small):
-    """The hash-keyed DF cap + hot-hash rescue in dedup_ngram_jaccard must
-    select EXACTLY the shingle occurrences a pure string-level DF <= 50 cap
-    selects (the oracle's definition) — the collision-safety argument made
-    checkable: on any corpus, (rare-by-hash ∪ rescued) == rare-by-string."""
+    """The SHARED hash-keyed DF-cap + hot-hash rescue helper (used by
+    dedup_ngram_jaccard and text_containment_pairs) must select EXACTLY
+    the shingle occurrences a pure string-level DF <= 50 cap selects (the
+    oracle's definition) — the collision-safety argument made checkable:
+    on any corpus, (rare-by-hash ∪ rescued) == rare-by-string. Exercises
+    the production helper itself so the operators cannot drift from it."""
     from pyspark.sql import functions as F
 
     from ai_dataingestion_spark.ai.dedup import (
         _SHINGLES_EXPR,
         _corpus_with_near_dups,
+        _rare_shingle_index,
     )
 
     corpus = _corpus_with_near_dups(spark, sf_small).withColumn(
@@ -314,24 +317,14 @@ def test_rescue_path_matches_string_level_cap(spark, sf_small):
     rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     inv = rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
 
-    # engine path: hash cap + rescue
-    hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
-    rare_h = hash_df.filter(F.col("hcnt") <= 50).select("h")
-    hot_h = hash_df.filter(F.col("hcnt") > 50).select("h")
-    rescued = (
-        inv.join(hot_h, "h")
-        .groupBy("sh", "h")
-        .agg(F.count(F.lit(1)).alias("scnt"))
-        .filter(F.col("scnt") <= 50)
-        .select("sh", "h")
-    )
-    engine = inv.join(rare_h, "h").select("doc_id", "sh").unionByName(
-        inv.join(rescued, ["sh", "h"]).select("doc_id", "sh")
-    )
+    engine = _rare_shingle_index(inv, cap=50)  # (doc_id, h)
 
-    # oracle definition: string-level DF cap
+    # oracle definition: string-level DF cap, projected to the same
+    # (doc_id, h) shape the operators join on
     rare_sh = rows.groupBy("sh").count().filter(F.col("count") <= 50).select("sh")
-    oracle = rows.join(rare_sh, "sh").select("doc_id", "sh")
+    oracle = rows.join(rare_sh, "sh").select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
 
     assert engine.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(engine).count() == 0
