@@ -246,23 +246,29 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
 SELECT doc_id,
-       list_slice(list_sort(list_transform(
-         range(1, greatest(len(toks) - 2, 2)),
-         i -> CAST('0x'||substring(
-                md5(array_to_string(list_slice(toks, i, i + 3), ' ')),
-                1, 15) AS BIGINT)
-       )), 1, 4) AS fingerprint
+       array_to_string(list_transform(
+         list_slice(list_sort(list_transform(
+           range(1, greatest(len(toks) - 2, 2)),
+           i -> CAST('0x'||substring(
+                  md5(array_to_string(list_slice(toks, i, i + 3), ' ')),
+                  1, 15) AS BIGINT)
+         )), 1, 4),
+         h -> CAST(h AS VARCHAR)
+       ), ',') AS fingerprint
 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: rolling 4-token window hashes, keep the 4
-    smallest (winnowing-style selection, Schleimer et al. 2003). Emitted as
-    a sorted array of int64 — two docs sharing fingerprint hashes are
-    near-dup candidates. Pure expression work (sequence + transform + a
-    portable md5-derived 60-bit hash — bit-identical in DuckDB, so the
-    fingerprints are oracle-verified end-to-end; rows-only until round 4),
-    no Python."""
+    smallest (winnowing-style selection, Schleimer et al. 2003). Two docs
+    sharing fingerprint hashes are near-dup candidates. Pure expression work
+    (sequence + transform + a portable md5-derived 60-bit hash —
+    bit-identical in DuckDB, so the fingerprints are oracle-verified
+    end-to-end), no Python. The sorted hash array is emitted comma-joined as
+    a single string: arrays stay out of oracle-compared output schemas (the
+    agg_collect rule, operators/aggregates.py) because the driver's pandas
+    canonicalizer cannot hash ndarray cells — the raw-array shape was the
+    one driver ERR of round 4."""
     d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
     window_hashes = F.expr(
         """
@@ -274,7 +280,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.slice(F.array_sort(window_hashes), 1, 4).alias("fingerprint"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(window_hashes), 1, 4),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("fingerprint"),
     )
 
 

@@ -49,15 +49,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # corpus. The driver caps its oracle sweep at the FIRST 50 entries of
 # queries() per round, so registration order is the coverage rotation knob:
 # not-yet-driver-checked operators must come first to earn their green rows.
-# Round-4 rotation (VERDICT r3 items 2+3): the corpus was regenerated with
-# µs timestamps right before the r3 sweep, so every events-touching green
-# row from r1/r2 is stale evidence — the 8 ts-bug casualties (fn_timestamp,
-# win_lag_lead, win_moving_range, win_first_last, join_range, join_asof,
-# agg_cube, events_cohort_retention) are REMOVED from this set to re-enter
-# at rank 0, and the remaining events-touching formerly-green IDs re-enter
-# at rank 1 via _EVENTS_RECHECK below. agg_approx_distinct is removed
-# because it now has a real oracle (tolerance asserted in-query) instead of
-# its r1 `no_oracle` row.
+# Round-5 rotation (VERDICT r4 items 1-2, 4-5): the 49 green rows of
+# CORRECTNESS_r04 move into this set; the r4 deferred tier is emptied so
+# its 12 locally-green IDs rank 0 into the r5 window alongside the fixed
+# text_fingerprint (the one r4 ERR — output shape, now array_join'ed);
+# udf_grouped_map / udf_map_in_pandas (evicted from the r4 window, green
+# evidence predates the corpus regen) re-check at rank 1; the 3 rows-only
+# IDs take rank-2 tail slots for their first driver rows. Remaining window
+# slots fall to attested-green rank-4 entries and any round-5 additions
+# (which register at rank 0).
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     {
         # --- round 1 green (still attested: no events dependency) ---
@@ -104,22 +104,35 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "text_chunk_overlap", "split_train_eval", "join_salted_skew",
         "embed_quantize_int8", "text_perplexity_proxy", "tpch_q4_late_orders",
         "tpch_q12_priority_by_flag", "tpch_q13_order_distribution",
+        # --- round 4 green (49 rows of CORRECTNESS_r04) ---
+        "agg_approx_distinct", "agg_cube", "events_cohort_retention",
+        "events_transition_matrix", "events_dau_mau", "join_range",
+        "join_asof", "win_lag_lead", "win_moving_range", "win_first_last",
+        "fn_timestamp", "dedup_near_minhash", "dedup_simhash",
+        "dedup_fingerprint_pairs", "text_containment_pairs",
+        "embed_dim_stats", "pipeline_compact_latest", "stream_tumbling",
+        "stream_sliding", "stream_session", "events_timeseries_rollup",
+        "pipeline_scd2_intervals", "events_anomaly_zscore",
+        "tpch_q18_large_orders", "text_contamination_ngram",
+        "text_repetition_stats", "dedup_normalized_text",
+        "sample_stratified", "pack_context_windows", "agg_mode_per_group",
+        "join_interval_overlap", "win_gaps_islands", "quality_domain_cap",
+        "text_vocab_growth", "stream_stream_join", "events_sessionize_batch",
+        "customer_rfm_segments", "lineitem_abc_pareto",
+        "embed_centroid_outliers", "agg_corr_regression", "agg_conditional",
+        "agg_salted_skew", "events_funnel", "pivot_wide", "set_union_all",
+        "win_moving", "win_lag_default", "fn_map", "fn_json",
     }
 )
 
-# Formerly-green oracle-backed IDs that READ the events table but were not
-# value-broken by the ts bug (their r1/r2 green rows predate the corpus
-# regen, so the evidence is stale): re-check them right after the rank-0
-# block. With 41 rank-0 IDs (ts-bug re-entries, never-checked IDs, the
-# three md5-portable conversions, and the first five round-4 additions)
-# the 50-slot window holds 41 rank-0 + the first 9 of these 11; the two
-# evicted (udf_grouped_map, udf_map_in_pandas — UDF plumbing, corpus-
-# insensitive) re-enter next round with the deferred tier below.
+# Formerly-green oracle-backed IDs whose green rows predate the driver's
+# corpus regeneration (stale evidence): re-check them right after the
+# rank-0 block. Round 5: only the two UDF-plumbing re-checks evicted from
+# the r4 window remain; the other nine earned fresh r4 green rows.
 _EVENTS_RECHECK: frozenset[str] = frozenset(
     {
-        "agg_conditional", "agg_salted_skew", "events_funnel", "fn_json",
-        "fn_map", "pivot_wide", "set_union_all", "udf_grouped_map",
-        "udf_map_in_pandas", "win_lag_default", "win_moving",
+        "udf_grouped_map",
+        "udf_map_in_pandas",
     }
 )
 
@@ -128,22 +141,8 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # rank behind the rows-only tier so they don't evict the planned re-checks
 # mid-round; drop them from this set next round to rotate them into the
 # window (they are locally oracle-verified + unit-tested meanwhile).
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        "text_paragraph_dedup",
-        "text_boilerplate_lines",
-        "tpch_q15_top_supplier",
-        "tpch_q19_disjunctive",
-        "events_bot_rate_flag",
-        "text_code_detect",
-        "text_entropy_filter",
-        "agg_count_min_topk",
-        "join_bloom_prefilter",
-        "scan_orc",
-        "embed_kmeans_iterations",
-        "events_ewma_daily",
-    }
-)
+# Round 5: emptied per VERDICT r4 item 2 — the 12 r4 deferrals now rank 0.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
 def _rotation_rank(spec: QuerySpec) -> int:
