@@ -58,6 +58,12 @@ HEADLINE = (
     "sim_pair_dedup",
     "events_funnel",
     "pipeline_compact_latest",
+    # round-5 additions (VERDICT r4 item 6): the joins-heaviest round-4 ops
+    # get bench coverage so regressions surface in BENCH, not later rounds.
+    "dedup_fingerprint_pairs",
+    "text_containment_pairs",
+    "agg_count_min_topk",
+    "embed_kmeans_iterations",
 )
 
 N_RUNS = 3
