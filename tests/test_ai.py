@@ -143,3 +143,24 @@ def test_probe_cache_invalidated_on_regenerated_parquet(spark, sf_small, tmp_pat
     pids2, P2 = _probe_matrix(spark, sf)
     assert (pids1 == pids2).all()
     assert np.allclose(P1, -P2)  # stale memo would return P1 again
+
+
+def test_pair_dedup_lsh_recall_at_bench_scale(spark):
+    """VERDICT r4 item 7: the LSH-bucket-blocked SemDeDup variant must
+    reproduce the label-blocked ground truth at sf0.1 — the scale where the
+    bench runs. Exact copies share every bucket, so recall must be 1.0 and
+    (on this corpus, where every >= 0.99 pair IS an exact copy) the pair
+    sets must coincide exactly."""
+    sf_bench = "/root/testdata/sf0.1"
+    truth = {
+        (r.id1, r.id2)
+        for r in SPECS["sim_pair_dedup"].fn(spark, sf_bench).collect()
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in SPECS["sim_pair_dedup_lsh"].fn(spark, sf_bench).collect()
+    }
+    assert truth, "label-blocked ground truth unexpectedly empty"
+    recall = len(got & truth) / len(truth)
+    assert recall == 1.0, f"bucket-blocked recall {recall:.3f} < 1.0"
+    assert got == truth, f"extra pairs beyond ground truth: {got - truth}"
