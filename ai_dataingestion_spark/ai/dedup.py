@@ -75,26 +75,45 @@ def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
     is <= cap, computed from 8-byte hash keys: hash-count <= cap implies
     every underlying string is rare (hash count >= string DF), so those
     rows enter with no string work; only HOT hashes (count > cap — the
-    Zipf head, broadcast-sized) are re-counted at string level, and
-    strings that prove rare are rescued, so a 64-bit collision can never
-    silently drop a rare shingle. `inv` must have (doc_id, sh, h) columns.
-    Shared by dedup_ngram_jaccard and text_containment_pairs; its
-    equivalence to a pure string-level DF cap is proven on the real corpus
-    in tests/test_plans.py::test_rescue_path_matches_string_level_cap."""
+    Zipf head) are re-counted at string level, and strings that prove rare
+    are rescued, so a 64-bit collision can never silently drop a rare
+    shingle. `inv` must have (doc_id, sh, h) columns. Shared by
+    dedup_ngram_jaccard and text_containment_pairs; its equivalence to a
+    pure string-level DF cap is proven on the real corpus in
+    tests/test_plans.py::test_rescue_path_matches_string_level_cap.
+
+    Join strategy (ADVICE r4): hot_h/rescued cardinality is bounded by
+    total_rows / cap — small at bench scale but LINEAR in the corpus
+    (~2e10 entries at 1e12 shingle rows), so a static F.broadcast hint is
+    not scale-safe. No hint is forced: in the production config (AQE on,
+    session.py) Spark measures the built side at runtime and broadcasts
+    iff it is actually under the threshold, falling back to a shuffle join
+    above it — exactly the size-gated behavior a hand-rolled threshold
+    would reimplement.
+
+    Residual collision semantics: a rescued-index JOIN on h can count two
+    DIFFERENT strings sharing a 64-bit hash as one common shingle, so the
+    hash-level n_common a caller derives is >= the string-level count —
+    candidate prefilters built on it ADMIT extra pairs (caught by the
+    callers' exact string-level verify) and never drop; the one divergence
+    vs a string-level oracle is a pair the oracle's prefilter blocks but a
+    collision-inflated count admits AND that then passes exact verify —
+    requiring a same-hash different-string collision between two docs'
+    shingle sets (p ~ 2^-64 per pair; zero observed, would surface as a
+    driver hash mismatch)."""
     hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
     rare_h = hash_df.filter(F.col("hcnt") <= cap).select("h")
     hot_h = hash_df.filter(F.col("hcnt") > cap).select("h")
     rescued = (
-        inv.join(F.broadcast(hot_h), "h")
+        inv.join(hot_h, "h")
         .groupBy("sh", "h")
         .agg(F.count(F.lit(1)).alias("scnt"))
         .filter(F.col("scnt") <= cap)
         .select("sh", "h")
     )
-    # rare_h is ~all distinct shingles — never broadcast it; hot_h/rescued
-    # are bounded by total_rows / cap and stay broadcastable.
+    # rare_h is ~all distinct shingles — never broadcast it
     return inv.join(rare_h, "h").select("doc_id", "h").unionByName(
-        inv.join(F.broadcast(rescued), ["sh", "h"]).select("doc_id", "h")
+        inv.join(rescued, ["sh", "h"]).select("doc_id", "h")
     )
 
 

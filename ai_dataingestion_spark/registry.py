@@ -193,35 +193,20 @@ def warm_tables(
         _warm_cache[(sess, key_sf, name)] = df
 
 
-# Per-path memo of the events.ts physical parquet type ("ns" | "us").
-# The driver regenerated the corpus between rounds and silently switched
-# ts from timestamp[ns] to timestamp[us]; a hard-coded shim then produced
-# wrong answers in 17 queries (VERDICT r3). Sniffing the footer makes the
-# reader self-correcting, and anything other than ns/us fails LOUDLY.
-_events_ts_unit: dict[str, str] = {}
+# Memo of the events.ts physical parquet type ("ns" | "us"), keyed on the
+# sniffed files' (path, mtime, size) so an in-process regeneration at the
+# SAME path re-sniffs instead of serving a stale classification (ADVICE
+# r4). The driver regenerated the corpus between rounds and silently
+# switched ts from timestamp[ns] to timestamp[us]; a hard-coded shim then
+# produced wrong answers in 17 queries (VERDICT r3). Sniffing the footer
+# makes the reader self-correcting, and anything other than ns/us fails
+# LOUDLY.
+_events_ts_unit: dict[tuple, str] = {}
 
 
-def _sniff_events_ts_unit(path: str) -> str:
-    """Read the parquet footer and classify events.ts as 'ns' or 'us'.
-
-    Handles both a single .parquet file and a Spark-written directory of
-    part files (sniffs the first part). Raises on any other physical type
-    so a future silent corpus change surfaces as one clear error instead
-    of hash-mismatched query results.
-    """
-    unit = _events_ts_unit.get(path)
-    if unit is not None:
-        return unit
-    import glob
-
+def _classify_ts(target: str) -> str:
     import pyarrow.parquet as pq
 
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {path}")
-        target = parts[0]
     ts_type = pq.read_schema(target).field("ts").type
     ts_str = str(ts_type)
     # tz-aware (isAdjustedToUTC=true) must NOT silently classify: reading
@@ -230,18 +215,54 @@ def _sniff_events_ts_unit(path: str) -> str:
     # exists to catch.
     tz = getattr(ts_type, "tz", None)
     if ts_str.startswith("timestamp[ns") and tz is None:
-        unit = "ns"
-    elif ts_str.startswith("timestamp[us") and tz is None:
-        unit = "us"
-    else:
+        return "ns"
+    if ts_str.startswith("timestamp[us") and tz is None:
+        return "us"
+    raise TypeError(
+        f"events.ts at {target} has unexpected physical type {ts_str!r}; "
+        "expected tz-naive timestamp[ns] or timestamp[us]. The corpus "
+        "schema changed — update registry.SCHEMAS / the read shim "
+        "deliberately rather than letting queries return silently wrong "
+        "timestamps."
+    )
+
+
+def _sniff_events_ts_unit(path: str) -> str:
+    """Read the parquet footer(s) and classify events.ts as 'ns' or 'us'.
+
+    Handles both a single .parquet file and a Spark-written directory of
+    part files — EVERY part is sniffed and a mixed-unit directory raises
+    (one part read with the wrong shim would silently corrupt a slice of
+    the table, the worst failure mode). Raises on any other physical type
+    so a future silent corpus change surfaces as one clear error instead
+    of hash-mismatched query results.
+    """
+    import glob
+
+    targets = [path]
+    if os.path.isdir(path):
+        targets = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not targets:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+    stats = tuple(
+        (t, int(os.path.getmtime(os.path.realpath(t))), os.path.getsize(t))
+        for t in targets
+    )
+    key = (path, stats)
+    unit = _events_ts_unit.get(key)
+    if unit is not None:
+        return unit
+    units = {t: _classify_ts(t) for t in targets}
+    distinct = set(units.values())
+    if len(distinct) > 1:
         raise TypeError(
-            f"events.ts at {target} has unexpected physical type {ts_str!r}; "
-            "expected tz-naive timestamp[ns] or timestamp[us]. The corpus "
-            "schema changed — update registry.SCHEMAS / the read shim "
-            "deliberately rather than letting queries return silently wrong "
-            "timestamps."
+            f"events parquet at {path} mixes ts units {sorted(distinct)} "
+            f"across part files ({units}); a single shim cannot read it "
+            "correctly — regenerate the table with one unit."
         )
-    _events_ts_unit[path] = unit
+    unit = distinct.pop()
+    _events_ts_unit.clear()  # one live classification per process is enough
+    _events_ts_unit[key] = unit
     return unit
 
 
