@@ -324,3 +324,309 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.P.2 analytics: growth, baskets, seasonality, deciles, aging
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sales_yoy_growth",
+    oracle=f"""
+WITH yearly AS (
+  SELECT year(o_orderdate) AS o_year,
+         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue
+  FROM orders GROUP BY year(o_orderdate)
+)
+SELECT o_year,
+       CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+       round(CAST(revenue AS DOUBLE)
+             / CAST(lag(revenue) OVER (ORDER BY o_year) AS DOUBLE) - 1.0,
+             6) AS yoy_growth
+FROM yearly
+""",
+)
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly aggregate then a lag window.
+    The window partition is the whole (7-row) year relation — a single-task
+    window over an already-aggregated input, the correct shape at any
+    corpus size (aggregate first, window over the small result)."""
+    t = Tables(spark, sf_dir)
+    yearly = t.orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue")
+    )
+    w = Window.orderBy("o_year")
+    return yearly.select(
+        "o_year",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.lag(F.col("revenue")).over(w).cast("double")
+            - 1.0,
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH order_parts AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_counts AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders
+  FROM order_parts a JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part1, part2, n_orders FROM pair_counts
+WHERE n_orders >= 3
+""",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 3
+    orders. The self-join is keyed on l_orderkey, so its fan-out per order
+    is C(parts_in_order, 2) — bounded by the ~7-line order format, NOT by
+    corpus size; the distinct-first projection keeps repeated parts within
+    an order from inflating pairs. This is the a-priori candidate-pair
+    kernel at 100 TB: shuffle on orderkey, quadratic only within an order."""
+    t = Tables(spark, sf_dir)
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part2"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(sum(value), 6) AS day_value
+  FROM events WHERE user_id % 50 = 0
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+calendar AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+),
+joined AS (
+  SELECT c.user_id, c.day, d.day_value,
+         count(d.day_value) OVER (PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM calendar c LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       max(day_value) OVER (PARTITION BY user_id, grp) AS filled_value,
+       CAST(day_value IS NULL AS BOOLEAN) AS was_gap
+FROM joined
+""",
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward: each
+    sampled user's daily value series is densified to a full calendar
+    (sequence + explode — rows generated map-side, never collected) and
+    gaps take the most recent observed value via last(ignorenulls) over an
+    ordered window. One shuffle on user_id serves the window; the calendar
+    explode is bounded by each user's own span."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("user_id") % 50 == 0)
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = calendar.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # day goes out as timestamp_ntz: DuckDB DATE arrives in pandas as a
+    # midnight datetime64, and Spark DateType as datetime.date — the driver
+    # canonicalizer treats those as distinct values (same class as the
+    # int-vs-float strictness), so both sides emit midnight timestamps
+    return joined.select(
+        "user_id",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "events_hourly_matrix",
+    oracle="""
+SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY dayofweek(ts), hour(ts)
+""",
+)
+def events_hourly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality matrix: event count and mean value per (day-of-week,
+    hour-of-day) cell — a 7 x 24-bounded output at any corpus size, fully
+    partial-aggregable (map-side combine carries 168 cells per task).
+    Dialect note: Spark dayofweek() is 1=Sunday..7=Saturday; DuckDB
+    dayofweek() is 0=Sunday..6 — aligned by matching Spark to DuckDB+1
+    via the expression below."""
+    t = Tables(spark, sf_dir)
+    # Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0 -> use Spark-1
+    return (
+        t.events.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+WITH clv AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS lifetime
+  FROM orders GROUP BY o_custkey
+),
+bucketed AS (
+  SELECT o_custkey, lifetime,
+         ntile(10) OVER (ORDER BY lifetime DESC, o_custkey ASC) AS decile
+  FROM clv
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(round(sum(lifetime), 2) AS DOUBLE) AS total_value,
+       CAST(round(min(lifetime), 2) AS DOUBLE) AS floor_value
+FROM bucketed GROUP BY decile
+""",
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer revenue, ntile(10)
+    ranking (o_custkey tie-break makes bucket edges deterministic), decile
+    rollup. The global ntile is a single-partition window over the ALREADY
+    AGGREGATED per-customer relation — at 100 TB per-customer rows are
+    ~1e9 which still needs a distributed sort; the decile cut would then
+    move to approx percentile boundaries (agg_percentile's sketch) — noted
+    here because ntile's exact global ordering is the documented non-scale
+    piece of this query."""
+    t = Tables(spark, sf_dir)
+    clv = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("lifetime")
+    )
+    w = Window.orderBy(F.desc("lifetime"), F.asc("o_custkey"))
+    return (
+        clv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("lifetime"), 2).cast("double").alias("total_value"),
+            F.round(F.min("lifetime"), 2).cast("double").alias("floor_value"),
+        )
+    )
+
+
+@register(
+    "orders_priority_aging",
+    oracle="""
+WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+aged AS (
+  SELECT o_orderpriority,
+         CASE
+           WHEN datediff('day', o_orderdate, maxd) <= 180 THEN '0-180'
+           WHEN datediff('day', o_orderdate, maxd) <= 365 THEN '181-365'
+           WHEN datediff('day', o_orderdate, maxd) <= 730 THEN '366-730'
+           ELSE '731+'
+         END AS age_bucket
+  FROM orders, anchor
+)
+SELECT o_orderpriority, age_bucket, count(*) AS n_orders
+FROM aged GROUP BY o_orderpriority, age_bucket
+""",
+)
+def orders_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order aging report: orders bucketed by age relative to the newest
+    order, split by priority — the AR-aging-style backlog matrix. The max-date
+    anchor is a 1-row broadcast; bucketing is pure expression work and the
+    aggregate output is bounded by 5 priorities x 4 buckets."""
+    t = Tables(spark, sf_dir)
+    anchor = t.orders.agg(F.max("o_orderdate").alias("maxd"))
+    age = F.datediff(F.col("maxd"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 180, "0-180")
+        .when(age <= 365, "181-365")
+        .when(age <= 730, "366-730")
+        .otherwise("731+")
+    )
+    return (
+        t.orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "part_brand_share",
+    oracle=f"""
+WITH brand_rev AS (
+  SELECT p_type, p_brand,
+         sum(CAST({_NET} AS DECIMAL(20,6))) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand,
+       CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+       round(CAST(revenue AS DOUBLE) /
+             CAST(sum(revenue) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+         AS type_share
+FROM brand_rev
+""",
+)
+def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue share within part type: aggregate once, then a
+    windowed ratio-to-report over the small (type, brand) result — the
+    share window never touches lineitem-sized data."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return rev.select(
+        "p_type",
+        "p_brand",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("type_share"),
+    )
