@@ -630,3 +630,305 @@ def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.P.3 text / training-data pipeline statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_mixture_weights",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS actual_share,
+       round((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+         AS sampling_weight
+FROM per_lang, tot
+""",
+)
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting for pretraining: per-language token counts
+    and the per-doc sampling weight that moves the corpus to a uniform
+    language target (weight = target_share / actual_share). Token counting
+    is a map-side expression; the per-lang relation is vocabulary-of-langs
+    sized, so the scalar totals are a broadcast cross join."""
+    t = Tables(spark, sf_dir)
+    per_lang = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round((1.0 / F.col("n_langs")) / share, 6).alias("sampling_weight"),
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+WITH freqs AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freqs
+)
+SELECT count(*) AS n_tokens_used,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
+FROM ranked WHERE rank <= 1000
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token frequencies: OLS slope of
+    ln(freq) on ln(rank) — a natural-text corpus sits near -1, and a big
+    deviation flags TEMPLATED or machine-generated data (the quality
+    signal). Spark has no regr_slope; covar_pop/var_pop compute the same
+    estimator. The rank window runs over the already-aggregated vocabulary
+    relation, and the fit itself is a 2-pass-free single aggregate."""
+    t = Tables(spark, sf_dir)
+    freqs = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 1000
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens_used"),
+        F.round(F.covar_pop(x, y) / F.var_pop(x), 6).alias("zipf_slope"),
+    )
+
+
+@register(
+    "text_charset_stats",
+    oracle="""
+SELECT doc_id,
+       round(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / len(text), 6) AS frac_alpha,
+       round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / len(text), 6) AS frac_digit,
+       round(CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / len(text), 6) AS frac_space,
+       CAST(len(text) <> octet_length(encode(text)) AS BOOLEAN) AS has_non_ascii
+FROM documents
+""",
+)
+def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class profile: alpha / digit / whitespace
+    fractions plus a non-ASCII flag (character length vs UTF-8 byte length
+    disagreeing) — the cheap first-pass filters of a web-scale text
+    pipeline, all JVM-side expressions. DuckDB needs the 'g' regex flag
+    (its regexp_replace is first-match by default; Spark's is global)."""
+    t = Tables(spark, sf_dir)
+    n = F.length("text")
+    def frac(pattern):
+        return F.round(
+            F.length(F.regexp_replace("text", pattern, "")).cast("double") / n, 6
+        )
+    return t.documents.select(
+        "doc_id",
+        frac("[^a-zA-Z]").alias("frac_alpha"),
+        frac("[^0-9]").alias("frac_digit"),
+        frac("[^ ]").alias("frac_space"),
+        (F.length("text") != F.octet_length("text")).alias("has_non_ascii"),
+    )
+
+
+@register(
+    "text_length_band_filter",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, cuts
+WHERE n_chars >= p05 AND n_chars <= p95
+""",
+)
+def text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-band quality filter: keep documents between the corpus's 5th
+    and 95th length percentiles — the standard truncation/boilerplate
+    guard. Spark percentile() and DuckDB quantile_cont share the linear
+    interpolation definition, so the cutoffs agree exactly; they land as a
+    1-row broadcast against the scan."""
+    t = Tables(spark, sf_dir)
+    cuts = t.documents.agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    return (
+        t.documents.crossJoin(F.broadcast(cuts))
+        .filter((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+WITH sent AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split_regex(text, '[.!?]'),
+                         s -> len(trim(s)) > 0)) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_sentences,
+       round(CAST(n_chars AS DOUBLE) / greatest(n_sentences, 1), 6)
+         AS chars_per_sentence
+FROM sent
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics: sentence count ([.!?] split,
+    empty segments dropped) and mean sentence length per document —
+    expression-only (split + filter + size), no Python."""
+    t = Tables(spark, sf_dir)
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]"), lambda s: F.length(F.trim(s)) > 0
+        )
+    )
+    return t.documents.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.round(
+            F.col("n_chars").cast("double") / F.greatest(n_sent, F.lit(1)), 6
+        ).alias("chars_per_sentence"),
+    )
+
+
+@register(
+    "dedup_family_sizes",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+),
+families AS (
+  SELECT md5(text) AS h, count(*) AS family_size FROM corpus GROUP BY md5(text)
+)
+SELECT family_size, count(*) AS n_families,
+       CAST(sum(family_size) AS BIGINT) AS n_docs,
+       CAST(sum(family_size - 1) AS BIGINT) AS n_removable
+FROM families GROUP BY family_size
+""",
+)
+def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family accounting: the size distribution of exact-dup
+    clusters and how many documents dedup would remove — the budgeting
+    number a pipeline reports before actually dropping rows. Two chained
+    partial-aggregable groupBys (hash → family size → distribution); the
+    second input is one row per family."""
+    from ai_dataingestion_spark.ai.dedup import _corpus_with_exact_dups
+
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    families = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return families.groupBy("family_size").agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum("family_size").alias("n_docs"),
+        F.sum(F.col("family_size") - 1).alias("n_removable"),
+    )
+
+
+@register(
+    "corpus_source_entropy",
+    oracle="""
+WITH per_source AS (
+  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total FROM per_source)
+SELECT count(*) AS n_sources,
+       round(-sum((CAST(n_tokens AS DOUBLE) / total)
+                  * log2(CAST(n_tokens AS DOUBLE) / total)), 6)
+         AS source_entropy_bits,
+       round(pow(2.0, -sum((CAST(n_tokens AS DOUBLE) / total)
+                           * log2(CAST(n_tokens AS DOUBLE) / total))), 6)
+         AS effective_sources
+FROM per_source, tot
+""",
+)
+def corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity entropy: token-weighted Shannon entropy over the
+    corpus's source distribution and its exponential (effective source
+    count) — the mixture-health number next to text_mixture_weights.
+    Two tiny aggregates over the per-source relation; one row out."""
+    t = Tables(spark, sf_dir)
+    per_source = t.documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total"))
+    p = F.col("n_tokens").cast("double") / F.col("total")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(ent, 6).alias("source_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), ent), 6).alias("effective_sources"),
+        )
+    )
+
+
+@register(
+    "dedup_affix_prefix",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+           AS prefix,
+         md5(text) AS full_hash
+  FROM documents
+)
+SELECT prefix,
+       count(*) AS n_docs,
+       count(DISTINCT full_hash) AS n_distinct_bodies
+FROM keyed
+GROUP BY prefix HAVING count(*) > 1
+""",
+)
+def dedup_affix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix (affix) duplication: documents opening with the same
+    5-token prefix — the template/boilerplate-header signal that exact
+    dedup misses because the bodies differ. Groups shuffle on the short
+    prefix key only; the distinct-body count rides the same shuffle."""
+    t = Tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("prefix"),
+        F.md5("text").alias("full_hash"),
+    )
+    return (
+        keyed.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("full_hash").alias("n_distinct_bodies"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
