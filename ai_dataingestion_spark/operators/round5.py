@@ -932,3 +932,240 @@ def dedup_affix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.P.4 embeddings, existence joins, interval arithmetic, data quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_cosine_histogram",
+    oracle="""
+WITH pairs AS (
+  SELECT round(
+           list_sum(list_transform(a.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(floor(cos * 10) AS INT) AS bin,
+       count(*) AS n_pairs
+FROM pairs GROUP BY bin
+""",
+)
+def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label pairwise-cosine distribution, binned at width 0.1 —
+    the corpus-geometry health check run before choosing a dedup
+    threshold. The pair cosine uses the left-to-right aggregate/zip_with
+    expression (bit-identical to DuckDB's list_sum, SURVEY §5.4) so the
+    9-dp round and the bin floor agree exactly; pairs come from a
+    label-blocked self-join (Σ block², never all-pairs — at corpus scale
+    the block key becomes sim_pair_dedup_lsh's bucket)."""
+    from ai_dataingestion_spark.ai.similarity import _dot, _norm
+
+    e = Tables(spark, sf_dir).embeddings
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "label",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "label",
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        9,
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.floor(cos * 10).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_existence_flags",
+    oracle="""
+WITH last_year AS (SELECT max(year(o_orderdate)) AS yr FROM orders),
+flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) = yr THEN 1 ELSE 0 END) AS recent,
+         max(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big
+  FROM orders, last_year GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(recent = 1, FALSE) AS has_recent_order,
+       coalesce(big = 1, FALSE) AS has_big_order
+FROM customer LEFT JOIN flags ON c_custkey = o_custkey
+""",
+)
+def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence flags without N semi-joins: ONE aggregation over orders
+    computes every EXISTS predicate as a max(CASE), then a single left
+    join attaches them — the decorrelated multi-EXISTS pattern (N
+    correlated subqueries would be N shuffles; this is always two)."""
+    t = Tables(spark, sf_dir)
+    last_yr = t.orders.agg(F.max(F.year("o_orderdate")).alias("yr"))
+    flags = (
+        t.orders.crossJoin(F.broadcast(last_yr))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == F.col("yr"), 1).otherwise(0)
+            ).alias("recent"),
+            F.max(
+                F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+            ).alias("big"),
+        )
+    )
+    return (
+        t.customer.join(flags, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("recent") == 1, F.lit(False)).alias(
+                "has_recent_order"
+            ),
+            F.coalesce(F.col("big") == 1, F.lit(False)).alias("has_big_order"),
+        )
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy
+FROM orders
+""",
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic parity surface: add_months, quarter
+    truncation, month-end, quarter and day-of-year extraction — all
+    whole-stage-codegen expressions. Spark's add_months and DuckDB's
+    + INTERVAL MONTH share end-of-month clamping semantics."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.date_trunc("quarter", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("qtr_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+    )
+
+
+@register(
+    "pipeline_dead_letter",
+    oracle="""
+WITH corpus AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, -o_totalprice, 'UNKNOWN'
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey,
+       concat_ws(';',
+         CASE WHEN o_totalprice <= 0 THEN 'nonpositive_total' END,
+         CASE WHEN o_orderpriority NOT IN
+              ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+              THEN 'unknown_priority' END) AS reasons
+FROM corpus
+WHERE o_totalprice <= 0
+   OR o_orderpriority NOT IN
+      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+""",
+)
+def pipeline_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: rows failing validation leave the pipeline
+    with machine-readable reasons (semicolon-joined — scalar output per
+    the oracle-schema rule) instead of killing the job. Violations are
+    injected deterministically (every 100th order: negated total, unknown
+    priority) since the corpus itself is clean; the checks are pure
+    expressions evaluated in one pass, no per-check scans."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    bad = t.orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+        F.lit("UNKNOWN").alias("o_orderpriority"),
+    )
+    corpus = base.unionByName(bad)
+    known = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    r1 = F.when(F.col("o_totalprice") <= 0, F.lit("nonpositive_total"))
+    r2 = F.when(
+        ~F.col("o_orderpriority").isin(known), F.lit("unknown_priority")
+    )
+    return corpus.filter(
+        (F.col("o_totalprice") <= 0) | ~F.col("o_orderpriority").isin(known)
+    ).select("o_orderkey", F.concat_ws(";", r1, r2).alias("reasons"))
+
+
+@register(
+    "pipeline_reconcile_totals",
+    oracle="""
+WITH line_sums AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                  AS DECIMAL(20,6))) AS computed_total
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT o_orderstatus,
+         abs(CAST(computed_total AS DOUBLE) - o_totalprice)
+           / o_totalprice AS rel_diff
+  FROM orders JOIN line_sums ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (rel_diff > 0.01) AS n_mismatched,
+       round(avg(rel_diff), 6) AS avg_rel_diff
+FROM joined GROUP BY o_orderstatus
+""",
+)
+def pipeline_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: order header totals vs the recomputed
+    sum of their line items (gross = extendedprice x (1+tax) x
+    (1-discount)), reported as mismatch counts and mean relative error
+    per order status — the ledger-integrity check of an ingest pipeline.
+    Both sides aggregate lineitem BEFORE the join, so the join carries
+    one row per order; the money sum stays in DECIMAL until the ratio."""
+    t = Tables(spark, sf_dir)
+    line_sums = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            ).cast("decimal(20,6)")
+        ).alias("computed_total")
+    )
+    joined = t.orders.join(
+        line_sums, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderstatus",
+        (
+            F.abs(F.col("computed_total").cast("double") - F.col("o_totalprice"))
+            / F.col("o_totalprice")
+        ).alias("rel_diff"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("rel_diff") > 0.01, 1)).alias("n_mismatched"),
+        F.round(F.avg("rel_diff"), 6).alias("avg_rel_diff"),
+    )
