@@ -90,7 +90,10 @@ def test_fingerprint_matches_for_exact_dup_docs(spark, sf_small):
     one = df.limit(1).collect()[0]
     again = df.filter(F.col("doc_id") == one.doc_id).collect()[0]
     assert one.fingerprint == again.fingerprint
-    assert len(one.fingerprint) == 4
+    # comma-joined scalar (the agg_collect rule): 4 sorted 60-bit hashes
+    hashes = [int(h) for h in one.fingerprint.split(",")]
+    assert len(hashes) == 4
+    assert hashes == sorted(hashes)
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_small):
