@@ -984,8 +984,11 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
         9,
     )
+    # shuffle_hash: both join sides carry 64-float arrays — the estimator
+    # under-counts array width on cached narrow projections (the measured
+    # ngram-jaccard broadcast-OOM class), so the strategy is pinned
     return (
-        a.join(b, "label")
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(F.floor(cos * 10).cast("int").alias("bin"))
         .groupBy("bin")

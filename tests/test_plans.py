@@ -352,3 +352,46 @@ def test_q15_scans_lineitem_once(spark, sf_small):
     fact table appears EXACTLY ONCE in the plan."""
     plan = _executed_plan(spark, "tpch_q15_top_supplier", sf_small)
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_round5_pair_ops_never_cartesian(spark, sf_small):
+    """Round-5 pair-generation plans must join on keys (label/bucket/
+    orderkey equality) — a BroadcastNestedLoopJoin or CartesianProduct
+    would mean all-pairs comparison, fatal at scale."""
+    for qid in (
+        "market_basket_pairs",
+        "embed_cosine_histogram",
+        "sim_pair_dedup_lsh",
+        "dedup_affix_prefix",
+    ):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+
+
+def test_cosine_histogram_never_broadcasts_arrays(spark, sf_small):
+    """embed_cosine_histogram's self-join carries 64-float arrays on BOTH
+    sides; the pinned shuffle_hash strategy must hold (the estimator
+    under-counts array width on cached projections — the measured
+    ngram-jaccard broadcast-OOM class)."""
+    plan = _executed_plan(spark, "embed_cosine_histogram", sf_small)
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_round5_tpch_broadcasts_dimensions(spark, sf_small):
+    """q8/q9's dimension chain (part filter, nation, region) must broadcast
+    — only lineitem⋈orders may shuffle."""
+    for qid in ("tpch_q8_market_share", "tpch_q9_profit_by_nation_year"):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "BroadcastHashJoin" in plan, qid
+
+
+def test_yoy_growth_windows_after_aggregate(spark, sf_small):
+    """sales_yoy_growth's lag window must consume the aggregated yearly
+    relation (HashAggregate below Window), never the raw orders scan."""
+    plan = _executed_plan(spark, "sales_yoy_growth", sf_small)
+    # executed plans print root-first: the Window node must sit ABOVE the
+    # aggregate (i.e., appear earlier), meaning it consumes its output
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert plan.count("HashAggregate") >= 2
