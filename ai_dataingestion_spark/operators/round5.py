@@ -961,39 +961,45 @@ FROM pairs GROUP BY bin
 def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-label pairwise-cosine distribution, binned at width 0.1 —
     the corpus-geometry health check run before choosing a dedup
-    threshold. The pair cosine uses the left-to-right aggregate/zip_with
-    expression (bit-identical to DuckDB's list_sum, SURVEY §5.4) so the
-    9-dp round and the bin floor agree exactly; pairs come from a
-    label-blocked self-join (Σ block², never all-pairs — at corpus scale
-    the block key becomes sim_pair_dedup_lsh's bucket)."""
-    from ai_dataingestion_spark.ai.similarity import _dot, _norm
+    threshold. One groupBy-label shuffle and ONE Arrow crossing per vector
+    (the sim_pair_dedup data-movement shape): each block bins its pairwise
+    cosines with a chunked block-local matmul and emits per-block bin
+    counts, which a 21-row final aggregate merges. The numpy round(9) ≡
+    DuckDB round(9) parity discipline is the one sim_pair_dedup's kernel
+    already established (a first cut computed per-pair cosines with the
+    aggregate/zip_with EXPRESSION for bit-exactness and measured 87 s at
+    the 10x sweep vs ~2 s for this kernel — per-pair interpreted HOF work
+    is the slow path; Σ block² pair COUNT is identical). At corpus scale
+    the block key becomes sim_pair_dedup_lsh's bucket."""
+    import numpy as np
+    import pandas as pd
 
-    e = Tables(spark, sf_dir).embeddings
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        "label",
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        "label",
-    )
-    cos = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b"))
-        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-        9,
-    )
-    # shuffle_hash: both join sides carry 64-float arrays — the estimator
-    # under-counts array width on cached narrow projections (the measured
-    # ngram-jaccard broadcast-OOM class), so the strategy is pinned
-    return (
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(F.floor(cos * 10).cast("int").alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    def block_bins(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"bin": [], "n": []}).astype(
+                {"bin": "int32", "n": "int64"}
+            )
+        G = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        Gn = G / np.sqrt((G * G).sum(axis=1, keepdims=True))
+        counts: dict[int, int] = {}
+        chunk = 4096
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            C = np.round(Gn[lo:hi] @ Gn.T, 9)
+            ri, cj = np.indices(C.shape)
+            keep = (ri + lo) < cj  # each unordered pair once, no self-pairs
+            bins = np.floor(C[keep] * 10).astype("int32")
+            b, c = np.unique(bins, return_counts=True)
+            for bb, cc in zip(b.tolist(), c.tolist()):
+                counts[bb] = counts.get(bb, 0) + int(cc)
+        return pd.DataFrame(
+            {"bin": list(counts), "n": list(counts.values())}
+        ).astype({"bin": "int32", "n": "int64"})
+
+    e = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding", "label")
+    per_block = e.groupBy("label").applyInPandas(block_bins, "bin int, n bigint")
+    return per_block.groupBy("bin").agg(F.sum("n").alias("n_pairs"))
 
 
 @register(

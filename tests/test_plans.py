@@ -369,14 +369,13 @@ def test_round5_pair_ops_never_cartesian(spark, sf_small):
         assert "BroadcastNestedLoopJoin" not in plan, qid
 
 
-def test_cosine_histogram_never_broadcasts_arrays(spark, sf_small):
-    """embed_cosine_histogram's self-join carries 64-float arrays on BOTH
-    sides; the pinned shuffle_hash strategy must hold (the estimator
-    under-counts array width on cached projections — the measured
-    ngram-jaccard broadcast-OOM class)."""
+def test_cosine_histogram_one_arrow_crossing(spark, sf_small):
+    """embed_cosine_histogram must follow the sim_pair_dedup data-movement
+    shape: ONE groupBy-label Arrow kernel (each vector crosses once) and a
+    tiny bin merge — no pair-carrying join of array columns at all."""
     plan = _executed_plan(spark, "embed_cosine_histogram", sf_small)
-    assert "BroadcastHashJoin" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
 
 
 def test_round5_tpch_broadcasts_dimensions(spark, sf_small):
