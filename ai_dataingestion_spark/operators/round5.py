@@ -1178,3 +1178,221 @@ def pipeline_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rel_diff") > 0.01, 1)).alias("n_mismatched"),
         F.round(F.avg("rel_diff"), 6).alias("avg_rel_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.P.5 window-filling five: cumulative share, delay stats, Gini,
+# norm percentiles, higher moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cumulative_share_monthly",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month,
+       CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+       round(CAST(sum(revenue) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS cumulative_share
+FROM monthly
+""",
+)
+def orders_cumulative_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share by month — the 'what fraction of the year
+    is booked by June' curve. Aggregate-first: both windows (running sum,
+    grand total) run over the months-sized relation, decimal until the
+    final ratio."""
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue"))
+    w_run = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return monthly.select(
+        F.col("month").cast("timestamp_ntz").alias("month"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.sum("revenue").over(w_run).cast("double")
+            / F.sum("revenue").over(w_all).cast("double"),
+            6,
+        ).alias("cumulative_share"),
+    )
+
+
+@register(
+    "lineitem_shipping_delay_stats",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 6) AS avg_delay,
+       min(datediff('day', o_orderdate, l_shipdate)) AS min_delay,
+       max(datediff('day', o_orderdate, l_shipdate)) AS max_delay,
+       round(stddev_samp(datediff('day', o_orderdate, l_shipdate)), 6)
+         AS sd_delay
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def lineitem_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay distribution per order priority: integer day deltas
+    through count/avg/min/max/stddev. One shuffle join on orderkey, one
+    partial-aggregable groupBy; 5-row output at any scale."""
+    t = Tables(spark, sf_dir)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(delay), 6).alias("avg_delay"),
+            F.min(delay).alias("min_delay"),
+            F.max(delay).alias("max_delay"),
+            F.round(F.stddev_samp(delay), 6).alias("sd_delay"),
+        )
+    )
+
+
+@register(
+    "supplier_revenue_gini",
+    oracle=f"""
+WITH srev AS (
+  SELECT l_suppkey, sum(CAST({_NET} AS DECIMAL(20,6))) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT revenue,
+         row_number() OVER (ORDER BY revenue ASC, l_suppkey ASC) AS rn,
+         count(*) OVER () AS n
+  FROM srev
+)
+SELECT CAST(max(n) AS BIGINT) AS n_suppliers,
+       round(2.0 * CAST(sum(CAST(rn AS DECIMAL(20,6)) * revenue) AS DOUBLE)
+             / (max(n) * CAST(sum(revenue) AS DOUBLE))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+""",
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration via the sorted
+    formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n — the inequality number next
+    to lineitem_abc_pareto. Rank runs over the aggregated per-supplier
+    relation (suppliers-sized); Σ(i·x) stays in DECIMAL so both engines
+    sum exactly."""
+    t = Tables(spark, sf_dir)
+    srev = t.lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(20,6)"
+            )
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.asc("revenue"), F.asc("l_suppkey"))
+    ranked = srev.select(
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_suppliers"),
+        F.round(
+            2.0
+            * F.sum(F.col("rn").cast("decimal(20,6)") * F.col("revenue")).cast(
+                "double"
+            )
+            / (F.max("n") * F.sum("revenue").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "embed_norm_percentiles",
+    oracle="""
+WITH norms AS (
+  SELECT sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+  FROM embeddings
+)
+SELECT count(*) AS n_vectors,
+       round(quantile_cont(l2, 0.10), 6) AS p10,
+       round(quantile_cont(l2, 0.50), 6) AS p50,
+       round(quantile_cont(l2, 0.90), 6) AS p90
+FROM norms
+""",
+)
+def embed_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution percentiles of the embedding corpus — the
+    un-normalized-vector detector. Norms use the left-to-right aggregate
+    (bit-identical to list_sum), so the interpolated percentiles agree
+    exactly; one aggregate, one row out."""
+    from ai_dataingestion_spark.ai.similarity import _norm
+
+    e = Tables(spark, sf_dir).embeddings
+    norms = e.select(_norm(F.col("embedding")).alias("l2"))
+    return norms.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.percentile("l2", 0.10), 6).alias("p10"),
+        F.round(F.percentile("l2", 0.50), 6).alias("p50"),
+        F.round(F.percentile("l2", 0.90), 6).alias("p90"),
+    )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+WITH powers AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS m1,
+         avg(l_quantity * l_quantity) AS e2,
+         avg(l_quantity * l_quantity * l_quantity) AS e3,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS e4,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1)
+             / pow(e2 - m1 * m1, 1.5), 6) AS skewness,
+       round((e4 - 4 * m1 * e3 + 6 * m1 * m1 * e2 - 3 * m1 * m1 * m1 * m1)
+             / pow(e2 - m1 * m1, 2.0) - 3.0, 6) AS excess_kurtosis
+FROM powers
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag, computed
+    from raw power sums (E[x],E[x²],E[x³],E[x⁴] → central moments) so both
+    engines evaluate the IDENTICAL formula — Spark's built-in skewness()
+    and DuckDB's use different bias corrections, which is exactly the
+    cross-engine trap this query pins down. Single partial-aggregable
+    pass; 6-dp rounding absorbs summation-order noise."""
+    t = Tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    powers = t.lineitem.groupBy("l_returnflag").agg(
+        F.avg(q).alias("m1"),
+        F.avg(q * q).alias("e2"),
+        F.avg(q * q * q).alias("e3"),
+        F.avg(q * q * q * q).alias("e4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m1, e2, e3, e4 = (F.col(c) for c in ("m1", "e2", "e3", "e4"))
+    var = e2 - m1 * m1
+    return powers.select(
+        "l_returnflag",
+        "n",
+        F.round((e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (e4 - 4 * m1 * e3 + 6 * m1 * m1 * e2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2.0)
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
+    )
