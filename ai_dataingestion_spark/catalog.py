@@ -141,8 +141,26 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # rank behind the rows-only tier so they don't evict the planned re-checks
 # mid-round; drop them from this set next round to rotate them into the
 # window (they are locally oracle-verified + unit-tested meanwhile).
-# Round 5: emptied per VERDICT r4 item 2 — the 12 r4 deferrals now rank 0.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+# Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
+# rows-only), so every §2.Q second-wave addition (operators/round5b.py)
+# defers to the r6 window. Each is locally oracle-verified (driver sim at
+# sf0.01) and swept in the Tier-2 parity loop meanwhile.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        "tpch_q2_min_cost_supplier",
+        "tpch_q21_single_late_supplier",
+        "orders_repeat_customer_rate",
+        "customer_order_gap_stats",
+        "events_attribution_last_touch",
+        "events_type_cooccurrence",
+        "text_kl_divergence_sources",
+        "text_hapax_ratio",
+        "dedup_edit_distance_blocked",
+        "agg_geo_harmonic_means",
+        "quality_null_blank_matrix",
+        "embed_label_eta_squared",
+    }
+)
 
 
 def _rotation_rank(spec: QuerySpec) -> int:

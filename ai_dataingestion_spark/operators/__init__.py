@@ -24,3 +24,4 @@ from ai_dataingestion_spark import plans  # noqa: F401
 # for the current driver correctness window (catalog._rotation_rank).
 from ai_dataingestion_spark.operators import advanced  # noqa: F401
 from ai_dataingestion_spark.operators import round5  # noqa: F401
+from ai_dataingestion_spark.operators import round5b  # noqa: F401

@@ -81,3 +81,43 @@ def test_minhash_shingle_guard_short_docs(spark, sf_small):
     rows = df.select(F.expr(_SHINGLES_EXPR).alias("sh")).collect()
     assert rows[0].sh == ["x"]       # degenerate: the whole doc is the shingle
     assert rows[1].sh == ["a b"]
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Pin the ignore-nulls last_value frame: a purchase with NO prior
+    non-purchase touch attributes to nothing (dropped); back-to-back
+    purchases both attribute to the same last touch; later touches
+    override earlier ones."""
+    rows = [
+        (1, 1, "purchase"),   # no prior touch -> dropped
+        (2, 1, "click"),
+        (3, 1, "purchase"),   # -> click
+        (4, 1, "purchase"),   # still -> click (purchases don't re-touch)
+        (5, 1, "view"),
+        (6, 1, "purchase"),   # -> view
+        (1, 2, "signup"),
+        (2, 2, "purchase"),   # -> signup
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = df.select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("attributed"),
+    )
+    out = {
+        (r["attributed"]): r["n"]
+        for r in touched.filter(
+            (F.col("event_type") == "purchase") & F.col("attributed").isNotNull()
+        )
+        .groupBy("attributed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {"click": 2, "view": 1, "signup": 1}
