@@ -159,6 +159,16 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "agg_geo_harmonic_means",
         "quality_null_blank_matrix",
         "embed_label_eta_squared",
+        # --- third wave (operators/round5c.py) ---
+        "scan_partition_pruned",
+        "join_dpp_partitioned",
+        "customer_cohort_ltv",
+        "orders_basket_size_histogram",
+        "brand_copurchase_lift",
+        "events_hour_gap_ranges",
+        "events_survival_weeks",
+        "text_bigram_cond_entropy",
+        "fn_string_codec",
     }
 )
 

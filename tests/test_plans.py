@@ -433,3 +433,51 @@ def test_q2_argmin_window_over_aggregate(spark, sf_small):
     plan = _executed_plan(spark, "tpch_q2_min_cost_supplier", sf_small)
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_small):
+    """scan_partition_pruned's re-read must carry the priority predicate
+    as a PartitionFilter (directory pruning), not a post-scan Filter over
+    all partitions."""
+    plan = _formatted(spark, "scan_partition_pruned", sf_small)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0]
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_small):
+    """join_dpp_partitioned must show a dynamic-partition-pruning
+    subquery on the fact scan: the day filter is only known at runtime
+    from the dim side, and without DPP the scan reads every day
+    directory."""
+    plan = _formatted(spark, "join_dpp_partitioned", sf_small)
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_round5c_pair_ops_never_cartesian(spark, sf_small):
+    """Co-purchase lift's self-join must key on orderkey; the calendar
+    anti join must key on (event_type, hour). The scalar broadcasts
+    (order count) are the only nested-loop sides allowed — they carry
+    exactly one row."""
+    for qid in ("brand_copurchase_lift", "events_hour_gap_ranges"):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "CartesianProduct" not in plan, qid
+
+
+def test_bigram_entropy_single_scan_no_shuffle_before_agg(spark, sf_small):
+    """text_bigram_cond_entropy builds bigrams map-side (zip_with over
+    the token array): one scan, one Generate, and the first exchange is
+    the (source,prev,nxt) aggregation."""
+    plan = _executed_plan(spark, "text_bigram_cond_entropy", sf_small)
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Generate") == 1
+
+
+def test_survival_explodes_aggregated_lifespans(spark, sf_small):
+    """events_survival_weeks' week fan-out must consume the per-user
+    AGGREGATE (Generate above HashAggregate), never explode per event."""
+    plan = _executed_plan(spark, "events_survival_weeks", sf_small)
+    # root-first print: the week-histogram aggregates sit above Generate,
+    # but the per-user lifespan aggregate (the LAST HashAggregate) must
+    # sit below it — i.e. the explode consumes aggregated lifespans
+    assert plan.index("Generate") < plan.rindex("HashAggregate")
+    assert plan.index("Generate") > plan.index("HashAggregate")
