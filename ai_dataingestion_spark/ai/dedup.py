@@ -70,7 +70,40 @@ def _duck_h(s: str) -> str:
     return f"CAST('0x'||substring(md5({s}),1,15) AS BIGINT)"
 
 
-def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
+_SMALL_CORPUS_BYTES = 256 * 1024 * 1024
+
+
+def _small_corpus(sf_dir: str, table: str = "documents") -> bool:
+    """O(1) driver-side size gate: True iff the table's parquet bytes on a
+    LOCAL path are provably under _SMALL_CORPUS_BYTES. Non-local paths
+    (object stores) and stat failures return False — the scale-safe
+    default. Used to decide whether the hot-hash/rescued relations (cardinality
+    <= shingle_rows / cap, i.e. linear in the corpus) may be statically
+    broadcast: at 256 MiB of documents that bound is ~1M hashes / ~8 MB —
+    comfortably broadcastable — while at lake scale the gate fails closed
+    and AQE's runtime size check decides (ADVICE r4)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path) < _SMALL_CORPUS_BYTES
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    total += os.path.getsize(os.path.join(root, fname))
+                    if total >= _SMALL_CORPUS_BYTES:
+                        return False
+            return total < _SMALL_CORPUS_BYTES
+    except OSError:
+        pass
+    return False
+
+
+def _rare_shingle_index(
+    inv: DataFrame, cap: int = 50, small_corpus: bool = False
+) -> DataFrame:
     """(doc_id, h) rows of shingles whose STRING-level document frequency
     is <= cap, computed from 8-byte hash keys: hash-count <= cap implies
     every underlying string is rare (hash count >= string DF), so those
@@ -84,12 +117,14 @@ def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
 
     Join strategy (ADVICE r4): hot_h/rescued cardinality is bounded by
     total_rows / cap — small at bench scale but LINEAR in the corpus
-    (~2e10 entries at 1e12 shingle rows), so a static F.broadcast hint is
-    not scale-safe. No hint is forced: in the production config (AQE on,
-    session.py) Spark measures the built side at runtime and broadcasts
-    iff it is actually under the threshold, falling back to a shuffle join
-    above it — exactly the size-gated behavior a hand-rolled threshold
-    would reimplement.
+    (~2e10 entries at 1e12 shingle rows), so an UNCONDITIONAL F.broadcast
+    hint is not scale-safe. Instead the caller passes ``small_corpus``
+    (the O(1) parquet-bytes gate in _small_corpus): when the corpus is
+    provably tiny the hint is applied — without it, the tuned bench
+    config (AQE off) sort-merges these joins and dedup_ngram_jaccard
+    regressed 2.79 s -> 5.89 s at sf0.1 — and at lake scale the gate
+    fails closed, leaving the production config (AQE on, session.py) to
+    measure the built side at runtime and broadcast iff actually small.
 
     Residual collision semantics: a rescued-index JOIN on h can count two
     DIFFERENT strings sharing a 64-bit hash as one common shingle, so the
@@ -104,6 +139,8 @@ def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
     hash_df = inv.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
     rare_h = hash_df.filter(F.col("hcnt") <= cap).select("h")
     hot_h = hash_df.filter(F.col("hcnt") > cap).select("h")
+    if small_corpus:
+        hot_h = F.broadcast(hot_h)
     rescued = (
         inv.join(hot_h, "h")
         .groupBy("sh", "h")
@@ -111,6 +148,8 @@ def _rare_shingle_index(inv: DataFrame, cap: int = 50) -> DataFrame:
         .filter(F.col("scnt") <= cap)
         .select("sh", "h")
     )
+    if small_corpus:
+        rescued = F.broadcast(rescued)
     # rare_h is ~all distinct shingles — never broadcast it
     return inv.join(rare_h, "h").select("doc_id", "h").unionByName(
         inv.join(rescued, ["sh", "h"]).select("doc_id", "h")
@@ -508,7 +547,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = shingle_rows.select(
         "doc_id", "sh", F.xxhash64("sh").alias("h")
     )
-    rare = _rare_shingle_index(inv, cap=50)
+    rare = _rare_shingle_index(inv, cap=50, small_corpus=_small_corpus(sf_dir))
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
     # candidate pairs die on integer counts before any array work
@@ -696,7 +735,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     inv = shingle_rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
-    rare = _rare_shingle_index(inv, cap=50)
+    rare = _rare_shingle_index(inv, cap=50, small_corpus=_small_corpus(sf_dir))
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "h")

@@ -169,6 +169,12 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_survival_weeks",
         "text_bigram_cond_entropy",
         "fn_string_codec",
+        # --- fourth wave (operators/round5d.py) ---
+        "agg_chi_square_independence",
+        "quality_benford_first_digit",
+        "events_autocorrelation_daily",
+        "lineitem_discount_quantity_regr",
+        "orders_seasonal_index",
     }
 )
 

@@ -40,6 +40,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# 24g bench heap: with the suite at 23 queries + warm-cached tables, the
+# 8g default showed GC-pause noise of up to 4x on individual queries
+# between sessions (measured r5: suite 20.3 / 31.8 / 30.7 s run-to-run);
+# at 24g the same suite repeats at ~20 s with per-query times back at
+# their r4 levels. Overridable via the same env var.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 # BASELINE.md's six representative queries (§2.D/C/E/I/K shapes) plus the
 # extended set measured against DuckDB in BASELINE.md's engine table
 # (composite TPC-H shape, AI-pipeline dedup/similarity, funnel, compaction).
@@ -64,6 +71,13 @@ HEADLINE = (
     "text_containment_pairs",
     "agg_count_min_topk",
     "embed_kmeans_iterations",
+    # round-5 wave-1/2/3 heavy ops: the new pair generators and the
+    # chunked-matmul histogram kernel, benched so regressions surface here.
+    "market_basket_pairs",
+    "embed_cosine_histogram",
+    "sim_pair_dedup_lsh",
+    "text_kl_divergence_sources",
+    "dedup_edit_distance_blocked",
 )
 
 N_RUNS = 3

@@ -481,3 +481,49 @@ def test_survival_explodes_aggregated_lifespans(spark, sf_small):
     # sit below it — i.e. the explode consumes aggregated lifespans
     assert plan.index("Generate") < plan.rindex("HashAggregate")
     assert plan.index("Generate") > plan.index("HashAggregate")
+
+
+def test_chi_square_single_scan_broadcast_dim(spark, sf_small):
+    """agg_chi_square_independence: one orders scan feeding one
+    contingency-cell aggregate (margins are windows over the 25-cell
+    relation), customer dim broadcast."""
+    plan = _executed_plan(spark, "agg_chi_square_independence", sf_small)
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_benford_no_join_single_scan(spark, sf_small):
+    """quality_benford_first_digit is a pure scan→aggregate→tiny-window
+    pipeline: no join anywhere, one orders scan."""
+    plan = _executed_plan(spark, "quality_benford_first_digit", sf_small)
+    assert "Join" not in plan
+    assert plan.count("orders.parquet") == 1
+
+
+def test_autocorrelation_pairs_days_not_events(spark, sf_small):
+    """events_autocorrelation_daily must lag-pair the AGGREGATED daily
+    series: the join keys are day-offset equality over days-sized inputs,
+    with every events scan feeding a HashAggregate first."""
+    plan = _executed_plan(spark, "events_autocorrelation_daily", sf_small)
+    assert "CartesianProduct" not in plan
+    # both series sides collapse to daily counts before the lag join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_regr_per_brand_single_shuffle(spark, sf_small):
+    """lineitem_discount_quantity_regr: broadcast part dim + one
+    partial-aggregable groupBy on brand — a single exchange."""
+    plan = _executed_plan(spark, "lineitem_discount_quantity_regr", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_seasonal_index_windows_over_months(spark, sf_small):
+    """orders_seasonal_index: the OLS windows must consume the monthly
+    aggregate (Window between the two HashAggregate layers)."""
+    plan = _executed_plan(spark, "orders_seasonal_index", sf_small)
+    assert plan.count("orders.parquet") == 1
+    assert plan.index("HashAggregate") < plan.index("Window") < plan.rindex(
+        "HashAggregate"
+    )
