@@ -175,6 +175,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_autocorrelation_daily",
         "lineitem_discount_quantity_regr",
         "orders_seasonal_index",
+        # --- fifth wave (operators/round5e.py) ---
+        "tpch_q20_excess_share_suppliers",
+        "catalog_table_stats",
+        "events_type_day_jaccard",
+        "embed_pca_top_component",
     }
 )
 

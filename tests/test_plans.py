@@ -527,3 +527,53 @@ def test_seasonal_index_windows_over_months(spark, sf_small):
     assert plan.index("HashAggregate") < plan.index("Window") < plan.rindex(
         "HashAggregate"
     )
+
+
+def test_q20_window_share_over_aggregate(spark, sf_small):
+    """tpch_q20's correlated availability subquery must be a per-part
+    window total over the AGGREGATED (part, supplier) relation, with the
+    name-resolution dims broadcast and nothing nested-loop."""
+    plan = _executed_plan(spark, "tpch_q20_excess_share_suppliers", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_catalog_stats_one_scan_per_table(spark, sf_small):
+    """catalog_table_stats unions eight independent single-pass
+    aggregates: exactly one scan per profiled table, no joins."""
+    plan = _executed_plan(spark, "catalog_table_stats", sf_small)
+    for tab in ("customer", "orders", "lineitem", "part", "supplier",
+                "events", "documents", "embeddings"):
+        assert plan.count(f"{tab}.parquet") == 1, tab
+    assert "Join" not in plan
+
+
+def test_pca_single_arrow_crossing(spark, sf_small):
+    """embed_pca_top_component's only corpus pass is the partial-Gram
+    mapInPandas kernel, reduced to a d²-bounded statistics collect; the
+    eigen-iteration is driver-side, so the RETURNED relation is local
+    (no lingering corpus lineage to re-execute). The kernel's
+    bounded-emission contract is pinned separately below."""
+    plan = _executed_plan(spark, "embed_pca_top_component", sf_small)
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan
+
+
+def test_pca_kernel_bounded_emission(spark):
+    """The partial-Gram kernel must emit d(d+1)/2 + d + 1 rows per batch
+    REGARDLESS of batch row count — the property that makes the corpus
+    pass tree-reducible at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_dataingestion_spark.operators.round5e import _partial_gram_kernel
+
+    for n in (3, 500):
+        pdf = pd.DataFrame(
+            {"embedding": [np.arange(8, dtype="float64") + i for i in range(n)]}
+        )
+        out = list(_partial_gram_kernel(iter([pdf])))
+        assert len(out) == 1
+        assert len(out[0]) == 8 * 9 // 2 + 8 + 1
