@@ -180,6 +180,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "catalog_table_stats",
         "events_type_day_jaccard",
         "embed_pca_top_component",
+        "agg_hll_sketch_merge",  # rows-only: keep it from evicting the
+        # three planned rank-2 rows-only checks from the full r5 window
     }
 )
 

@@ -322,3 +322,43 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle=None,  # output carries the HLL estimate, which no portable SQL
+    # reproduces bit-for-bit; semantics pinned by
+    # tests/test_edges.py::test_hll_merge_matches_whole_corpus_sketch
+    # (merge-consistency) and the <2% relative-error bound asserted there.
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — THE distributed cardinality
+    pattern at 100 TB: build one Apache DataSketches HLL per day
+    (hll_sketch_agg), union the constant-size sketches (hll_union_agg),
+    estimate once. No re-scan of history when a new day lands: union its
+    sketch in. Output: per-corpus estimated vs exact distinct users and
+    the relative error (exact derivable at test scale only — at target
+    scale the exact pass is precisely what this operator exists to
+    avoid). Rows-only by design (the estimate has no portable SQL twin);
+    a unit test pins merge-consistency (daily-union ≡ whole-corpus
+    sketch) and the error bound."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimated_users")
+    )
+    exact = t.events.agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "estimated_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("estimated_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

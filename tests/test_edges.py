@@ -121,3 +121,24 @@ def test_last_touch_attribution_semantics(spark):
         .collect()
     }
     assert out == {"click": 2, "view": 1, "signup": 1}
+
+
+def test_hll_merge_matches_whole_corpus_sketch(spark):
+    """Merge-consistency of the HLL path: unioning per-day sketches must
+    estimate the same cardinality as one sketch over the whole corpus
+    (the property that makes incremental ingestion sound), and both must
+    land within 2% of exact on this cardinality range."""
+    from ai_dataingestion_spark.catalog import all_specs
+
+    row = (
+        all_specs()["agg_hll_sketch_merge"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    assert row["rel_err"] < 0.02, row
+    whole = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert row["estimated_users"] == whole
