@@ -182,6 +182,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "embed_pca_top_component",
         "agg_hll_sketch_merge",  # rows-only: keep it from evicting the
         # three planned rank-2 rows-only checks from the full r5 window
+        # --- sixth wave (operators/round5f.py) ---
+        "fn_try_safe_arith",
+        "scan_csv_malformed_permissive",
+        "lineitem_quantity_cusum_shift",
+        "events_error_burst_5min",
     }
 )
 
