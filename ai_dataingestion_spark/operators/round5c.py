@@ -90,7 +90,11 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.col("ts").cast("date")
     )
     ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema: an empty corpus writes zero data files and schema
+    # inference over the bare directory fails (the sink_parquet_part rule);
+    # the day partition column still resolves from directory names when
+    # files exist
+    fact = spark.read.schema(ev.schema).parquet(out)
     dim = spark.createDataFrame(
         [("2024-01-02", 1), ("2024-01-03", 1), ("2024-01-05", 1)],
         "d string, flagged int",

@@ -293,6 +293,9 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = partial.groupBy("i", "j").agg(F.sum("s").alias("s"))
     rows = stats.collect()  # d*(d+1)/2 + d + 1 rows — dimension-bounded
+    schema = "dim int, loading double, eigenvalue double"
+    if not rows:  # empty corpus: no statistics, no component
+        return spark.createDataFrame([], schema)
     d = max(r["i"] for r in rows) + 1
     S = np.zeros((d, d))
     sums = np.zeros(d)
@@ -315,9 +318,7 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(int(i), float(v[i]), float(norm)) for i in range(d)]
     # round via F.round (HALF_UP, the DuckDB round semantics) — Python's
     # built-in round is banker's and could diverge on exact .5e-6 ties
-    return spark.createDataFrame(
-        out, "dim int, loading double, eigenvalue double"
-    ).select(
+    return spark.createDataFrame(out, schema).select(
         "dim",
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
