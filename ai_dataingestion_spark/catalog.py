@@ -187,6 +187,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "scan_csv_malformed_permissive",
         "lineitem_quantity_cusum_shift",
         "events_error_burst_5min",
+        # --- seventh wave (operators/round5g.py) ---
+        "events_user_lifecycle_states",
+        "quality_referential_integrity",
+        "events_funnel_time_bounded",
     }
 )
 

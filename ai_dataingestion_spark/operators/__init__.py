@@ -29,3 +29,4 @@ from ai_dataingestion_spark.operators import round5c  # noqa: F401
 from ai_dataingestion_spark.operators import round5d  # noqa: F401
 from ai_dataingestion_spark.operators import round5e  # noqa: F401
 from ai_dataingestion_spark.operators import round5f  # noqa: F401
+from ai_dataingestion_spark.operators import round5g  # noqa: F401
