@@ -69,7 +69,9 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 7
     ).cast("bigint")
     uw = t.events.select("user_id", week.alias("week")).distinct()
-    maxw = uw.agg(F.max("week").alias("max_week"))
+    # churn anchor from RAW events (same max as over the distinct grid):
+    # deriving it from uw would replay the distinct shuffle for a scalar
+    maxw = t.events.agg(F.max(week).alias("max_week"))
     w_user = Window.partitionBy("user_id")
     w_seq = Window.partitionBy("user_id").orderBy("week")
     flagged = uw.select(

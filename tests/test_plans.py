@@ -577,3 +577,39 @@ def test_pca_kernel_bounded_emission(spark):
         out = list(_partial_gram_kernel(iter([pdf])))
         assert len(out) == 1
         assert len(out[0]) == 8 * 9 // 2 + 8 + 1
+
+
+def test_cusum_windows_over_daily_aggregate(spark, sf_small):
+    """lineitem_quantity_cusum_shift: mean/running/argmax windows must
+    all consume the days-sized aggregate (Window above the LAST
+    HashAggregate), one lineitem scan."""
+    plan = _executed_plan(spark, "lineitem_quantity_cusum_shift", sf_small)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_error_burst_aggregate_first(spark, sf_small):
+    """events_error_burst_5min: the sigma windows run over the buckets
+    relation; the error filter pushes to the scan."""
+    plan = _formatted(spark, "events_error_burst_5min", sf_small)
+    assert "PushedFilters" in plan and "event_type" in plan
+    exec_plan = _executed_plan(spark, "events_error_burst_5min", sf_small)
+    assert exec_plan.index("Window") < exec_plan.rindex("HashAggregate")
+
+
+def test_lifecycle_windows_over_distinct_grid(spark, sf_small):
+    """events_user_lifecycle_states: lag/lead/min windows must consume
+    the distinct (user, week) grid — a HashAggregate (the distinct)
+    below the Window — and nothing plans a CartesianProduct (the churn
+    anchor is a 1-row broadcast)."""
+    plan = _executed_plan(spark, "events_user_lifecycle_states", sf_small)
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_broadcasts_dims(spark, sf_small):
+    """quality_referential_integrity: all three FK probes are broadcast
+    left joins against the key-only dim projections."""
+    plan = _executed_plan(spark, "quality_referential_integrity", sf_small)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
