@@ -38,7 +38,10 @@ _NET = "(l_extendedprice * (1 - l_discount))"
     oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000
+           AS unit_cost
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -65,9 +68,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity from lineitem, restricted to EUROPE suppliers). The
     correlated MIN subquery becomes a per-part window argmin — one
     groupBy shuffle on (part, supp) then a part-partitioned row_number,
-    dims broadcast. Cost is rounded to 6 dp BEFORE the argmin so both
-    engines rank identical values (avg summation order differs in the
-    last ulp); suppkey breaks ties deterministically."""
+    dims broadcast. Unit cost is total spend / total quantity via EXACT
+    decimal sums cast to double for one deterministic IEEE division,
+    then rounded with the PORTABLE formula floor(x·1e6 + 0.5)/1e6 —
+    pure IEEE ops, bit-identical on both engines. Built-in round() is
+    NOT portable on exact decimal ties: sf0.1 hit quotient 8290.71/32 =
+    259.0846875, where Spark rounds the shortest-decimal BigDecimal
+    HALF_UP to …688 while DuckDB rounds the binary double (…87499…) to
+    …687. Suppkey breaks argmin ties deterministically."""
     t = Tables(spark, sf_dir)
     europe_supp = (
         t.supplier.join(
@@ -85,9 +93,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-                "unit_cost"
-            )
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+                    .cast("double")
+                    / F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast(
+                        "double"
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("unit_cost")
         )
     )
     w = Window.partitionBy("l_partkey").orderBy(
