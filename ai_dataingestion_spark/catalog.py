@@ -191,6 +191,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_user_lifecycle_states",
         "quality_referential_integrity",
         "events_funnel_time_bounded",
+        "dedup_minhash_estimate_error",
     }
 )
 

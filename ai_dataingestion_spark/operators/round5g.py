@@ -296,3 +296,134 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_clicked_24h"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_24h"))
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+def _minhash_error_oracle() -> str:
+    from ai_dataingestion_spark.ai.dedup import (
+        _CW_A,
+        _CW_B,
+        _DUP_OFFSET,
+        _MERSENNE_P,
+        _duck_h,
+        N_HASHES,
+        SHINGLE_K,
+    )
+
+    sig_cols = ", ".join(
+        "min((%d * hm + %d) %% %d) AS h%d" % (_CW_A[i], _CW_B[i], _MERSENNE_P, i)
+        for i in range(N_HASHES)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
+  FROM documents WHERE doc_id % 5 = 0
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
+         )) AS shingles
+  FROM corpus
+),
+sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
+       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
+sig AS (SELECT doc_id, {sig_cols} FROM sp GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_id, ({eq_sum}) AS n_eq
+  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + {_DUP_OFFSET}
+  WHERE a.doc_id % 5 = 0 AND a.doc_id < {_DUP_OFFSET}
+),
+exact AS (
+  SELECT p.doc_id, p.n_eq,
+         CAST(len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s)))
+              AS DOUBLE)
+         / (len(s1.shingles) + len(s2.shingles)
+            - len(list_filter(s1.shingles, s -> list_contains(s2.shingles, s))))
+           AS j_raw
+  FROM pairs p
+  JOIN shingled s1 ON s1.doc_id = p.doc_id
+  JOIN shingled s2 ON s2.doc_id = p.doc_id + {_DUP_OFFSET}
+)
+SELECT doc_id,
+       floor(j_raw * 1000000 + 0.5) / 1000000 AS jaccard_exact,
+       CAST(n_eq AS DOUBLE) / {N_HASHES} AS jaccard_est,
+       floor(abs(CAST(n_eq AS DOUBLE) / {N_HASHES} - j_raw) * 1000000 + 0.5)
+         / 1000000 AS abs_err
+FROM exact
+"""
+
+
+@register("dedup_minhash_estimate_error", oracle=_minhash_error_oracle())
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration: for every KNOWN near-dup pair (doc, doc with
+    its last token dropped — the _corpus_with_near_dups fixture), the
+    signature-estimated Jaccard (matching fraction of the 32 slots) next
+    to the exact shingle-set Jaccard, per pair with absolute error — the
+    introspection query that tells you whether 32 hashes are enough for
+    your threshold before you trust an LSH sweep at corpus scale.
+    Signatures are the same portable Carter-Wegman pipeline as
+    dedup_near_minhash (oracle-identical end-to-end); the estimate k/32
+    is binary-exact so only the exact-Jaccard ratio needs the portable
+    floor(x·1e6+0.5)/1e6 rounding (SURVEY §5.4 round-tie trap)."""
+    from ai_dataingestion_spark.ai.dedup import (
+        _CW_A,
+        _CW_B,
+        _DUP_OFFSET,
+        _MERSENNE_P,
+        _SHINGLES_EXPR,
+        _corpus_with_near_dups,
+        _spark_h,
+        N_HASHES,
+    )
+
+    corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    sp = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm")
+    )
+    sig = sp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i])) % _MERSENNE_P
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_eq = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + _DUP_OFFSET)
+        .filter((F.col("a.doc_id") % 5 == 0) & (F.col("a.doc_id") < _DUP_OFFSET))
+        .select(F.col("a.doc_id").alias("doc_id"), n_eq.alias("n_eq"))
+    )
+    s1 = docs.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = docs.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    j_raw = inter.cast("double") / union
+    est = F.col("n_eq").cast("double") / N_HASHES
+    return (
+        pairs.join(s1, F.col("doc_id") == F.col("d1"))
+        .join(s2, F.col("doc_id") + _DUP_OFFSET == F.col("d2"))
+        .select(
+            "doc_id",
+            (F.floor(j_raw * 1_000_000 + 0.5) / 1_000_000).alias("jaccard_exact"),
+            est.alias("jaccard_est"),
+            (F.floor(F.abs(est - j_raw) * 1_000_000 + 0.5) / 1_000_000).alias(
+                "abs_err"
+            ),
+        )
+    )
