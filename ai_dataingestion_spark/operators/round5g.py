@@ -1,7 +1,8 @@
 """Round-5 seventh wave (SURVEY.md §2.Q, continued): growth accounting
 (weekly new/retained/resurrected/churned user states), a cross-table
-referential-integrity audit with injected violations, and a
-time-bounded conversion funnel (each step within 24 h of the previous).
+referential-integrity audit with injected violations, a time-bounded
+conversion funnel (each step within 24 h of the previous), and MinHash
+estimate-vs-exact Jaccard calibration over known near-dup pairs.
 
 Deferred to the r6 driver window (catalog._DEFER_TO_NEXT_ROUND);
 locally oracle-verified at sf0.01 + sf0.001.
@@ -390,6 +391,8 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id", F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm")
     )
+    # cache: both pair sides consume sig — uncached, Spark replays the
+    # explode + 32-min aggregation per side. docs-count-sized (33 cols).
     sig = sp.groupBy("doc_id").agg(
         *[
             F.min(
@@ -397,7 +400,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
-    )
+    ).cache()
     a = sig.alias("a")
     b = sig.alias("b")
     n_eq = sum(
