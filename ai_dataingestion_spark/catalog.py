@@ -192,6 +192,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "quality_referential_integrity",
         "events_funnel_time_bounded",
         "dedup_minhash_estimate_error",
+        # --- eighth wave (operators/round5h.py) ---
+        "win_percentile_disc_vs_cont",
+        "events_markov_2step_paths",
+        "text_shingle_df_spectrum",
+        "pipeline_watermark_lag_report",
     }
 )
 
