@@ -142,9 +142,12 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # mid-round; drop them from this set next round to rotate them into the
 # window (they are locally oracle-verified + unit-tested meanwhile).
 # Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
-# rows-only), so every §2.Q second-wave addition (operators/round5b.py)
-# defers to the r6 window. Each is locally oracle-verified (driver sim at
-# sf0.01) and swept in the Tier-2 parity loop meanwhile.
+# rows-only), so every §2.Q addition (operators/round5b.py through
+# round5h.py — waves 2-8, 43 IDs) defers to the r6 window. Each is
+# locally oracle-verified (driver sim at sf0.01; full registry also
+# probed at sf0.1) and swept in the Tier-2 parity loop meanwhile.
+# ROUND-6 SELF: empty this set so all 43 rank into the r6 window (43 +
+# the 2 udf re-checks + up to 5 attested-green rotations fill 50).
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "tpch_q2_min_cost_supplier",
