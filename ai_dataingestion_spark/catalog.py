@@ -143,11 +143,11 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # window (they are locally oracle-verified + unit-tested meanwhile).
 # Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
 # rows-only), so every §2.Q addition (operators/round5b.py through
-# round5h.py — waves 2-8, 43 IDs) defers to the r6 window. Each is
+# round5h.py — waves 2-8, 44 IDs) defers to the r6 window. Each is
 # locally oracle-verified (driver sim at sf0.01; full registry also
 # probed at sf0.1) and swept in the Tier-2 parity loop meanwhile.
-# ROUND-6 SELF: empty this set so all 43 rank into the r6 window (43 +
-# the 2 udf re-checks + up to 5 attested-green rotations fill 50).
+# ROUND-6 SELF: empty this set so all 44 rank into the r6 window (44 +
+# the 2 udf re-checks + up to 4 attested-green rotations fill 50).
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "tpch_q2_min_cost_supplier",
@@ -200,6 +200,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_markov_2step_paths",
         "text_shingle_df_spectrum",
         "pipeline_watermark_lag_report",
+        "sim_cosine_range_search",
     }
 )
 

@@ -167,3 +167,54 @@ def pipeline_watermark_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame
         behind.alias("minutes_behind"),
         (behind >= 60).alias("is_stale"),
     )
+
+
+def _range_search_oracle() -> str:
+    from ai_dataingestion_spark.ai.similarity import _COSINE_PAIRS_SQL
+
+    return f"""
+WITH {_COSINE_PAIRS_SQL}
+SELECT probe_id, neighbor_id, round(cos, 9) AS cos
+FROM pairs WHERE round(cos, 9) >= 0.3
+"""
+
+
+@register("sim_cosine_range_search", oracle=_range_search_oracle())
+def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: EVERY neighbor with cosine ≥ 0.3 of each
+    probe — the epsilon-ball companion to sim_cosine_topk's kNN (a range
+    query returns all sufficiently-similar items, however many; top-k
+    returns k, however dissimilar — retrieval pipelines need both). Same
+    one-Arrow-crossing matmul kernel and 9-dp parity rounding; the
+    threshold filter replaces the rank window, so no per-probe sort at
+    all — at scale this is strictly cheaper than top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_dataingestion_spark.ai.similarity import _probe_matrix
+
+    e = Tables(spark, sf_dir).embeddings
+    pids, Pn = _probe_matrix(spark, sf_dir)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(pids):
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Bn = B / np.sqrt((B * B).sum(axis=1, keepdims=True))
+            C = np.round(Bn @ Pn.T, 9)  # (n_batch, n_probes)
+            ni, pi = np.nonzero(C >= 0.3)  # kernel-side threshold: only
+            # qualifying pairs cross back out of the Python worker
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.asarray(pids)[pi],
+                    "neighbor_id": pdf["vec_id"].to_numpy()[ni],
+                    "cos": C[ni, pi],
+                }
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, "probe_id bigint, neighbor_id bigint, cos double")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+    )

@@ -277,3 +277,38 @@ def test_carter_wegman_transform_parity(spark, data):
         ).fetchall()
     ]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_portable_floor_rounding_parity(spark, data):
+    """The portable rounding formula floor(x·1e6 + 0.5)/1e6 must agree
+    bit-for-bit between Spark and DuckDB — including on exact decimal
+    ties where built-in round() provably DIVERGES (sf0.1 regression:
+    8290.71/32 = 259.0846875 → Spark round HALF_UP …688, DuckDB binary
+    …687). Quotients of small exact decimals are the hot class, so
+    generate exactly those."""
+    nums = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=10**7),  # cents numerator
+                st.integers(min_value=1, max_value=64),     # small denominator
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    quotients = [n / 100 / d for n, d in nums] + [8290.71 / 32]
+    sdf = _spark_one_col(spark, quotients, "x double").selectExpr(
+        "floor(x * 1000000 + 0.5) / 1000000 AS r"
+    )
+    got = [r["r"] for r in sdf.collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT floor(x * 1000000 + 0.5) / 1000000 FROM (SELECT "
+            "unnest(?) AS x)",
+            params=[quotients],
+        ).fetchall()
+    ]
+    assert got == want
