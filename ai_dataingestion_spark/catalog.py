@@ -201,6 +201,13 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_shingle_df_spectrum",
         "pipeline_watermark_lag_report",
         "sim_cosine_range_search",
+        # --- ninth wave (operators/round5i.py) ---
+        "events_peak_concurrency",
+        "events_anomaly_mad",
+        "orders_duplicate_invoice_detect",
+        "lineitem_ship_latency_by_nation",
+        "fn_string_format",
+        "events_ab_proportion_ztest",
     }
 )
 
