@@ -208,6 +208,12 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "lineitem_ship_latency_by_nation",
         "fn_string_format",
         "events_ab_proportion_ztest",
+        # --- tenth wave (operators/round5j.py) ---
+        "dedup_lsh_band_tuning",
+        "text_collocation_pmi",
+        "text_chunk_dup_ratio",
+        "scan_parquet_schema_merge",
+        "sink_parquet_codecs",
     }
 )
 

@@ -32,3 +32,4 @@ from ai_dataingestion_spark.operators import round5f  # noqa: F401
 from ai_dataingestion_spark.operators import round5g  # noqa: F401
 from ai_dataingestion_spark.operators import round5h  # noqa: F401
 from ai_dataingestion_spark.operators import round5i  # noqa: F401
+from ai_dataingestion_spark.operators import round5j  # noqa: F401
