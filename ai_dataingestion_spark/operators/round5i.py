@@ -213,8 +213,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     med = daily.groupBy("event_type").agg(F.expr("median(n)").alias("med"))
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("n") - F.col("med"))
+    # dev feeds BOTH the MAD aggregate and the final select: cache the
+    # (types x days)-sized grid so events is scanned once, not per branch
+    dev = (
+        daily.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("n") - F.col("med")))
+        .cache()
     )
     mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
     z = (

@@ -78,6 +78,11 @@ HEADLINE = (
     "sim_pair_dedup_lsh",
     "text_kl_divergence_sources",
     "dedup_edit_distance_blocked",
+    # round-5 wave-9/10 heavy ops: the sessionize-chained sweep line, the
+    # 4-config LSH re-banding sweep, and the chunk-hash dup filter.
+    "events_peak_concurrency",
+    "dedup_lsh_band_tuning",
+    "text_chunk_dup_ratio",
 )
 
 N_RUNS = 3
