@@ -120,10 +120,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = seq.select(
         "user_id", "ts", F.sum("is_new").over(cum).alias("session_id")
     )
+    # intervals feeds THREE branches (start deltas, end deltas, per-day
+    # session starts): cache the sessions-sized relation so the two-window
+    # sessionize chain over events runs once, not per branch
     intervals = sess.groupBy("user_id", "session_id").agg(
         F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
         F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
-    )
+    ).cache()
     deltas = intervals.select(
         F.col("start_us").alias("t"), F.lit(1).alias("d")
     ).unionAll(
