@@ -214,6 +214,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_chunk_dup_ratio",
         "scan_parquet_schema_merge",
         "sink_parquet_codecs",
+        # --- eleventh wave (operators/round5k.py) ---
+        "events_late_arrival_audit",
+        "dedup_removal_plan",
+        "scan_json_schema_infer",
+        "win_range_numeric_frame",
     }
 )
 
