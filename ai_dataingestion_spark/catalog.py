@@ -143,11 +143,15 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # window (they are locally oracle-verified + unit-tested meanwhile).
 # Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
 # rows-only), so every §2.Q addition (operators/round5b.py through
-# round5h.py — waves 2-8, 44 IDs) defers to the r6 window. Each is
-# locally oracle-verified (driver sim at sf0.01; full registry also
-# probed at sf0.1) and swept in the Tier-2 parity loop meanwhile.
-# ROUND-6 SELF: empty this set so all 44 rank into the r6 window (44 +
-# the 2 udf re-checks + up to 4 attested-green rotations fill 50).
+# round5k.py — waves 2-11, 58 oracle + 1 rows-only IDs) defers to the
+# r6 window. Each is locally oracle-verified (driver sim at sf0.01 —
+# full-loop run this session: 267 ok / 4 rows-only / 0 fail) and swept
+# in the Tier-2 parity loop meanwhile.
+# ROUND-6 SELF: empty this set so the deferred IDs rank into the r6
+# window in registration order. They no longer fit in one 50-slot
+# window (59 deferred + 2 udf re-checks = 61): the overflow (the last
+# ~11 by registration index, waves 10-11) stays rank-0 and fronts the
+# r7 window automatically — no action needed beyond emptying this set.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "tpch_q2_min_cost_supplier",
@@ -219,6 +223,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_removal_plan",
         "scan_json_schema_infer",
         "win_range_numeric_frame",
+        # --- twelfth wave (operators/round5l.py) ---
+        "events_sessions_bounce_rate",
+        "embed_label_confusion",
+        "brand_pareto_coverage",
+        "fn_timezone_convert",
     }
 )
 
