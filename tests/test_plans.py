@@ -701,3 +701,52 @@ def test_collocation_pmi_rank_after_round(spark, sf_small):
     assert "FLOOR" in plan.upper()
     assert "BroadcastNestedLoopJoin" in plan  # single-row totals
     assert "CartesianProduct" not in plan
+
+
+def test_late_arrival_watermark_over_buckets(spark, sf_small):
+    """events_late_arrival_audit: the watermark running-max window runs
+    over the (type, bucket) AGGREGATE — a HashAggregate sits below the
+    Window — and the watermark relation joins back by broadcast."""
+    plan = _executed_plan(spark, "events_late_arrival_audit", sf_small)
+    assert plan.index("HashAggregate") < plan.index("Window") or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_removal_plan_no_cartesian_cached_shingles(spark, sf_small):
+    """dedup_removal_plan: candidates come from the (band, bucket)
+    equality join — never a cartesian — and the shingle relation is
+    cached (feeds signature build + both verify sides)."""
+    plan = _executed_plan(spark, "dedup_removal_plan", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_label_confusion_broadcast_centroids(spark, sf_small):
+    """embed_label_confusion: the labels-sized centroid relation reaches
+    the distance computation via broadcast; no sort-merge join."""
+    plan = _executed_plan(spark, "embed_label_confusion", sf_small)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pareto_coverage_windows_over_aggregate(spark, sf_small):
+    """brand_pareto_coverage: the ranking windows consume the
+    (brand, part) aggregate — HashAggregate below Window — and part
+    joins lineitem by broadcast."""
+    plan = _executed_plan(spark, "brand_pareto_coverage", sf_small)
+    assert plan.index("HashAggregate", plan.index("Window")) > plan.index(
+        "Window"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_timezone_convert_zero_python(spark, sf_small):
+    """fn_timezone_convert: tz conversion is JVM-side expression work —
+    no EvalPython, no join."""
+    plan = _executed_plan(spark, "fn_timezone_convert", sf_small)
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
