@@ -228,6 +228,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "embed_label_confusion",
         "brand_pareto_coverage",
         "fn_timezone_convert",
+        # --- thirteenth wave (operators/round5m.py) ---
+        "events_gap_fill_linear",
+        "supplier_hhi_by_nation",
+        "multimodal_payload_dedup",
+        "events_value_winsorized_stats",
     }
 )
 
