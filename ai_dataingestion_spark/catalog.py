@@ -233,6 +233,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "supplier_hhi_by_nation",
         "multimodal_payload_dedup",
         "events_value_winsorized_stats",
+        # --- fourteenth wave (operators/round5n.py) ---
+        "udf_python_arrow",
+        "sink_write_modes",
+        "subquery_not_in_null_trap",
+        "quality_schema_contract",
     }
 )
 
