@@ -238,6 +238,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sink_write_modes",
         "subquery_not_in_null_trap",
         "quality_schema_contract",
+        # --- fifteenth wave (operators/round5o.py) ---
+        "sink_csv_quoted_roundtrip",
+        "events_pre_post_welch_t",
+        "win_running_distinct",
+        "dedup_incremental_batch",
     }
 )
 

@@ -37,3 +37,4 @@ from ai_dataingestion_spark.operators import round5k  # noqa: F401
 from ai_dataingestion_spark.operators import round5l  # noqa: F401
 from ai_dataingestion_spark.operators import round5m  # noqa: F401
 from ai_dataingestion_spark.operators import round5n  # noqa: F401
+from ai_dataingestion_spark.operators import round5o  # noqa: F401
