@@ -243,6 +243,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_pre_post_welch_t",
         "win_running_distinct",
         "dedup_incremental_batch",
+        # --- sixteenth wave (operators/round5p.py) ---
+        "pipeline_idempotent_ledger",
+        "sample_k_per_group_stable",
+        "fn_content_uuid",
+        "events_cep_triple_pattern",
     }
 )
 

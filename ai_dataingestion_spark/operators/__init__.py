@@ -38,3 +38,4 @@ from ai_dataingestion_spark.operators import round5l  # noqa: F401
 from ai_dataingestion_spark.operators import round5m  # noqa: F401
 from ai_dataingestion_spark.operators import round5n  # noqa: F401
 from ai_dataingestion_spark.operators import round5o  # noqa: F401
+from ai_dataingestion_spark.operators import round5p  # noqa: F401
