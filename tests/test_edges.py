@@ -142,3 +142,96 @@ def test_hll_merge_matches_whole_corpus_sketch(spark):
         .collect()[0]["e"]
     )
     assert row["estimated_users"] == whole
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_small):
+    """win_running_distinct's first-occurrence decomposition must converge:
+    each user's LAST running value equals the plain countDistinct of their
+    event types — the invariant that makes the two-window spelling a valid
+    stand-in for the inexpressible COUNT(DISTINCT) OVER frame."""
+    from ai_dataingestion_spark.catalog import all_specs
+    from ai_dataingestion_spark.registry import load_table
+
+    out = all_specs()["win_running_distinct"].fn(spark, sf_small)
+    finals = {
+        r["user_id"]: r["mx"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_distinct_types_so_far").alias("mx"))
+        .collect()
+    }
+    truth = {
+        r["user_id"]: r["nd"]
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nd"))
+        .collect()
+    }
+    assert finals == truth
+
+
+def test_removal_plan_catches_every_injected_duplicate(spark, sf_small):
+    """dedup_removal_plan recall on the injections: every exact copy
+    (+1e6 id) must be removed with reason 'exact'; every near copy
+    (+2e6 id, last token dropped) must be removed with some reason —
+    and no original doc below the offsets is removed as 'exact' unless
+    its id has an exact twin (min-id-keeps rule means originals stay)."""
+    from ai_dataingestion_spark.catalog import all_specs
+    from ai_dataingestion_spark.registry import load_table
+
+    plan = {
+        r["doc_id"]: r["reason"]
+        for r in all_specs()["dedup_removal_plan"].fn(spark, sf_small).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    for d in docs:
+        if d % 2 == 0:
+            assert plan.get(d + 1_000_000) == "exact", d
+        if d % 5 == 0:
+            assert (d + 2_000_000) in plan, d
+        assert plan.get(d) != "exact" or False, f"original {d} removed as exact"
+
+
+def test_incremental_dedup_rejects_all_resubmissions(spark, sf_small):
+    """dedup_incremental_batch: no accepted doc may carry a resubmission
+    id (>= 7e6 offset) — stage 2's lake anti-join must reject them all —
+    and every genuinely-new batch doc with a unique text is accepted."""
+    from ai_dataingestion_spark.catalog import all_specs
+
+    accepted = [
+        r["doc_id"]
+        for r in all_specs()["dedup_incremental_batch"]
+        .fn(spark, sf_small)
+        .collect()
+    ]
+    assert accepted, "no rows accepted — degenerate corpus?"
+    assert all(a < 7_000_000 for a in accepted)
+
+
+def test_idempotent_ledger_matches_single_delivery_truth(spark, sf_small):
+    """pipeline_idempotent_ledger: applied counts must equal the plain
+    per-batch counts of orders (single-delivery truth), and the replayed
+    batches (1, 3) must report their full size as deduped replays."""
+    from ai_dataingestion_spark.catalog import all_specs
+    from ai_dataingestion_spark.registry import load_table
+
+    rows = {
+        r["batch_id"]: r
+        for r in all_specs()["pipeline_idempotent_ledger"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    truth = {
+        r["b"]: r["n"]
+        for r in load_table(spark, sf_small, "orders")
+        .groupBy((F.col("o_orderkey") % 5).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for b, n in truth.items():
+        assert rows[b]["n_applied"] == n
+        assert rows[b]["n_deduped_replays"] == (n if b in (1, 3) else 0)
