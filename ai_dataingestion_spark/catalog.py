@@ -248,6 +248,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sample_k_per_group_stable",
         "fn_content_uuid",
         "events_cep_triple_pattern",
+        # --- seventeenth wave (operators/round5q.py) ---
+        "graph_copurchase_triangles",
+        "scan_text_wholefile",
+        "events_seasonal_naive_backtest",
+        "topk_per_group_strategies",
     }
 )
 

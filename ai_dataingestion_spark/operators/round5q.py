@@ -1,0 +1,299 @@
+"""Round-5 seventeenth wave (SURVEY.md §2.Q, continued): co-purchase
+graph triangle census, whole-file text ingestion, seasonal-naive
+forecast backtesting, and a top-k-per-group strategy-equivalence
+proof.
+
+Deferred to the r6 driver window (catalog._DEFER_TO_NEXT_ROUND);
+locally oracle-verified at sf0.01 + sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.registry import Tables
+from ai_dataingestion_spark.tmpdirs import op_tmpdir
+
+
+def _pround(col, dp: int = 6):
+    """Portable IEEE rounding floor(x*10^dp + 0.5)/10^dp (see
+    tpch_q2_min_cost_supplier)."""
+    scale = 10**dp
+    return F.floor(col * scale + 0.5) / scale
+
+
+@register(
+    "graph_copurchase_triangles",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_tri FROM tri) AS n_triangles,
+       floor(3.0 * (SELECT n_tri FROM tri)
+             / (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE) FROM deg)
+             * 1000000 + 0.5) / 1000000 AS global_clustering
+""",
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph — the distributed-graph
+    kernel (triangle counting / global clustering coefficient) expressed
+    as pure relational ops: edges are part pairs co-occurring in ≥2
+    orders (oriented u < v so each triangle is found exactly once), and
+    triangles come from the two-hop edge join e(u,v)⋈e(v,w)⋈e(u,w) —
+    the standard all-edges/compact-forward algorithm whose join fan-out
+    is Σ deg², bounded here by the basket-bounded co-purchase degrees.
+    Global clustering = 3·triangles / wedges with exact integer wedge
+    counts and one portable-rounded division. High clustering signals
+    bundle-like demand; the same kernel over a near-dup candidate graph
+    detects template families."""
+    t = Tables(spark, sf_dir)
+    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .cache()  # edges feed degree, wedge, and all three triangle sides
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = edges.select(F.col("u").alias("b1"), F.col("v").alias("c1"))
+    e3 = edges.select(F.col("u").alias("a1"), F.col("v").alias("c1"))
+    tri = (
+        e1.join(e2, "b1")
+        .join(e3, ["a1", "c1"])
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").alias("n_triangles"),
+            _pround(
+                3.0 * F.col("n_tri") / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@register(
+    "scan_text_wholefile",
+    oracle="""
+WITH content AS (
+  SELECT string_agg(r_name, chr(10) ORDER BY r_name) || chr(10) AS body
+  FROM region
+)
+SELECT 1 AS n_files,
+       CAST(length(body) AS BIGINT) AS content_chars,
+       md5(body) AS content_md5
+FROM content
+""",
+)
+def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file text ingestion (`wholetext=true`): each FILE becomes
+    one row — the scan mode for document formats where line splitting
+    destroys the record (a contract per file, a log dump per file).
+    One sorted single-partition text export (sortWithinPartitions makes
+    the file bytes deterministic), re-read as a whole file and
+    checksummed against the oracle's reconstruction of the exact byte
+    stream (ordered lines + trailing newline). The non-splittability is
+    the point: one file = one task, so at scale this pairs with
+    many-small-files layouts, never one giant blob."""
+    r = Tables(spark, sf_dir).region
+    out = op_tmpdir("scan_wholefile_")
+    (
+        r.select("r_name")
+        .coalesce(1)
+        .sortWithinPartitions("r_name")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    # NB: wholetext must be the text() PARAMETER — the .option() spelling
+    # is silently ignored by this reader and degrades to line mode
+    whole = spark.read.text(out, wholetext=True)
+    return whole.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("value")).cast("bigint").alias("content_chars"),
+        F.max(F.md5("value")).alias("content_md5"),
+    )
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, n,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+),
+scored AS (SELECT * FROM lagged WHERE fc IS NOT NULL)
+SELECT event_type,
+       count(*) AS n_days_scored,
+       CAST(sum(abs(n - fc)) AS BIGINT) AS abs_err_sum,
+       floor(CAST(sum(abs(n - fc)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000 AS mae,
+       floor(sqrt(CAST(sum((n - fc) * (n - fc)) AS DOUBLE) / count(*))
+             * 1000000 + 0.5) / 1000000 AS rmse,
+       CAST(sum(n - fc) AS BIGINT) AS bias
+FROM scored GROUP BY event_type
+""",
+)
+def events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    with the same weekday's count one week earlier (lag-7) and score
+    MAE / RMSE / bias per type — THE baseline every fancier forecaster
+    must beat before it earns a deploy (and the denominator of a MASE
+    score). Error sums are exact integer arithmetic; the two final
+    divisions and the sqrt are portable-rounded. Windows run over the
+    types×days aggregate — broadcast-sized at any event volume."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("fc", F.lag("n", 7).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    err = F.col("n") - F.col("fc")
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("event_type").agg(
+        cnt.alias("n_days_scored"),
+        F.sum(F.abs(err)).cast("bigint").alias("abs_err_sum"),
+        _pround(F.sum(F.abs(err)).cast("double") / cnt).alias("mae"),
+        _pround(F.sqrt(F.sum(err * err).cast("double") / cnt)).alias("rmse"),
+        F.sum(err).cast("bigint").alias("bias"),
+    )
+
+
+@register(
+    "topk_per_group_strategies",
+    oracle="""
+WITH rev AS (
+  SELECT p_brand, l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(19, 2))) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+),
+ranked AS (
+  SELECT p_brand, l_partkey, r,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY r DESC, l_partkey) AS rn
+  FROM rev
+)
+SELECT p_brand, l_partkey,
+       CAST(r AS DOUBLE) AS revenue, rn,
+       0 AS strategies_disagree
+FROM ranked WHERE rn <= 3
+""",
+)
+def topk_per_group_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand computed by TWO physical strategies and
+    proven equivalent in-plan: (A) the window row_number over the
+    aggregated (brand, part) revenue — plans WindowGroupLimit, the
+    general answer — and (B) the aggregation spelling
+    slice(array_sort(collect_list(struct(-r, partkey))), 1, 3), which
+    is PARTIAL-AGGREGABLE: each map task keeps only its local struct
+    list, so for small k over huge groups it ships k·tasks rows where
+    the window ships the whole group into a sort. The emitted column
+    strategies_disagree is the size of the symmetric difference
+    between A and B — the oracle pins it to 0, so the equivalence is
+    hash-checked every round, not just claimed. DECIMAL revenue makes
+    the ranking tie-exact; partkey breaks residual ties."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(19,2)")).alias("r")
+        )
+        .cache()  # feeds both strategies
+    )
+    # strategy A: window
+    w = Window.partitionBy("p_brand").orderBy(F.desc("r"), F.asc("l_partkey"))
+    a = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "l_partkey", "r", "rn")
+    )
+    # strategy B: partial-aggregable sorted-struct slice
+    b = (
+        rev.groupBy("p_brand")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("r")).alias("nr"), "l_partkey"))
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        .select("p_brand", F.posexplode("top").alias("pos0", "s"))
+        .select(
+            "p_brand",
+            F.col("s.l_partkey").alias("l_partkey"),
+            (-F.col("s.nr")).alias("r"),
+            (F.col("pos0") + 1).alias("rn"),
+        )
+    )
+    disagree = a.select("p_brand", "l_partkey", "rn").exceptAll(
+        b.select("p_brand", "l_partkey", "rn")
+    ).unionAll(
+        b.select("p_brand", "l_partkey", "rn").exceptAll(
+            a.select("p_brand", "l_partkey", "rn")
+        )
+    ).agg(F.count(F.lit(1)).alias("n_diff"))
+    return a.crossJoin(F.broadcast(disagree)).select(
+        "p_brand",
+        "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        "rn",
+        F.col("n_diff").cast("int").alias("strategies_disagree"),
+    )
