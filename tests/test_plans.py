@@ -750,3 +750,58 @@ def test_timezone_convert_zero_python(spark, sf_small):
     plan = _executed_plan(spark, "fn_timezone_convert", sf_small)
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_gap_fill_linear_single_user_shuffle(spark, sf_small):
+    """events_gap_fill_linear: all four ignore-nulls windows share ONE
+    user_id partitioning — at most 2 hash exchanges total (daily agg +
+    window), never one per window."""
+    plan = _executed_plan(spark, "events_gap_fill_linear", sf_small)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_dims_broadcast(spark, sf_small):
+    """supplier_hhi_by_nation: supplier and nation broadcast into the
+    lineitem join; nations-sized aggregate output."""
+    plan = _executed_plan(spark, "supplier_hhi_by_nation", sf_small)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_payload_dedup_shuffles_digest_not_blob(spark, sf_small):
+    """multimodal_payload_dedup: the groupBy key is the md5 digest — the
+    binary payload column must not appear in any Exchange."""
+    plan = _executed_plan(spark, "multimodal_payload_dedup", sf_small)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload#" not in line, line
+
+
+def test_k_sample_uses_window_group_limit(spark, sf_small):
+    """sample_k_per_group_stable must plan WindowGroupLimit so each
+    partition locally top-k's before shuffling the group."""
+    plan = _executed_plan(spark, "sample_k_per_group_stable", sf_small)
+    assert "WindowGroupLimit" in plan
+
+
+def test_triangles_edges_cached_no_cartesian(spark, sf_small):
+    """graph_copurchase_triangles: the edge relation is cached (feeds
+    degrees + three join sides) and every join is keyed — no cartesian."""
+    plan = _executed_plan(spark, "graph_copurchase_triangles", sf_small)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_naive_windows_over_aggregate(spark, sf_small):
+    """events_seasonal_naive_backtest: lag-7 runs over the types×days
+    aggregate — HashAggregate below the Window."""
+    plan = _executed_plan(spark, "events_seasonal_naive_backtest", sf_small)
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_cep_pattern_single_user_partitioning(spark, sf_small):
+    """events_cep_triple_pattern: sessionize + lead-chain stack over ONE
+    user_id partitioning — a single window exchange feeds both."""
+    plan = _executed_plan(spark, "events_cep_triple_pattern", sf_small)
+    assert plan.count("Exchange hashpartitioning") <= 2
