@@ -253,6 +253,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "scan_text_wholefile",
         "events_seasonal_naive_backtest",
         "topk_per_group_strategies",
+        # --- eighteenth wave (operators/round5r.py) ---
+        "events_top_session_paths",
+        "events_attribution_linear",
+        "events_time_to_convert_quantiles",
+        "pipeline_compaction_planner",
     }
 )
 

@@ -83,6 +83,9 @@ HEADLINE = (
     "events_peak_concurrency",
     "dedup_lsh_band_tuning",
     "text_chunk_dup_ratio",
+    # waves 11/17: the composed dedup pipeline and the graph kernel
+    "dedup_removal_plan",
+    "graph_copurchase_triangles",
 )
 
 N_RUNS = 3
