@@ -258,6 +258,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_attribution_linear",
         "events_time_to_convert_quantiles",
         "pipeline_compaction_planner",
+        # --- nineteenth wave (operators/round5s.py) ---
+        "fn_array_set_ops",
+        "scan_binary_files",
+        "fn_iso_week_parity",
+        "agg_equidepth_histogram",
     }
 )
 

@@ -41,3 +41,4 @@ from ai_dataingestion_spark.operators import round5o  # noqa: F401
 from ai_dataingestion_spark.operators import round5p  # noqa: F401
 from ai_dataingestion_spark.operators import round5q  # noqa: F401
 from ai_dataingestion_spark.operators import round5r  # noqa: F401
+from ai_dataingestion_spark.operators import round5s  # noqa: F401
