@@ -263,6 +263,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "scan_binary_files",
         "fn_iso_week_parity",
         "agg_equidepth_histogram",
+        # --- twentieth wave (operators/round5t.py) ---
+        "events_alert_rules",
+        "agg_empty_relation_semantics",
+        "win_default_frame_ties",
+        "text_js_divergence_pairwise",
     }
 )
 
