@@ -268,6 +268,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "agg_empty_relation_semantics",
         "win_default_frame_ties",
         "text_js_divergence_pairwise",
+        # --- twenty-first wave (operators/round5u.py) ---
+        "text_bm25_topk",
+        "search_inverted_index_and_query",
+        "multimodal_coverage_audit",
+        "events_rolling_7d_active_users",
     }
 )
 
