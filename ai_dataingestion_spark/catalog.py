@@ -273,6 +273,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "search_inverted_index_and_query",
         "multimodal_coverage_audit",
         "events_rolling_7d_active_users",
+        # --- twenty-second wave (operators/round5v.py) ---
+        "lineitem_abc_xyz_matrix",
+        "embed_mmr_select",
+        "part_single_source_risk",
+        "dedup_partition_invariance",
     }
 )
 

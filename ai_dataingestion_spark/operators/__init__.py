@@ -44,3 +44,4 @@ from ai_dataingestion_spark.operators import round5r  # noqa: F401
 from ai_dataingestion_spark.operators import round5s  # noqa: F401
 from ai_dataingestion_spark.operators import round5t  # noqa: F401
 from ai_dataingestion_spark.operators import round5u  # noqa: F401
+from ai_dataingestion_spark.operators import round5v  # noqa: F401
