@@ -278,6 +278,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "embed_mmr_select",
         "part_single_source_risk",
         "dedup_partition_invariance",
+        # --- twenty-third wave (operators/round5w.py) ---
+        "agg_partial_merge_proof",
+        "events_transition_dwell_stats",
+        "pipeline_shard_manifest",
+        "supplier_quadrant_classification",
     }
 )
 
