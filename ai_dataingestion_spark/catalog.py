@@ -283,6 +283,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_transition_dwell_stats",
         "pipeline_shard_manifest",
         "supplier_quadrant_classification",
+        # --- twenty-fourth wave (operators/round5x.py) ---
+        "embed_index_upsert_refresh",
+        "quality_ks_two_sample",
+        "sort_keyset_pagination",
+        "orders_fiscal_calendar_rollup",
     }
 )
 
