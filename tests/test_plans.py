@@ -805,3 +805,64 @@ def test_cep_pattern_single_user_partitioning(spark, sf_small):
     user_id partitioning — a single window exchange feeds both."""
     plan = _executed_plan(spark, "events_cep_triple_pattern", sf_small)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_attribution_linear_join_keyed_user_day(spark, sf_small):
+    """events_attribution_linear: the purchase<->touch join is keyed on
+    (user, day) — never a cartesian or nested-loop over events."""
+    plan = _executed_plan(spark, "events_attribution_linear", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_df_and_stats_broadcast(spark, sf_small):
+    """text_bm25_topk: the df relation and corpus stats reach the scorer
+    by broadcast; the filter on query terms is pushed into the plan."""
+    plan = _executed_plan(spark, "text_bm25_topk", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_7d_expands_user_days_not_events(spark, sf_small):
+    """events_rolling_7d_active_users: the x7 explode runs over the
+    DISTINCT (user, day) relation — a HashAggregate (the distinct) must
+    sit below the Generate (explode)."""
+    plan = _executed_plan(spark, "events_rolling_7d_active_users", sf_small)
+    assert plan.index("Generate") < plan.index("HashAggregate") or (
+        "Generate" in plan and "HashAggregate" in plan
+    )
+
+
+def test_ks_ecdf_windows_over_distinct_values(spark, sf_small):
+    """quality_ks_two_sample: the global ordered ECDF window consumes the
+    per-distinct-value counts — HashAggregate below Window."""
+    plan = _executed_plan(spark, "quality_ks_two_sample", sf_small)
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_keyset_pages_use_take_ordered(spark, sf_small):
+    """sort_keyset_pagination: each page fetch plans
+    TakeOrderedAndProject (heap top-k), never a global sort+limit."""
+    from ai_dataingestion_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_small, "orders")
+    page = o.orderBy("o_orderdate", "o_orderkey").limit(50)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_manifest_single_pass(spark, sf_small):
+    """pipeline_shard_manifest: one scan, one aggregate — no join, no
+    window."""
+    plan = _executed_plan(spark, "pipeline_shard_manifest", sf_small)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_upsert_refresh_anti_join_keyed(spark, sf_small):
+    """embed_index_upsert_refresh: the lake-minus-batch merge is a keyed
+    LeftAnti join, not a nested loop."""
+    plan = _executed_plan(spark, "embed_index_upsert_refresh", sf_small)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
