@@ -288,6 +288,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "quality_ks_two_sample",
         "sort_keyset_pagination",
         "orders_fiscal_calendar_rollup",
+        # --- twenty-fifth wave (operators/round5y.py) ---
+        "fn_business_days_diff",
+        "fn_minmax_scale_check",
+        "text_readability_score",
+        "orders_ytd_vs_prior_year",
     }
 )
 
