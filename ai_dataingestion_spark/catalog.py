@@ -293,6 +293,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "fn_minmax_scale_check",
         "text_readability_score",
         "orders_ytd_vs_prior_year",
+        # --- twenty-sixth wave (operators/round5z.py) ---
+        "text_vocab_oov_rate",
+        "join_asof_directions",
+        "quality_key_sequence_gaps",
+        "pipeline_retention_gc_plan",
     }
 )
 
