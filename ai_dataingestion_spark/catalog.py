@@ -298,6 +298,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "join_asof_directions",
         "quality_key_sequence_gaps",
         "pipeline_retention_gc_plan",
+        # --- twenty-seventh wave (operators/round6a.py) ---
+        "events_diff_in_differences",
+        "lineitem_price_index",
+        "sink_file_layout_audit",
+        "text_batch_novelty_rate",
     }
 )
 
