@@ -303,6 +303,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "lineitem_price_index",
         "sink_file_layout_audit",
         "text_batch_novelty_rate",
+        # --- twenty-eighth wave (operators/round6b.py) ---
+        "events_cuped_adjustment",
+        "agg_log2_histogram",
+        "supplier_scorecard_composite",
+        "events_sample_size_calc",
     }
 )
 

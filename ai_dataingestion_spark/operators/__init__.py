@@ -50,3 +50,4 @@ from ai_dataingestion_spark.operators import round5x  # noqa: F401
 from ai_dataingestion_spark.operators import round5y  # noqa: F401
 from ai_dataingestion_spark.operators import round5z  # noqa: F401
 from ai_dataingestion_spark.operators import round6a  # noqa: F401
+from ai_dataingestion_spark.operators import round6b  # noqa: F401
