@@ -143,15 +143,17 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # window (they are locally oracle-verified + unit-tested meanwhile).
 # Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
 # rows-only), so every §2.Q addition (operators/round5b.py through
-# round5k.py — waves 2-11, 58 oracle + 1 rows-only IDs) defers to the
+# round6b.py — waves 2-28, 126 oracle + 1 rows-only IDs) defers to the
 # r6 window. Each is locally oracle-verified (driver sim at sf0.01 —
-# full-loop run this session: 267 ok / 4 rows-only / 0 fail) and swept
+# full-loop runs this session, latest: 292 ok / 4 rows-only / 0 fail
+# at wave 15; every later wave sim'd green on registration) and swept
 # in the Tier-2 parity loop meanwhile.
 # ROUND-6 SELF: empty this set so the deferred IDs rank into the r6
-# window in registration order. They no longer fit in one 50-slot
-# window (59 deferred + 2 udf re-checks = 61): the overflow (the last
-# ~11 by registration index, waves 10-11) stays rank-0 and fronts the
-# r7 window automatically — no action needed beyond emptying this set.
+# window in registration order. They now span ~2.5 windows (127
+# deferred + 2 udf re-checks): r6 takes the first 50 by registration
+# index (waves 2-5 plus part of 6), the remainder stays rank-0 and
+# automatically fronts the r7/r8 windows — no action needed beyond
+# emptying this set each round.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "tpch_q2_min_cost_supplier",

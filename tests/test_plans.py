@@ -866,3 +866,43 @@ def test_upsert_refresh_anti_join_keyed(spark, sf_small):
     plan = _executed_plan(spark, "embed_index_upsert_refresh", sf_small)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_business_days_single_join_no_python(spark, sf_small):
+    """fn_business_days_diff: one orderkey join, closed-form integer
+    index — no EvalPython, no window."""
+    plan = _executed_plan(spark, "fn_business_days_diff", sf_small)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_ytd_windows_over_year_doy_aggregate(spark, sf_small):
+    """orders_ytd_vs_prior_year: cumulative windows consume the
+    years×days aggregate — HashAggregate below Window."""
+    plan = _executed_plan(spark, "orders_ytd_vs_prior_year", sf_small)
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_key_gaps_window_over_buckets(spark, sf_small):
+    """quality_key_sequence_gaps: the lag window consumes the bucket
+    aggregate, never raw keys — HashAggregate below Window."""
+    plan = _executed_plan(spark, "quality_key_sequence_gaps", sf_small)
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_novelty_anti_join_on_digests(spark, sf_small):
+    """text_batch_novelty_rate: the lake comparison is a keyed LeftAnti
+    over digests — no text column in any Exchange."""
+    plan = _executed_plan(spark, "text_batch_novelty_rate", sf_small)
+    assert "LeftAnti" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_cuped_single_reduce(spark, sf_small):
+    """events_cuped_adjustment: per-user reduce then one moment row —
+    exactly two aggregate stages, no join, no window."""
+    plan = _executed_plan(spark, "events_cuped_adjustment", sf_small)
+    assert "Join" not in plan
+    assert "Window" not in plan
