@@ -310,6 +310,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "agg_log2_histogram",
         "supplier_scorecard_composite",
         "events_sample_size_calc",
+        # --- twenty-ninth wave (operators/round6c.py) ---
+        "quality_psi_drift",
+        "agg_median_of_means",
+        "dedup_representative_selection",
     }
 )
 

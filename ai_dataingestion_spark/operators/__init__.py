@@ -51,3 +51,4 @@ from ai_dataingestion_spark.operators import round5y  # noqa: F401
 from ai_dataingestion_spark.operators import round5z  # noqa: F401
 from ai_dataingestion_spark.operators import round6a  # noqa: F401
 from ai_dataingestion_spark.operators import round6b  # noqa: F401
+from ai_dataingestion_spark.operators import round6c  # noqa: F401
