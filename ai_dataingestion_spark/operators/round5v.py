@@ -199,6 +199,10 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical greedy chain as CTEs."""
     e = Tables(spark, sf_dir).embeddings
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    if qrow is None:  # empty corpus: no query vector, empty result
+        return spark.createDataFrame(
+            [], "pick_order int, vec_id bigint, sim double"
+        )
     q_id, q_vec = qrow["vec_id"], qrow["embedding"]
 
     def cos(col_vec, lit_vec: list) -> F.Column:
@@ -245,6 +249,8 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy(F.desc("mmr"), F.asc("vec_id"))
                 .first()
             )
+        if pick is None:  # fewer than k candidates exist: stop early
+            break
         selected.append((pick["vec_id"], pick["sim"], pick["embedding"]))
 
     rows = [

@@ -245,6 +245,8 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         page = q.orderBy("o_orderdate", "o_orderkey").limit(_PAGE_SIZE)
         rows = page.collect()  # bounded: _PAGE_SIZE rows per fetch
         pages.append((page_no, rows))
+        if not rows:  # exhausted relation (e.g. empty corpus): stop seeking
+            break
         last = rows[-1]
         cursor = (last["o_orderdate"], last["o_orderkey"])
     flat = [
