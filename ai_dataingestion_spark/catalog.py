@@ -314,6 +314,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "quality_psi_drift",
         "agg_median_of_means",
         "dedup_representative_selection",
+        # --- thirtieth wave (operators/round6d.py) ---
+        "orders_moving_annual_total",
+        "events_session_depth_survival",
+        "events_session_gap_sensitivity",
+        "text_token_length_histogram",
     }
 )
 
