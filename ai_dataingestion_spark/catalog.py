@@ -319,6 +319,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_session_depth_survival",
         "events_session_gap_sensitivity",
         "text_token_length_histogram",
+        # --- thirty-first wave (operators/round6e.py) ---
+        "text_rank_stability_spearman",
+        "events_longest_same_type_run",
+        "embed_dim_corr_pairs",
+        "scan_csv_column_reorder",
     }
 )
 

@@ -53,3 +53,4 @@ from ai_dataingestion_spark.operators import round6a  # noqa: F401
 from ai_dataingestion_spark.operators import round6b  # noqa: F401
 from ai_dataingestion_spark.operators import round6c  # noqa: F401
 from ai_dataingestion_spark.operators import round6d  # noqa: F401
+from ai_dataingestion_spark.operators import round6e  # noqa: F401
