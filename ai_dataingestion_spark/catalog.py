@@ -324,6 +324,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_longest_same_type_run",
         "embed_dim_corr_pairs",
         "scan_csv_column_reorder",
+        # --- thirty-second wave (operators/round6f.py) ---
+        "events_wow_change_contributions",
+        "trade_flow_nation_matrix",
+        "sort_null_ordering",
+        "pipeline_resume_watermark",
     }
 )
 

@@ -54,3 +54,4 @@ from ai_dataingestion_spark.operators import round6b  # noqa: F401
 from ai_dataingestion_spark.operators import round6c  # noqa: F401
 from ai_dataingestion_spark.operators import round6d  # noqa: F401
 from ai_dataingestion_spark.operators import round6e  # noqa: F401
+from ai_dataingestion_spark.operators import round6f  # noqa: F401
