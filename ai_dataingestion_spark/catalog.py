@@ -329,6 +329,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "trade_flow_nation_matrix",
         "sort_null_ordering",
         "pipeline_resume_watermark",
+        # --- thirty-third wave (operators/round6g.py) ---
+        "dedup_eval_precision_recall",
+        "agg_weighted_median",
+        "text_topk_coverage_curve",
     }
 )
 

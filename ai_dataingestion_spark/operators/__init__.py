@@ -55,3 +55,4 @@ from ai_dataingestion_spark.operators import round6c  # noqa: F401
 from ai_dataingestion_spark.operators import round6d  # noqa: F401
 from ai_dataingestion_spark.operators import round6e  # noqa: F401
 from ai_dataingestion_spark.operators import round6f  # noqa: F401
+from ai_dataingestion_spark.operators import round6g  # noqa: F401
