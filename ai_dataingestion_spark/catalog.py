@@ -333,6 +333,15 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_eval_precision_recall",
         "agg_weighted_median",
         "text_topk_coverage_curve",
+        # --- thirty-fourth wave (operators/round6h.py) ---
+        "orders_open_backlog_sweepline",
+        "graph_pagerank_trade",
+        "orders_priority_mix_shift",
+        "quality_contingency_residuals",
+        # --- thirty-fifth wave (operators/round6i.py) ---
+        "part_skyline_price_size",
+        "agg_theil_decomposition",
+        "events_rolling_corr_daily",
     }
 )
 

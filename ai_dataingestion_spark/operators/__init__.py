@@ -56,3 +56,5 @@ from ai_dataingestion_spark.operators import round6d  # noqa: F401
 from ai_dataingestion_spark.operators import round6e  # noqa: F401
 from ai_dataingestion_spark.operators import round6f  # noqa: F401
 from ai_dataingestion_spark.operators import round6g  # noqa: F401
+from ai_dataingestion_spark.operators import round6h  # noqa: F401
+from ai_dataingestion_spark.operators import round6i  # noqa: F401
