@@ -342,6 +342,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "part_skyline_price_size",
         "agg_theil_decomposition",
         "events_rolling_corr_daily",
+        # --- thirty-sixth wave (operators/round6j.py) ---
+        "dedup_cdc_chunking",
+        "quality_column_entropy_profile",
+        "events_interarrival_burstiness",
     }
 )
 
