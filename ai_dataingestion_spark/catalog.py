@@ -346,6 +346,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_cdc_chunking",
         "quality_column_entropy_profile",
         "events_interarrival_burstiness",
+        # --- thirty-seventh wave (operators/round6k.py) ---
+        "customer_segment_migration",
+        "events_kaplan_meier_daily",
+        "agg_bootstrap_mean_ci",
     }
 )
 

@@ -86,6 +86,10 @@ HEADLINE = (
     # waves 11/17: the composed dedup pipeline and the graph kernel
     "dedup_removal_plan",
     "graph_copurchase_triangles",
+    # waves 34/36: the iterative centrality kernel and the corpus-wide
+    # CDC chunking pipeline (3 windows + 2 groupBys over every token).
+    "graph_pagerank_trade",
+    "dedup_cdc_chunking",
 )
 
 N_RUNS = 3
