@@ -906,3 +906,53 @@ def test_cuped_single_reduce(spark, sf_small):
     plan = _executed_plan(spark, "events_cuped_adjustment", sf_small)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_sweepline_no_calendar_explode(spark, sf_small):
+    """orders_open_backlog_sweepline: the backlog is ±deltas + cumsum,
+    never an order×month interval explode — no Generate (explode) node,
+    cumulative Window above the month HashAggregate."""
+    plan = _executed_plan(spark, "orders_open_backlog_sweepline", sf_small)
+    assert "Generate" not in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_pagerank_broadcasts_dims_no_cartesian(spark, sf_small):
+    """graph_pagerank_trade: supplier/customer/nation lookups broadcast;
+    no iteration introduces a cartesian product."""
+    plan = _executed_plan(spark, "graph_pagerank_trade", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_is_windowed_not_self_joined(spark, sf_small):
+    """part_skyline_price_size: the engine computes the skyline via
+    sort + running max — the plan must contain NO join at all (the
+    O(n²) NOT-EXISTS shape lives only in the oracle spec)."""
+    plan = _executed_plan(spark, "part_skyline_price_size", sf_small)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_cdc_chunking_single_doc_shuffle(spark, sf_small):
+    """dedup_cdc_chunking: boundary lag, chunk-id cumsum, and chunk
+    re-assembly all run in ONE doc_id exchange (windows + groupBy
+    reuse the partitioning); only the final sources rollup re-shuffles."""
+    plan = _executed_plan(spark, "dedup_cdc_chunking", sf_small)
+    doc_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "doc_id" in line
+    ]
+    assert len(doc_exchanges) == 1, plan
+
+
+def test_bootstrap_no_wide_explode_shuffle(spark, sf_small):
+    """agg_bootstrap_mean_ci: the ×32 replica explode must aggregate
+    map-side — the only wide exchange carries the 32 replica keys
+    (partial HashAggregate below the Exchange), and the grand-mean
+    attach is a broadcast, not a shuffle."""
+    plan = _executed_plan(spark, "agg_bootstrap_mean_ci", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
