@@ -350,6 +350,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "customer_segment_migration",
         "events_kaplan_meier_daily",
         "agg_bootstrap_mean_ci",
+        # --- thirty-eighth wave (operators/round6l.py) ---
+        "embed_prefix_energy_fraction",
+        "lineitem_wilson_ci_return_rate",
+        "join_strategy_equivalence",
     }
 )
 

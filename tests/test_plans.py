@@ -956,3 +956,21 @@ def test_bootstrap_no_wide_explode_shuffle(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower() or "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_join_strategy_proof_has_three_physical_joins(spark, sf_small):
+    """join_strategy_equivalence: the three hinted branches must
+    actually compile to three DISTINCT physical join operators —
+    broadcast-hash, shuffled-hash, and sort-merge."""
+    plan = _executed_plan(spark, "join_strategy_equivalence", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_prefix_energy_single_explode_pass(spark, sf_small):
+    """embed_prefix_energy_fraction: all four conditional energy sums
+    come from ONE posexplode pass (the stack() unpivot is the only
+    other Generate; a union-of-selects spelling showed 4 explodes)."""
+    plan = _executed_plan(spark, "embed_prefix_energy_fraction", sf_small)
+    assert plan.count("Generate posexplode") == 1, plan
