@@ -354,6 +354,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "embed_prefix_energy_fraction",
         "lineitem_wilson_ci_return_rate",
         "join_strategy_equivalence",
+        # --- thirty-ninth wave (operators/round6m.py) ---
+        "join_epsilon_float",
+        "events_max_sliding_hour_rate",
+        "sink_dynamic_partition_overwrite",
     }
 )
 

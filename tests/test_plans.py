@@ -974,3 +974,17 @@ def test_prefix_energy_single_explode_pass(spark, sf_small):
     other Generate; a union-of-selects spelling showed 4 explodes)."""
     plan = _executed_plan(spark, "embed_prefix_energy_fraction", sf_small)
     assert plan.count("Generate posexplode") == 1, plan
+
+
+def test_epsilon_join_no_cartesian(spark, sf_small):
+    """join_epsilon_float: the |Δbal| ≤ ε theta join must compile to a
+    bucket EQUALITY join (candidate expansion), never a cartesian or
+    broadcast-nested-loop over the full cross space."""
+    plan = _executed_plan(spark, "join_epsilon_float", sf_small)
+    assert "CartesianProduct" not in plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    ]
+    assert not joins, plan
