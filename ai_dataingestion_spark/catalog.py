@@ -358,6 +358,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "join_epsilon_float",
         "events_max_sliding_hour_rate",
         "sink_dynamic_partition_overwrite",
+        # --- fortieth wave (operators/round6n.py) ---
+        "stream_foreachbatch_upsert",
+        "agg_stratified_estimator_variance",
+        "events_pchart_error_rate",
     }
 )
 
