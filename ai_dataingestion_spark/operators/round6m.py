@@ -176,7 +176,11 @@ def sink_dynamic_partition_overwrite(
         ).write.mode("overwrite").partitionBy("day").parquet(target)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    got = spark.read.parquet(target)
+    # explicit schema: an empty corpus writes zero partition dirs and
+    # schema inference has nothing to read (the ingest_incremental rule)
+    got = spark.read.schema(
+        "event_id bigint, event_type string, day date"
+    ).parquet(target)
     cutoff = F.lit("2024-01-05").cast("date")
     audit = got.agg(
         F.count(F.lit(1)).alias("rows_after"),

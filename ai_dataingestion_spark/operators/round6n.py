@@ -103,7 +103,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", ckpt)
     )
-    final = spark.read.schema(state_schema).parquet(_gen_dir(_latest_gen()))
+    gen = _latest_gen()
+    if gen < 0:
+        # empty corpus: zero micro-batches fired, no state generation
+        # exists — return the empty result in the contract schema
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint, total_value double, "
+            "last_type string",
+        )
+    final = spark.read.schema(state_schema).parquet(_gen_dir(gen))
     return final.select(
         "user_id",
         "n_events",
