@@ -362,6 +362,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "stream_foreachbatch_upsert",
         "agg_stratified_estimator_variance",
         "events_pchart_error_rate",
+        # --- forty-first wave (operators/round6o.py) ---
+        "events_pit_training_features",
+        "embed_sign_hamming_separation",
+        "orders_hierarchy_share_of_parent",
     }
 )
 
