@@ -366,6 +366,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_pit_training_features",
         "embed_sign_hamming_separation",
         "orders_hierarchy_share_of_parent",
+        # --- forty-second wave (operators/round6p.py) ---
+        "events_markov_entropy_rate",
+        "embed_pq_reconstruction_error",
+        "sink_csv_gzip_roundtrip",
     }
 )
 
