@@ -370,6 +370,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_markov_entropy_rate",
         "embed_pq_reconstruction_error",
         "sink_csv_gzip_roundtrip",
+        # --- forty-third wave (operators/round6q.py) ---
+        "text_naive_bayes_source_classifier",
+        "orders_seasonal_decomposition_additive",
+        "fn_json_nested_roundtrip",
     }
 )
 
