@@ -374,6 +374,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_naive_bayes_source_classifier",
         "orders_seasonal_decomposition_additive",
         "fn_json_nested_roundtrip",
+        # --- forty-fourth wave (operators/round6r.py) ---
+        "orders_fulfillment_vintage_curves",
+        "fn_array_reduce_horner",
+        "events_circular_time_stats",
     }
 )
 
