@@ -378,6 +378,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "orders_fulfillment_vintage_curves",
         "fn_array_reduce_horner",
         "events_circular_time_stats",
+        # --- forty-fifth wave (operators/round6s.py) ---
+        "win_loo_outlier_zscore",
+        "agg_cube_margin_consistency",
     }
 )
 
