@@ -149,11 +149,11 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # at wave 15; every later wave sim'd green on registration) and swept
 # in the Tier-2 parity loop meanwhile.
 # ROUND-6 SELF: empty this set so the deferred IDs rank into the r6
-# window in registration order. They now span ~2.5 windows (127
-# deferred + 2 udf re-checks): r6 takes the first 50 by registration
-# index (waves 2-5 plus part of 6), the remainder stays rank-0 and
-# automatically fronts the r7/r8 windows — no action needed beyond
-# emptying this set each round.
+# window in registration order. They now span ~3.3 windows (163
+# deferred — waves 2-45 — + 2 udf re-checks): r6 takes the first 50 by
+# registration index (waves 2-5 plus part of 6), the remainder stays
+# rank-0 and automatically fronts the r7/r8/r9 windows — no action
+# needed beyond emptying this set each round.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "tpch_q2_min_cost_supplier",
