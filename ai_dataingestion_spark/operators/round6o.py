@@ -142,7 +142,10 @@ def embed_sign_hamming_separation(
         (F.col("pos") + 1).alias("dim"),
         F.when(F.col("x") > 0, 1.0).otherwise(0.0).alias("b"),
     )
-    marg = bits.groupBy("label", "dim").agg(F.avg("b").alias("p"))
+    # cache the labels×dims marginal (≤640 rows): the self-join would
+    # otherwise re-run the corpus explode+aggregate once per side
+    # (measured: 2 Generate posexplode nodes without it)
+    marg = bits.groupBy("label", "dim").agg(F.avg("b").alias("p")).cache()
     a = marg.select(
         F.col("label").alias("label_a"),
         F.col("dim").alias("dim_a"),

@@ -62,7 +62,7 @@ def win_loo_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then run identical IEEE arithmetic (the burstiness rule applied to
     # per-row frame math; DECIMAL(19,2) operands per the 5.4 HHI rule).
     m = li.select(
-        F.col("l_returnflag").alias("flag"),
+        "l_returnflag",
         xdec.cast("double").alias("xd"),
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum(xdec).over(w).cast("double").alias("s1"),
@@ -76,11 +76,14 @@ def win_loo_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_num / ((F.col("n") - 1).cast("double") * (F.col("n") - 2))
     )
     loo = m.select(
-        "flag",
+        "l_returnflag",
         "n",
         ((F.col("xd") - mean_loo) / sd_loo).alias("z"),
     )
-    return loo.groupBy(F.col("flag").alias("l_returnflag")).agg(
+    # keep the SAME l_returnflag attribute end-to-end: renaming the key
+    # anywhere between the window and the rollup breaks exchange reuse
+    # (measured: an aliased grouping key forced a second shuffle)
+    return loo.groupBy("l_returnflag").agg(
         F.max("n").cast("bigint").alias("n_lines"),
         F.sum(F.when(F.abs("z") > 3, 1).otherwise(0))
         .cast("bigint")

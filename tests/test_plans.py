@@ -988,3 +988,57 @@ def test_epsilon_join_no_cartesian(spark, sf_small):
         if "BroadcastNestedLoopJoin" in line
     ]
     assert not joins, plan
+
+
+def test_pit_features_single_user_shuffle(spark, sf_small):
+    """events_pit_training_features: all three trailing-feature frames
+    share ONE user_id exchange (same window spec), and the label
+    filter adds no further corpus shuffle."""
+    plan = _executed_plan(spark, "events_pit_training_features", sf_small)
+    user_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "user_id" in line
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_sign_hamming_no_pair_materialization(spark, sf_small):
+    """embed_sign_hamming_separation: the closed form must join bit
+    MARGINALS (labels×dims), never vector pairs — one posexplode, no
+    cartesian over vec_ids."""
+    plan = _executed_plan(spark, "embed_sign_hamming_separation", sf_small)
+    # the marginal relation is cached: both join sides must read the
+    # InMemory relation (the corpus explode executes once; the plan
+    # STRING prints the cached subtree under each scan)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_no_cartesian(spark, sf_small):
+    """text_naive_bayes_source_classifier: scoring is a token equality
+    join; the only cross joins are the broadcast totals/vocab-size
+    attaches (BroadcastNestedLoopJoin over 1-row / label-sized sides)."""
+    plan = _executed_plan(spark, "text_naive_bayes_source_classifier", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_loo_zscore_window_feeds_rollup(spark, sf_small):
+    """win_loo_outlier_zscore: the LOO estimate is frame arithmetic on
+    ONE partition window pass — a single l_returnflag exchange feeds
+    both the window and the final rollup."""
+    plan = _executed_plan(spark, "win_loo_outlier_zscore", sf_small)
+    flag_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "returnflag" in line
+    ]
+    assert len(flag_exchanges) == 1, plan
+
+
+def test_hierarchy_rollup_broadcasts_all_dims(spark, sf_small):
+    """orders_hierarchy_share_of_parent: customer/nation/region lookups
+    all broadcast — no sort-merge join anywhere in the star chain."""
+    plan = _executed_plan(spark, "orders_hierarchy_share_of_parent", sf_small)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
