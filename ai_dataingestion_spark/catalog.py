@@ -381,6 +381,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         # --- forty-fifth wave (operators/round6s.py) ---
         "win_loo_outlier_zscore",
         "agg_cube_margin_consistency",
+        # --- forty-sixth wave (operators/round6t.py) ---
+        "events_ab_srm_check",
+        "quality_fd_discovery",
+        "catalog_temporal_coverage",
     }
 )
 

@@ -68,3 +68,4 @@ from ai_dataingestion_spark.operators import round6p  # noqa: F401
 from ai_dataingestion_spark.operators import round6q  # noqa: F401
 from ai_dataingestion_spark.operators import round6r  # noqa: F401
 from ai_dataingestion_spark.operators import round6s  # noqa: F401
+from ai_dataingestion_spark.operators import round6t  # noqa: F401

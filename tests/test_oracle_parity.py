@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 402  # 189 through r4 + 32 (§2.P) + 181 (§2.Q waves 2-45)
+TOTAL_OPERATORS = 405  # 189 through r4 + 32 (§2.P) + 184 (§2.Q waves 2-46)
 
 
 @pytest.fixture(scope="module")
