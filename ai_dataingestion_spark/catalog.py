@@ -385,6 +385,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "events_ab_srm_check",
         "quality_fd_discovery",
         "catalog_temporal_coverage",
+        # --- forty-seventh wave (operators/round6u.py) ---
+        "orders_simpsons_reversal_check",
+        "pipeline_cdc_column_breakdown",
     }
 )
 
