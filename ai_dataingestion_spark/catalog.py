@@ -388,6 +388,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         # --- forty-seventh wave (operators/round6u.py) ---
         "orders_simpsons_reversal_check",
         "pipeline_cdc_column_breakdown",
+        # --- forty-eighth wave (operators/round6v.py) ---
+        "quality_table_fingerprint",
     }
 )
 
