@@ -122,6 +122,29 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "embed_centroid_outliers", "agg_corr_regression", "agg_conditional",
         "agg_salted_skew", "events_funnel", "pivot_wide", "set_union_all",
         "win_moving", "win_lag_default", "fn_map", "fn_json",
+        # --- round 5 green (all 50 rows of CORRECTNESS_r05: 47 oracle
+        # pass + sim_ann_lsh / sim_ann_ivf / stream_watermark_late
+        # rows-only-by-design rows with non-null spark_rows) ---
+        "agg_count_min_topk", "agg_higher_moments", "corpus_source_entropy",
+        "customer_value_deciles", "dedup_affix_prefix", "dedup_family_sizes",
+        "embed_cosine_histogram", "embed_kmeans_iterations",
+        "embed_norm_percentiles", "events_bot_rate_flag", "events_ewma_daily",
+        "events_gap_fill_locf", "events_hourly_matrix", "fn_interval_arith",
+        "join_bloom_prefilter", "join_existence_flags",
+        "lineitem_shipping_delay_stats", "market_basket_pairs",
+        "orders_cumulative_share_monthly", "orders_priority_aging",
+        "part_brand_share", "pipeline_dead_letter", "pipeline_reconcile_totals",
+        "sales_yoy_growth", "scan_orc", "sim_ann_ivf", "sim_ann_lsh",
+        "sim_pair_dedup_lsh", "stream_watermark_late", "supplier_revenue_gini",
+        "text_boilerplate_lines", "text_charset_stats", "text_code_detect",
+        "text_entropy_filter", "text_fingerprint", "text_length_band_filter",
+        "text_mixture_weights", "text_paragraph_dedup", "text_sentence_stats",
+        "text_zipf_slope", "tpch_q11_part_value_concentration",
+        "tpch_q15_top_supplier", "tpch_q16_brand_supplier_counts",
+        "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive",
+        "tpch_q22_idle_customers", "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation_year", "udf_grouped_map",
+        "udf_map_in_pandas",
     }
 )
 
@@ -129,12 +152,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # corpus regeneration (stale evidence): re-check them right after the
 # rank-0 block. Round 5: only the two UDF-plumbing re-checks evicted from
 # the r4 window remain; the other nine earned fresh r4 green rows.
-_EVENTS_RECHECK: frozenset[str] = frozenset(
-    {
-        "udf_grouped_map",
-        "udf_map_in_pandas",
-    }
-)
+_EVENTS_RECHECK: frozenset[str] = frozenset()
+# Round 6: empty — udf_grouped_map / udf_map_in_pandas earned fresh green
+# rows in CORRECTNESS_r05 on the regenerated corpus.
 
 
 # Operators added AFTER this round's 50-slot window was finalized: they
@@ -154,244 +174,13 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
 # registration index (waves 2-5 plus part of 6), the remainder stays
 # rank-0 and automatically fronts the r7/r8/r9 windows — no action
 # needed beyond emptying this set each round.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        "tpch_q2_min_cost_supplier",
-        "tpch_q21_single_late_supplier",
-        "orders_repeat_customer_rate",
-        "customer_order_gap_stats",
-        "events_attribution_last_touch",
-        "events_type_cooccurrence",
-        "text_kl_divergence_sources",
-        "text_hapax_ratio",
-        "dedup_edit_distance_blocked",
-        "agg_geo_harmonic_means",
-        "quality_null_blank_matrix",
-        "embed_label_eta_squared",
-        # --- third wave (operators/round5c.py) ---
-        "scan_partition_pruned",
-        "join_dpp_partitioned",
-        "customer_cohort_ltv",
-        "orders_basket_size_histogram",
-        "brand_copurchase_lift",
-        "events_hour_gap_ranges",
-        "events_survival_weeks",
-        "text_bigram_cond_entropy",
-        "fn_string_codec",
-        # --- fourth wave (operators/round5d.py) ---
-        "agg_chi_square_independence",
-        "quality_benford_first_digit",
-        "events_autocorrelation_daily",
-        "lineitem_discount_quantity_regr",
-        "orders_seasonal_index",
-        # --- fifth wave (operators/round5e.py) ---
-        "tpch_q20_excess_share_suppliers",
-        "catalog_table_stats",
-        "events_type_day_jaccard",
-        "embed_pca_top_component",
-        "agg_hll_sketch_merge",  # rows-only: keep it from evicting the
-        # three planned rank-2 rows-only checks from the full r5 window
-        # --- sixth wave (operators/round5f.py) ---
-        "fn_try_safe_arith",
-        "scan_csv_malformed_permissive",
-        "lineitem_quantity_cusum_shift",
-        "events_error_burst_5min",
-        # --- seventh wave (operators/round5g.py) ---
-        "events_user_lifecycle_states",
-        "quality_referential_integrity",
-        "events_funnel_time_bounded",
-        "dedup_minhash_estimate_error",
-        # --- eighth wave (operators/round5h.py) ---
-        "win_percentile_disc_vs_cont",
-        "events_markov_2step_paths",
-        "text_shingle_df_spectrum",
-        "pipeline_watermark_lag_report",
-        "sim_cosine_range_search",
-        # --- ninth wave (operators/round5i.py) ---
-        "events_peak_concurrency",
-        "events_anomaly_mad",
-        "orders_duplicate_invoice_detect",
-        "lineitem_ship_latency_by_nation",
-        "fn_string_format",
-        "events_ab_proportion_ztest",
-        # --- tenth wave (operators/round5j.py) ---
-        "dedup_lsh_band_tuning",
-        "text_collocation_pmi",
-        "text_chunk_dup_ratio",
-        "scan_parquet_schema_merge",
-        "sink_parquet_codecs",
-        # --- eleventh wave (operators/round5k.py) ---
-        "events_late_arrival_audit",
-        "dedup_removal_plan",
-        "scan_json_schema_infer",
-        "win_range_numeric_frame",
-        # --- twelfth wave (operators/round5l.py) ---
-        "events_sessions_bounce_rate",
-        "embed_label_confusion",
-        "brand_pareto_coverage",
-        "fn_timezone_convert",
-        # --- thirteenth wave (operators/round5m.py) ---
-        "events_gap_fill_linear",
-        "supplier_hhi_by_nation",
-        "multimodal_payload_dedup",
-        "events_value_winsorized_stats",
-        # --- fourteenth wave (operators/round5n.py) ---
-        "udf_python_arrow",
-        "sink_write_modes",
-        "subquery_not_in_null_trap",
-        "quality_schema_contract",
-        # --- fifteenth wave (operators/round5o.py) ---
-        "sink_csv_quoted_roundtrip",
-        "events_pre_post_welch_t",
-        "win_running_distinct",
-        "dedup_incremental_batch",
-        # --- sixteenth wave (operators/round5p.py) ---
-        "pipeline_idempotent_ledger",
-        "sample_k_per_group_stable",
-        "fn_content_uuid",
-        "events_cep_triple_pattern",
-        # --- seventeenth wave (operators/round5q.py) ---
-        "graph_copurchase_triangles",
-        "scan_text_wholefile",
-        "events_seasonal_naive_backtest",
-        "topk_per_group_strategies",
-        # --- eighteenth wave (operators/round5r.py) ---
-        "events_top_session_paths",
-        "events_attribution_linear",
-        "events_time_to_convert_quantiles",
-        "pipeline_compaction_planner",
-        # --- nineteenth wave (operators/round5s.py) ---
-        "fn_array_set_ops",
-        "scan_binary_files",
-        "fn_iso_week_parity",
-        "agg_equidepth_histogram",
-        # --- twentieth wave (operators/round5t.py) ---
-        "events_alert_rules",
-        "agg_empty_relation_semantics",
-        "win_default_frame_ties",
-        "text_js_divergence_pairwise",
-        # --- twenty-first wave (operators/round5u.py) ---
-        "text_bm25_topk",
-        "search_inverted_index_and_query",
-        "multimodal_coverage_audit",
-        "events_rolling_7d_active_users",
-        # --- twenty-second wave (operators/round5v.py) ---
-        "lineitem_abc_xyz_matrix",
-        "embed_mmr_select",
-        "part_single_source_risk",
-        "dedup_partition_invariance",
-        # --- twenty-third wave (operators/round5w.py) ---
-        "agg_partial_merge_proof",
-        "events_transition_dwell_stats",
-        "pipeline_shard_manifest",
-        "supplier_quadrant_classification",
-        # --- twenty-fourth wave (operators/round5x.py) ---
-        "embed_index_upsert_refresh",
-        "quality_ks_two_sample",
-        "sort_keyset_pagination",
-        "orders_fiscal_calendar_rollup",
-        # --- twenty-fifth wave (operators/round5y.py) ---
-        "fn_business_days_diff",
-        "fn_minmax_scale_check",
-        "text_readability_score",
-        "orders_ytd_vs_prior_year",
-        # --- twenty-sixth wave (operators/round5z.py) ---
-        "text_vocab_oov_rate",
-        "join_asof_directions",
-        "quality_key_sequence_gaps",
-        "pipeline_retention_gc_plan",
-        # --- twenty-seventh wave (operators/round6a.py) ---
-        "events_diff_in_differences",
-        "lineitem_price_index",
-        "sink_file_layout_audit",
-        "text_batch_novelty_rate",
-        # --- twenty-eighth wave (operators/round6b.py) ---
-        "events_cuped_adjustment",
-        "agg_log2_histogram",
-        "supplier_scorecard_composite",
-        "events_sample_size_calc",
-        # --- twenty-ninth wave (operators/round6c.py) ---
-        "quality_psi_drift",
-        "agg_median_of_means",
-        "dedup_representative_selection",
-        # --- thirtieth wave (operators/round6d.py) ---
-        "orders_moving_annual_total",
-        "events_session_depth_survival",
-        "events_session_gap_sensitivity",
-        "text_token_length_histogram",
-        # --- thirty-first wave (operators/round6e.py) ---
-        "text_rank_stability_spearman",
-        "events_longest_same_type_run",
-        "embed_dim_corr_pairs",
-        "scan_csv_column_reorder",
-        # --- thirty-second wave (operators/round6f.py) ---
-        "events_wow_change_contributions",
-        "trade_flow_nation_matrix",
-        "sort_null_ordering",
-        "pipeline_resume_watermark",
-        # --- thirty-third wave (operators/round6g.py) ---
-        "dedup_eval_precision_recall",
-        "agg_weighted_median",
-        "text_topk_coverage_curve",
-        # --- thirty-fourth wave (operators/round6h.py) ---
-        "orders_open_backlog_sweepline",
-        "graph_pagerank_trade",
-        "orders_priority_mix_shift",
-        "quality_contingency_residuals",
-        # --- thirty-fifth wave (operators/round6i.py) ---
-        "part_skyline_price_size",
-        "agg_theil_decomposition",
-        "events_rolling_corr_daily",
-        # --- thirty-sixth wave (operators/round6j.py) ---
-        "dedup_cdc_chunking",
-        "quality_column_entropy_profile",
-        "events_interarrival_burstiness",
-        # --- thirty-seventh wave (operators/round6k.py) ---
-        "customer_segment_migration",
-        "events_kaplan_meier_daily",
-        "agg_bootstrap_mean_ci",
-        # --- thirty-eighth wave (operators/round6l.py) ---
-        "embed_prefix_energy_fraction",
-        "lineitem_wilson_ci_return_rate",
-        "join_strategy_equivalence",
-        # --- thirty-ninth wave (operators/round6m.py) ---
-        "join_epsilon_float",
-        "events_max_sliding_hour_rate",
-        "sink_dynamic_partition_overwrite",
-        # --- fortieth wave (operators/round6n.py) ---
-        "stream_foreachbatch_upsert",
-        "agg_stratified_estimator_variance",
-        "events_pchart_error_rate",
-        # --- forty-first wave (operators/round6o.py) ---
-        "events_pit_training_features",
-        "embed_sign_hamming_separation",
-        "orders_hierarchy_share_of_parent",
-        # --- forty-second wave (operators/round6p.py) ---
-        "events_markov_entropy_rate",
-        "embed_pq_reconstruction_error",
-        "sink_csv_gzip_roundtrip",
-        # --- forty-third wave (operators/round6q.py) ---
-        "text_naive_bayes_source_classifier",
-        "orders_seasonal_decomposition_additive",
-        "fn_json_nested_roundtrip",
-        # --- forty-fourth wave (operators/round6r.py) ---
-        "orders_fulfillment_vintage_curves",
-        "fn_array_reduce_horner",
-        "events_circular_time_stats",
-        # --- forty-fifth wave (operators/round6s.py) ---
-        "win_loo_outlier_zscore",
-        "agg_cube_margin_consistency",
-        # --- forty-sixth wave (operators/round6t.py) ---
-        "events_ab_srm_check",
-        "quality_fd_discovery",
-        "catalog_temporal_coverage",
-        # --- forty-seventh wave (operators/round6u.py) ---
-        "orders_simpsons_reversal_check",
-        "pipeline_cdc_column_breakdown",
-        # --- forty-eighth wave (operators/round6v.py) ---
-        "quality_table_fingerprint",
-    }
-)
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+# Round 6: emptied per the round-5 note above — the ~163 deferred IDs
+# (waves 2-48, operators/round5b.py .. round6v.py) now rank 0 in
+# registration order; the driver's 50-slot r6 window takes the first 50
+# (waves 2 through part of 6) and the remainder automatically fronts the
+# r7+ windows. Round-6 additions registered after the r6 window freezes
+# go back into this set (see the per-wave comments below as they land).
 
 
 def _rotation_rank(spec: QuerySpec) -> int:
