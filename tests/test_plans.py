@@ -1042,3 +1042,33 @@ def test_hierarchy_rollup_broadcasts_all_dims(spark, sf_small):
     plan = _executed_plan(spark, "orders_hierarchy_share_of_parent", sf_small)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark, sf_small):
+    """join_lateral_topk: Catalyst must de-correlate the LATERAL
+    ORDER-BY-LIMIT subquery into the window top-k shape (map-side
+    WindowGroupLimit before the exchange), never a per-outer-row
+    nested-loop execution."""
+    plan = _executed_plan(spark, "join_lateral_topk", sf_small)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_step_is_hash_join(spark, sf_small):
+    """sql_recursive_cte_rollup: each UnionLoop iteration joins children
+    via a pure equi-join (hash join) — the VALUES offset expansion exists
+    precisely so the OR predicate never forces a nested-loop step."""
+    plan = _executed_plan(spark, "sql_recursive_cte_rollup", sf_small)
+    assert "UnionLoop" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_bitmap_distinct_is_two_level_partial(spark, sf_small):
+    """agg_bitmap_exact_distinct: both bitmap levels must plan partial
+    (map-side) aggregation — the shuffle carries <=4 KB bitmaps, not raw
+    keys — and no distinct-Expand node may appear."""
+    plan = _executed_plan(spark, "agg_bitmap_exact_distinct", sf_small)
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_bitmap_or_agg" in plan
+    assert "Expand" not in plan
