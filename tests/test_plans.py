@@ -1072,3 +1072,12 @@ def test_bitmap_distinct_is_two_level_partial(spark, sf_small):
     assert "partial_bitmap_construct_agg" in plan
     assert "partial_bitmap_or_agg" in plan
     assert "Expand" not in plan
+
+
+def test_spatial_grid_join_is_equi_hash(spark, sf_small):
+    """join_spatial_grid: the spatial join must be the grid-cell EQUALITY
+    join (hash), never the O(points x boxes) nested-loop a naive BETWEEN
+    theta-join forces."""
+    plan = _executed_plan(spark, "join_spatial_grid", sf_small)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
