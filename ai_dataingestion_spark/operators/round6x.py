@@ -108,6 +108,7 @@ def _zorder_sql(dialect: str) -> str:
         if dialect == "duck"
         else "CAST(date_format(o_orderdate, 'D') AS INT)"
     )
+    div = "//" if dialect == "duck" else "div"
     return f"""
 WITH base AS (
   SELECT o_orderkey, CAST(o_custkey % 64 AS BIGINT) AS xd,
@@ -115,8 +116,8 @@ WITH base AS (
   FROM orders),
 keyed AS (
   SELECT xd, yd,
-         ntile(32) OVER (ORDER BY ({m}), o_orderkey) AS zbkt,
-         ntile(32) OVER (ORDER BY yd, o_orderkey) AS lbkt
+         ({m}) {div} 128 AS zbkt,
+         yd {div} 2 AS lbkt
   FROM base),
 zstats AS (SELECT zbkt AS bkt, min(xd) AS xmin, max(xd) AS xmax,
                   min(yd) AS ymin, max(yd) AS ymax FROM keyed GROUP BY 1),
@@ -152,15 +153,21 @@ def pipeline_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     effectiveness of a Morton-interleaved sort vs a linear sort BEFORE
     rewriting a 100 TB table. Rows get a 12-bit Morton code over
     (custkey%64, dayofyear%64) — spelled in portable div/mod arithmetic,
-    JVM-side — then ntile(32) simulates 32 files under each candidate
-    layout; per-file min/max zone maps are evaluated against every probe
-    value of each dimension, yielding the fraction of files a point
-    predicate could prune. Measured at sf0.001: linear-by-day prunes 95%
-    of files for day probes but 3% for customer probes; z-order prunes
-    68-77% for BOTH — the multi-dimension-query justification for a
-    z-order rewrite, produced for the cost of two window sorts instead of
-    a table rewrite. The cross joins are bounded: 32 zone-map rows x <=64
-    probe values. Oracle: DuckDB runs the same statement modulo dialect
+    JVM-side — then FIXED morton-value ranges (morton div 128 -> 32
+    quadtree blocks; yd div 2 for the linear candidate) simulate the
+    files of each layout. Value-range bucketing deliberately replaces the
+    first draft's ntile(32): an equal-count ntile needs a GLOBAL
+    single-partition window sort — the scale defect this planner exists
+    to avoid — while value ranges make the whole query two
+    partial-aggregable groupBys + bounded cross joins (32 zone-map rows x
+    <=64 probe values); the real writer gets equal file sizes from
+    repartitionByRange over the same morton key. Per-file min/max zone
+    maps are evaluated against every probe value per dimension = fraction
+    of files a point predicate prunes. Measured at sf0.1: linear-by-day
+    prunes 97% for day probes but ~0% for customer probes; z-order prunes
+    75% / 87.5% for x / y — the multi-dimension justification for a
+    z-order rewrite, at the cost of an aggregation instead of a table
+    rewrite. Oracle: DuckDB runs the same statement modulo dialect
     (// vs div, strftime vs date_format)."""
     register_views(spark, sf_dir)
     return spark.sql(_zorder_sql("spark"))

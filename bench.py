@@ -90,6 +90,13 @@ HEADLINE = (
     # CDC chunking pipeline (3 windows + 2 groupBys over every token).
     "graph_pagerank_trade",
     "dedup_cdc_chunking",
+    # round-6 waves 49-51 heavy ops: the recursive-CTE iterative rollup,
+    # the char-pair explode (linear in corpus chars), the degree-histogram
+    # pair generator, and the double-window z-order layout planner.
+    "sql_recursive_cte_rollup",
+    "text_bpe_pair_merge",
+    "graph_degree_distribution",
+    "pipeline_zorder_layout_plan",
 )
 
 N_RUNS = 3

@@ -1081,3 +1081,12 @@ def test_spatial_grid_join_is_equi_hash(spark, sf_small):
     plan = _executed_plan(spark, "join_spatial_grid", sf_small)
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_plan_is_sort_free(spark, sf_small):
+    """pipeline_zorder_layout_plan: layout simulation must use fixed
+    value-range buckets (partial-aggregable groupBys), never a global
+    ntile window — the single-partition sort that draft 1 had and that
+    cannot scale."""
+    plan = _executed_plan(spark, "pipeline_zorder_layout_plan", sf_small)
+    assert "Window" not in plan
