@@ -78,3 +78,4 @@ from ai_dataingestion_spark.operators import round6z  # noqa: F401
 from ai_dataingestion_spark.operators import round7a  # noqa: F401
 from ai_dataingestion_spark.operators import round7b  # noqa: F401
 from ai_dataingestion_spark.operators import round7c  # noqa: F401
+from ai_dataingestion_spark.operators import round7d  # noqa: F401
