@@ -79,3 +79,4 @@ from ai_dataingestion_spark.operators import round7a  # noqa: F401
 from ai_dataingestion_spark.operators import round7b  # noqa: F401
 from ai_dataingestion_spark.operators import round7c  # noqa: F401
 from ai_dataingestion_spark.operators import round7d  # noqa: F401
+from ai_dataingestion_spark.operators import round7e  # noqa: F401
