@@ -75,30 +75,16 @@ _SMALL_CORPUS_BYTES = 256 * 1024 * 1024
 
 def _small_corpus(sf_dir: str, table: str = "documents") -> bool:
     """O(1) driver-side size gate: True iff the table's parquet bytes on a
-    LOCAL path are provably under _SMALL_CORPUS_BYTES. Non-local paths
-    (object stores) and stat failures return False — the scale-safe
-    default. Used to decide whether the hot-hash/rescued relations (cardinality
-    <= shingle_rows / cap, i.e. linear in the corpus) may be statically
-    broadcast: at 256 MiB of documents that bound is ~1M hashes / ~8 MB —
-    comfortably broadcastable — while at lake scale the gate fails closed
-    and AQE's runtime size check decides (ADVICE r4)."""
-    import os
+    LOCAL path are provably under _SMALL_CORPUS_BYTES (delegates to the
+    shared scale.table_bytes_under; non-local paths and stat failures fail
+    closed). Used to decide whether the hot-hash/rescued relations
+    (cardinality <= shingle_rows / cap, i.e. linear in the corpus) may be
+    statically broadcast: at 256 MiB of documents that bound is ~1M hashes /
+    ~8 MB — comfortably broadcastable — while at lake scale the gate fails
+    closed and AQE's runtime size check decides (ADVICE r4)."""
+    from ai_dataingestion_spark.scale import table_bytes_under
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isfile(path):
-            return os.path.getsize(path) < _SMALL_CORPUS_BYTES
-        if os.path.isdir(path):
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for fname in files:
-                    total += os.path.getsize(os.path.join(root, fname))
-                    if total >= _SMALL_CORPUS_BYTES:
-                        return False
-            return total < _SMALL_CORPUS_BYTES
-    except OSError:
-        pass
-    return False
+    return table_bytes_under(sf_dir, table, _SMALL_CORPUS_BYTES)
 
 
 def _rare_shingle_index(

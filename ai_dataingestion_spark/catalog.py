@@ -145,6 +145,32 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "tpch_q22_idle_customers", "tpch_q8_market_share",
         "tpch_q9_profit_by_nation_year", "udf_grouped_map",
         "udf_map_in_pandas",
+        # --- round 6 green (all 50 rows of CORRECTNESS_r06: clean sweep,
+        # 0 fail / 0 err) ---
+        "agg_chi_square_independence", "agg_geo_harmonic_means",
+        "brand_copurchase_lift", "catalog_table_stats", "customer_cohort_ltv",
+        "customer_order_gap_stats", "dedup_edit_distance_blocked",
+        "dedup_lsh_band_tuning", "dedup_minhash_estimate_error",
+        "embed_label_eta_squared", "embed_pca_top_component",
+        "events_ab_proportion_ztest", "events_anomaly_mad",
+        "events_attribution_last_touch", "events_autocorrelation_daily",
+        "events_error_burst_5min", "events_funnel_time_bounded",
+        "events_hour_gap_ranges", "events_markov_2step_paths",
+        "events_peak_concurrency", "events_survival_weeks",
+        "events_type_cooccurrence", "events_type_day_jaccard",
+        "events_user_lifecycle_states", "fn_string_codec", "fn_string_format",
+        "fn_try_safe_arith", "join_dpp_partitioned",
+        "lineitem_discount_quantity_regr", "lineitem_quantity_cusum_shift",
+        "lineitem_ship_latency_by_nation", "orders_basket_size_histogram",
+        "orders_duplicate_invoice_detect", "orders_repeat_customer_rate",
+        "orders_seasonal_index", "pipeline_watermark_lag_report",
+        "quality_benford_first_digit", "quality_null_blank_matrix",
+        "quality_referential_integrity", "scan_csv_malformed_permissive",
+        "scan_partition_pruned", "sim_cosine_range_search",
+        "text_bigram_cond_entropy", "text_hapax_ratio",
+        "text_kl_divergence_sources", "text_shingle_df_spectrum",
+        "tpch_q20_excess_share_suppliers", "tpch_q21_single_late_supplier",
+        "tpch_q2_min_cost_supplier", "win_percentile_disc_vs_cont",
     }
 )
 
@@ -183,17 +209,29 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 # go back into this set (see the per-wave comments below as they land).
 
 
+# Rows-only IDs promoted into the current driver window: normally rows-only
+# operators rank 2 (behind every unchecked oracle-backed ID), which starved
+# agg_hll_sketch_merge of a driver row for six rounds while ~170 oracle IDs
+# queued ahead of it (VERDICT r6 item 3). Promoting it to rank 0 lets its
+# (early, round5e) registration index place it inside the r7 window like
+# sim_ann_lsh / sim_ann_ivf / stream_watermark_late got in r5. Remove after
+# its rows-only row lands.
+_PROMOTE_ROWS_ONLY: frozenset[str] = frozenset({"agg_hll_sketch_merge"})
+
+
 def _rotation_rank(spec: QuerySpec) -> int:
-    """0 = unchecked with oracle (front of the driver window), 1 = stale
-    events-touching green needing re-check, 2 = unchecked rows-only,
-    3 = deferred-to-next-round additions, 4 = attested driver-green
-    (back of the line)."""
+    """0 = unchecked with oracle (front of the driver window) or promoted
+    rows-only, 1 = stale events-touching green needing re-check, 2 =
+    unchecked rows-only, 3 = deferred-to-next-round additions, 4 = attested
+    driver-green (back of the line)."""
     if spec.name in _EVENTS_RECHECK:
         return 1
     if spec.name in _DEFER_TO_NEXT_ROUND:
         return 3
     if spec.name in _DRIVER_CHECKED:
         return 4
+    if spec.name in _PROMOTE_ROWS_ONLY:
+        return 0
     return 0 if spec.oracle is not None else 2
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -85,7 +86,10 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            broadcast_if_small(t.part, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .agg(
             F.round(
                 100.0
@@ -691,7 +695,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         _read_stream(spark, staging)
-        .join(F.broadcast(dim), "user_id")
+        .join(broadcast_if_small(dim, sf_dir, "customer"), "user_id")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -711,7 +715,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("recursiveFileLookup", "true")
         .parquet(staging)
-        .join(F.broadcast(dim), "user_id")
+        .join(broadcast_if_small(dim, sf_dir, "customer"), "user_id")
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -439,7 +440,8 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not force a full-table scan-and-filter above it."""
     t = Tables(spark, sf_dir)
     j = t.lineitem.join(
-        F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey")
+        broadcast_if_small(t.part, sf_dir, "part"),
+        F.col("p_partkey") == F.col("l_partkey"),
     )
     block = lambda brand, s_lo, s_hi, q_lo, q_hi: (
         (F.col("p_brand") == brand)

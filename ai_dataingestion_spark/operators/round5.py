@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -81,7 +82,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY")),
+            broadcast_if_small(t.part.filter(F.col("p_type") == "ECONOMY"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -139,7 +140,7 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t.part.filter(F.col("p_name").like("%widget%"))),
+            broadcast_if_small(t.part.filter(F.col("p_name").like("%widget%")), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -225,7 +226,7 @@ def tpch_q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
         & F.col("p_size").isin(1, 5, 9, 13)
     )
     return (
-        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(broadcast_if_small(p, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -259,7 +260,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_brand") == "Brand#23")),
+            broadcast_if_small(t.part.filter(F.col("p_brand") == "Brand#23"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(pa, F.col("l_partkey") == F.col("pk"))
@@ -608,7 +609,7 @@ def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_type", "p_brand")),
+            broadcast_if_small(t.part.select("p_partkey", "p_type", "p_brand"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_type", "p_brand")

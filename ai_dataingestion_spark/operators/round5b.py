@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 _NET = "(l_extendedprice * (1 - l_discount))"
@@ -89,7 +90,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         t.lineitem.join(
-            F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey")
+            broadcast_if_small(europe_supp, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -113,11 +115,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         best.join(
-            F.broadcast(t.part.filter(F.col("p_size") < 15)),
+            broadcast_if_small(t.part.filter(F.col("p_size") < 15), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            broadcast_if_small(t.supplier.select("s_suppkey", "s_name"), sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select(
@@ -181,7 +183,7 @@ def tpch_q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         culprit.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            broadcast_if_small(t.supplier.select("s_suppkey", "s_name"), sf_dir, "supplier"),
             F.col("late_supp") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -260,7 +262,7 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            broadcast_if_small(t.customer.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

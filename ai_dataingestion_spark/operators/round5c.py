@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 
@@ -225,7 +226,7 @@ def brand_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ob = (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            broadcast_if_small(t.part.select("p_partkey", "p_brand"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")

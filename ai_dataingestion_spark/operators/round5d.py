@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -59,7 +60,9 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     cells = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            broadcast_if_small(
+                t.customer.select("c_custkey", "c_mktsegment"), sf_dir, "customer"
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -224,7 +227,7 @@ def lineitem_discount_quantity_regr(spark: SparkSession, sf_dir: str) -> DataFra
     output at any scale."""
     t = Tables(spark, sf_dir)
     obs = t.lineitem.join(
-        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        broadcast_if_small(t.part.select("p_partkey", "p_brand"), sf_dir, "part"),
         F.col("l_partkey") == F.col("p_partkey"),
     ).select(
         "p_brand",

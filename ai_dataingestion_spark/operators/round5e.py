@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -75,7 +76,11 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         dominant.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            broadcast_if_small(
+                t.supplier.select("s_suppkey", "s_name", "s_nationkey"),
+                sf_dir,
+                "supplier",
+            ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 _EPOCH = "DATE '2024-01-01'"
@@ -185,9 +186,11 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("l_suppkey"),
     )
 
-    def audit(name, child, child_key, dim, dim_key):
+    def audit(name, child, child_key, dim, dim_key, dim_table):
         joined = child.join(
-            F.broadcast(dim), F.col(child_key) == F.col(dim_key), "left"
+            broadcast_if_small(dim, sf_dir, dim_table),
+            F.col(child_key) == F.col(dim_key),
+            "left",
         )
         return joined.agg(
             F.lit(name).alias("fk"),
@@ -202,6 +205,7 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
             "o_custkey",
             t.customer.select("c_custkey"),
             "c_custkey",
+                "customer",
         )
         .unionByName(
             audit(
@@ -210,6 +214,7 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
                 "l_partkey",
                 t.part.select("p_partkey"),
                 "p_partkey",
+                "part",
             )
         )
         .unionByName(
@@ -219,6 +224,7 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
                 "l_suppkey",
                 t.supplier.select("s_suppkey"),
                 "s_suppkey",
+                "supplier",
             )
         )
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -343,7 +344,7 @@ def lineitem_ship_latency_by_nation(
             t.orders, F.col("l_orderkey") == F.col("o_orderkey")
         )
         .join(
-            F.broadcast(t.supplier),
+            broadcast_if_small(t.supplier, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(

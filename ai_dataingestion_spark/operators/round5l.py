@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -223,7 +224,7 @@ def brand_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            broadcast_if_small(t.part.select("p_partkey", "p_brand"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "l_partkey")

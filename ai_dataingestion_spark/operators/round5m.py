@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -175,7 +176,9 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            broadcast_if_small(
+                t.supplier.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"
+            ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 
@@ -247,7 +248,7 @@ def topk_per_group_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            broadcast_if_small(t.part.select("p_partkey", "p_brand"), sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "l_partkey")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -293,7 +294,7 @@ def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_suppliers")
     )
     tagged = sourcing.join(
-        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        broadcast_if_small(t.part.select("p_partkey", "p_brand"), sf_dir, "part"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     single = F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))

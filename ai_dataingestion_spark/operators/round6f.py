@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -118,11 +119,15 @@ def trade_flow_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            broadcast_if_small(
+                t.supplier.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"
+            ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            broadcast_if_small(
+                t.customer.select("c_custkey", "c_nationkey"), sf_dir, "customer"
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))

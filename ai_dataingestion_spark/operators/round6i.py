@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -127,7 +128,9 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = (
         rev.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            broadcast_if_small(
+                t.supplier.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"
+            ),
             F.col("sk") == F.col("s_suppkey"),
         )
         .join(

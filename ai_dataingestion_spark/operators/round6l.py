@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 _PREFIX_KS = (8, 16, 32, 64)
@@ -130,7 +131,9 @@ def lineitem_wilson_ci_return_rate(
     t = Tables(spark, sf_dir)
     cnt = (
         t.lineitem.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            broadcast_if_small(
+                t.supplier.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"
+            ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(

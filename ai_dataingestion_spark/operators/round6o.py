@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 _WEEK_S = 7 * 24 * 3600
@@ -234,7 +235,11 @@ def orders_hierarchy_share_of_parent(
     t = Tables(spark, sf_dir)
     base = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            broadcast_if_small(
+                t.customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+                sf_dir,
+                "customer",
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
 _SEG_A = "BUILDING"
@@ -70,7 +71,11 @@ def orders_simpsons_reversal_check(
     v = F.col("o_totalprice").cast("decimal(19,2)")
     base = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            broadcast_if_small(
+                t.customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+                sf_dir,
+                "customer",
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .where(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))

@@ -42,14 +42,21 @@ def fn_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on event_type (5-row output at any scale). Oracle: DuckDB
     json_extract over the identical paths."""
     t = Tables(spark, sf_dir)
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # One physical shred: props crosses parse_json exactly once (the alias
+    # below survives CollapseProject — parse_json is not a cheap expression),
+    # and every path lookup reads the binary variant. Pinned by
+    # tests/test_plans.py::test_variant_shreds_props_once.
+    shredded = t.events.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
     nested = F.expr(
         "variant_get(parse_json(concat('{\"a\":[', "
-        "CAST(variant_get(parse_json(props), '$.k', 'bigint') AS STRING), ',', "
-        "CAST(variant_get(parse_json(props), '$.k', 'bigint') * 2 AS STRING), "
+        "CAST(variant_get(v, '$.k', 'bigint') AS STRING), ',', "
+        "CAST(variant_get(v, '$.k', 'bigint') * 2 AS STRING), "
         "']}')), '$.a[1]', 'bigint')"
     )
-    return t.events.groupBy("event_type").agg(
+    return shredded.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
         F.sum(nested).alias("sum_nested"),

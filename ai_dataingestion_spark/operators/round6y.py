@@ -161,13 +161,18 @@ def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's percentile_approx (Greenwald-Khanna) promises the returned
     median's rank is within n/accuracy of the true rank. The operator
     computes the approx median at accuracy 100 / 1000 / 10000 plus the
-    exact rank of each returned value (one extra conditional-count pass
-    with the 1-row sketch results broadcast), and emits whether each
-    landed inside its bound — measured slack at sf0.001: rank error
-    1-32 vs bounds 2-61. This is the check a pipeline runs before
-    trusting sketch quantiles for SLA cut-offs at 100 TB, where exact
-    percentiles cost a full sort. Oracle: the contract itself (all three
-    accuracies within bound)."""
+    exact RANK INTERVAL of each returned value (one extra
+    conditional-count pass with the 1-row sketch results broadcast), and
+    emits whether each landed inside its bound — measured slack at
+    sf0.001: rank error 1-32 vs bounds 2-61. Under duplicates a value
+    occupies ranks [count(<v)+1, count(<=v)]; GK guarantees SOME rank of
+    the value is within n/accuracy of the target, so the check is
+    interval-intersection with the band 0.5n ± (n/accuracy + 1), not the
+    upper rank alone — count(<=v) can exceed the band on heavily tied
+    columns even when the sketch honors its contract (ADVICE r6). This
+    is the check a pipeline runs before trusting sketch quantiles for
+    SLA cut-offs at 100 TB, where exact percentiles cost a full sort.
+    Oracle: the contract itself (all three accuracies within bound)."""
     li = Tables(spark, sf_dir).lineitem
     sk = li.agg(
         F.count(F.lit(1)).alias("n"),
@@ -177,19 +182,32 @@ def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a10000"
         ),
     )
+    def _lt(a):
+        return F.sum(
+            F.when(F.col("l_extendedprice") < F.col(a), 1).otherwise(0)
+        ).alias("lt" + a[1:])
+
+    def _le(a):
+        return F.sum(
+            F.when(F.col("l_extendedprice") <= F.col(a), 1).otherwise(0)
+        ).alias("le" + a[1:])
+
     ranks = li.crossJoin(F.broadcast(sk)).agg(
         F.first("n").alias("n"),
-        F.sum(F.when(F.col("l_extendedprice") <= F.col("a100"), 1).otherwise(0)
-              ).alias("r100"),
-        F.sum(F.when(F.col("l_extendedprice") <= F.col("a1000"), 1).otherwise(0)
-              ).alias("r1000"),
-        F.sum(F.when(F.col("l_extendedprice") <= F.col("a10000"), 1).otherwise(0)
-              ).alias("r10000"),
+        _lt("a100"), _le("a100"),
+        _lt("a1000"), _le("a1000"),
+        _lt("a10000"), _le("a10000"),
+    )
+    # value's rank interval [lt+1, le] intersects the band
+    # [0.5n - n/acc - 1, 0.5n + n/acc + 1]
+    band = (
+        "(lt{a} + 1) <= (0.5 * n + n / {a}.0 + 1) "
+        "AND le{a} >= (0.5 * n - n / {a}.0 - 1)"
     )
     return ranks.selectExpr(
         "stack(3, "
-        "100,   abs(r100   - 0.5 * n) <= n / 100.0   + 1, "
-        "1000,  abs(r1000  - 0.5 * n) <= n / 1000.0  + 1, "
-        "10000, abs(r10000 - 0.5 * n) <= n / 10000.0 + 1) "
+        f"100,   {band.format(a=100)}, "
+        f"1000,  {band.format(a=1000)}, "
+        f"10000, {band.format(a=10000)}) "
         "AS (accuracy, within_bound)"
     )

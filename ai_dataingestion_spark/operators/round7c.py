@@ -114,10 +114,15 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     per_file = paths.mapInPandas(footer_rows, "rows long")
+    # Empty slice: the ungrouped agg still emits one row, and the oracle pins
+    # literals (0 files, 0 rows, cap trivially satisfied) — coalesce the
+    # NULL-on-empty aggregates to match (ADVICE r6).
     return per_file.agg(
         F.count(F.lit(1)).cast("int").alias("n_files"),
-        F.sum("rows").alias("n_rows"),
-        (F.max("rows") <= _MAX_REC).alias("sizes_within_cap"),
+        F.coalesce(F.sum("rows"), F.lit(0).cast("long")).alias("n_rows"),
+        F.coalesce(F.max("rows") <= _MAX_REC, F.lit(True)).alias(
+            "sizes_within_cap"
+        ),
     )
 
 

@@ -168,7 +168,11 @@ def stream_available_now_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a hung drain must fail loudly, not aggregate a partial sink as if
+        # it were the full backlog (ADVICE r6)
+        q.stop()
+        raise TimeoutError("AvailableNow drain did not finish within 300s")
     os.makedirs(out, exist_ok=True)  # zero-row drain: sink dir may be bare
     back = spark.read.schema(orders.schema).parquet(out)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(

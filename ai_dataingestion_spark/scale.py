@@ -1,0 +1,71 @@
+"""Scale-safety gates shared by every operator module.
+
+The engine's broadcast policy (SURVEY.md §7.3, VERDICT r6 finding 1):
+
+- ``F.broadcast()`` hints on relations whose size is BOUNDED BY A DIMENSION
+  (nation, region, percentile cuts, 1-row totals, per-brand counts) are always
+  fine — their cardinality does not grow with the corpus.
+- Hints on relations that grow O(corpus) — raw or filtered projections of
+  customer / part / supplier / documents — are NOT scale-safe: a static hint
+  overrides Catalyst's size check and builds the broadcast unconditionally,
+  which is a guaranteed driver/executor OOM once the table is multi-TB.
+  (BASELINE.md records a measured driver OOM at 10x sf0.1 from exactly this.)
+
+``broadcast_if_small`` keeps the intent ("this dimension side should be
+broadcast when it is provably small") while failing closed: the hint is only
+applied when an O(1) driver-side stat of the table's parquet bytes proves the
+table is tiny. Anywhere the gate cannot prove smallness — object-store paths,
+stat errors, genuinely large tables — the DataFrame is returned UNHINTED and
+the production config (autoBroadcastJoinThreshold=64MB + AQE runtime size
+check, session.py) decides the join strategy from measured sizes. At test
+scale (sf<=0.1, tables KB-MB) the gate passes and plans are byte-identical to
+the previously-hinted ones; at lake scale the gate fails closed and Catalyst
+picks sort-merge/shuffled-hash as the sizes dictate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mirrors spark.sql.autoBroadcastJoinThreshold (session.py): if the WHOLE
+# table's compressed parquet footprint is under this, any projection of it is
+# comfortably broadcastable even after decompression (the hinted sites all
+# project 2-3 narrow columns).
+SMALL_TABLE_BYTES = 64 * 1024 * 1024
+
+
+def table_bytes_under(sf_dir: str, table: str, limit: int = SMALL_TABLE_BYTES) -> bool:
+    """O(1)-ish driver-side gate: True iff ``{sf_dir}/{table}.parquet`` is a
+    LOCAL file/dir whose total bytes are provably under ``limit``. Non-local
+    paths (s3://, hdfs://...), missing files, and stat failures return False
+    — the scale-safe default. The directory walk early-exits at ``limit`` so
+    the cost is bounded regardless of table size."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path) < limit
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    total += os.path.getsize(os.path.join(root, fname))
+                    if total >= limit:
+                        return False
+            return total < limit
+    except OSError:
+        pass
+    return False
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Broadcast-hint ``df`` (a projection/filter of ``table``) only when the
+    table's on-disk bytes prove it is small; otherwise return ``df`` unhinted
+    and let the threshold + AQE pick the join strategy at runtime. Use this
+    for every O(corpus)-growth table (customer / part / supplier / orders /
+    documents); dimension-bounded relations may keep static hints."""
+    if table_bytes_under(sf_dir, table):
+        return F.broadcast(df)
+    return df

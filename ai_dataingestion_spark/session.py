@@ -48,11 +48,15 @@ def session_builder(
     return (
         # local mode runs every task inside the driver JVM; the 1g default
         # heap OOMs on any broadcast build beyond toy scale (measured at
-        # 10x sf0.1). Only effective at JVM launch — a no-op when the
-        # driver hands us an already-started session.
+        # 10x sf0.1), and 8g showed up-to-4x GC-pause swings on the
+        # warm-cached bench suite (BASELINE.md round-5 infra findings), so
+        # the default matches bench.py's measured-stable 24g. Only effective
+        # at JVM launch — a no-op when the driver hands us an
+        # already-started session; override via SPARK_GRAFT_DRIVER_MEM on
+        # memory-constrained hosts.
         b.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1090,3 +1090,53 @@ def test_zorder_plan_is_sort_free(spark, sf_small):
     cannot scale."""
     plan = _executed_plan(spark, "pipeline_zorder_layout_plan", sf_small)
     assert "Window" not in plan
+
+
+def test_gated_broadcast_fails_closed(spark, sf_small):
+    """scale.broadcast_if_small must return the input UNHINTED whenever the
+    table's bytes cannot be proven small (missing path stands in for an
+    object-store prefix / stat failure) — the static-hint-on-O(corpus)-table
+    driver-OOM class (VERDICT r6 finding 1). At test scale the gate passes
+    and the hint is applied."""
+    from ai_dataingestion_spark.scale import broadcast_if_small, table_bytes_under
+
+    df = spark.range(10)
+    assert not table_bytes_under("/nonexistent_lake_prefix", "part")
+    assert broadcast_if_small(df, "/nonexistent_lake_prefix", "part") is df
+    # 0-byte limit: even an existing tiny table must fail closed
+    assert not table_bytes_under(sf_small, "part", limit=0)
+    assert table_bytes_under(sf_small, "part")
+    hinted = broadcast_if_small(df, sf_small, "part")
+    assert hinted is not df
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_gated_dim_joins_still_broadcast_at_test_scale(spark, sf_small):
+    """The formerly-static customer/part/supplier hints are gated through
+    scale.broadcast_if_small; at test scale the gate passes, so these joins
+    must still plan BroadcastHashJoin (no sort-merge regression), while at
+    lake scale the gate fails closed and threshold + AQE decide from
+    measured sizes."""
+    for qid in (
+        "tpch_q2_min_cost_supplier",
+        "trade_flow_nation_matrix",
+        "supplier_hhi_by_nation",
+        "part_brand_share",
+        "orders_simpsons_reversal_check",
+    ):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "BroadcastHashJoin" in plan, qid
+
+
+def test_variant_shreds_props_once(spark, sf_small):
+    """fn_variant_json_path: props must cross parse_json exactly ONCE (the
+    binary-variant shred); every field access is a variant_get offset
+    lookup. Multiple parse_json(props) occurrences would mean O(fields)
+    JSON re-parses per row at 100 TB — the get_json_object anti-pattern
+    the operator exists to avoid. The inline nested-doc parse_json(concat(
+    ...)) is a different input and is allowed."""
+    plan = _formatted(spark, "fn_variant_json_path", sf_small)
+    # rendered as static_invoke(VariantExpressionEvalUtils.parseJson(props#N))
+    assert plan.count("parseJson(props") == 1, plan.count("parseJson(props")
+    assert "get_json_object" not in plan
+    assert "EvalPython" not in plan
