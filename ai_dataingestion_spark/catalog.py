@@ -200,7 +200,15 @@ _EVENTS_RECHECK: frozenset[str] = frozenset()
 # registration index (waves 2-5 plus part of 6), the remainder stays
 # rank-0 and automatically fronts the r7/r8/r9 windows — no action
 # needed beyond emptying this set each round.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        # round-7 wave 58 (registered after the r7 window was planned;
+        # locally sim-verified + swept — empty this set next round)
+        "fn_global_row_index_scalable",
+        "pipeline_cdc_apply_deletes",
+        "fn_ip_cidr_match",
+    }
+)
 # Round 6: emptied per the round-5 note above — the ~163 deferred IDs
 # (waves 2-48, operators/round5b.py .. round6v.py) now rank 0 in
 # registration order; the driver's 50-slot r6 window takes the first 50

@@ -957,3 +957,241 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'orderdate_not_future', CAST(fresh_ok AS STRING), fresh_ok = 1) "
         "AS (expectation, observed, passed)"
     )
+
+
+# ===========================================================================
+# wave module round7f (round-7 fifty-eighth wave, SURVEY.md §2.R): scalable
+# global row indexing without a single-task window, CDC apply with delete
+# tombstones, and IP/CIDR log-enrichment joins. Registered in
+# catalog._DEFER_TO_NEXT_ROUND so the planned r7 driver window is untouched.
+# ===========================================================================
+
+from pyspark.sql import Window
+
+
+@register(
+    "fn_global_row_index_scalable",
+    oracle="""
+SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS global_idx
+FROM orders
+""",
+)
+def fn_global_row_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global 1-based row index ordered by a unique key WITHOUT the
+    single-task global window (``row_number() OVER (ORDER BY k)`` with no
+    PARTITION BY funnels 100 TB through ONE task — the canonical scale
+    killer, banned here by a plan test asserting no SinglePartition
+    exchange). The scalable shape: range-repartition on the key (order
+    ACROSS partitions), stamp the physical partition id, count rows per
+    partition (collect is bounded by the partition count, 32 rows — not
+    the corpus), turn counts into per-partition starting offsets on the
+    driver, then add a PARTITION-LOCAL row_number to the broadcast
+    offset. The ranged relation is persisted so the sampled range
+    boundaries are computed once and both passes (counts, final index)
+    see identical partition assignment. Oracle: the single-window
+    row_number DuckDB can afford at sf0.01."""
+    t = Tables(spark, sf_dir)
+    n_parts = 32
+    ranged = (
+        t.orders.select("o_orderkey")
+        .repartitionByRange(n_parts, "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # bounded driver collect: <= n_parts rows regardless of corpus size
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return (
+        ranged.withColumn("local_idx", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")  # n_parts rows: dimension-bounded
+        .select(
+            "o_orderkey",
+            (F.col("off") + F.col("local_idx")).alias("global_idx"),
+        )
+    )
+
+
+@register(
+    "pipeline_cdc_apply_deletes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(19,2)) AS price
+  FROM orders WHERE o_orderkey % 7 <> 0),
+feed AS (
+  SELECT o_orderkey, 'D' AS op, 1 AS seq, o_orderstatus,
+         CAST(NULL AS DECIMAL(19,2)) AS price
+  FROM base WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_orderstatus, round(price * 1.1, 2)
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'I', 3, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(19,2))
+  FROM orders WHERE o_orderkey % 7 = 0),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM feed) f WHERE rn = 1),
+final AS (
+  SELECT b.o_orderstatus, b.price FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM latest l
+                    WHERE l.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderstatus, price FROM latest WHERE op <> 'D')
+SELECT o_orderstatus AS status, count(*) AS n_rows,
+       CAST(round(sum(price), 2) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+""",
+)
+def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY with delete tombstones — the missing third of the CDC
+    family (pipeline_cdc_diff PRODUCES a feed, pipeline_upsert_merge
+    applies inserts+updates; this applies a full I/U/D feed where a key
+    can carry several ops and the LATEST sequence number wins, including
+    U-after-D resurrection, exercised here for every key divisible by
+    15). Shapes that survive 100 TB: latest-wins is one key-partitioned
+    window over the FEED (change feeds are small relative to the
+    snapshot), the apply is an anti-join (untouched base rows) plus the
+    surviving non-tombstone feed rows — all key-equality ops, nothing
+    broadcast that grows with the corpus. Money stays DECIMAL end to
+    end; the one float cast happens after the final rounded sum. Oracle:
+    the identical CTE chain."""
+    t = Tables(spark, sf_dir)
+    key = F.col("o_orderkey")
+    base = t.orders.filter(key % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(19,2)").alias("price"),
+    )
+    feed = (
+        base.filter(key % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("D").alias("op"),
+            F.lit(1).alias("seq"),
+            "o_orderstatus",
+            F.lit(None).cast("decimal(19,2)").alias("price"),
+        )
+        .unionByName(
+            base.filter(key % 5 == 0).select(
+                "o_orderkey",
+                F.lit("U").alias("op"),
+                F.lit(2).alias("seq"),
+                "o_orderstatus",
+                F.round(F.col("price") * 1.1, 2)
+                .cast("decimal(19,2)")
+                .alias("price"),
+            )
+        )
+        .unionByName(
+            t.orders.filter(key % 7 == 0).select(
+                "o_orderkey",
+                F.lit("I").alias("op"),
+                F.lit(3).alias("seq"),
+                "o_orderstatus",
+                F.col("o_totalprice").cast("decimal(19,2)").alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    final = base.join(
+        latest.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select("o_orderstatus", "price").unionByName(
+        latest.filter(F.col("op") != "D").select("o_orderstatus", "price")
+    )
+    return final.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).cast("double").alias("total"),
+    )
+
+
+# 10.0.0.0/9 + 10.128.0.0/9 partition the /8; 10.42.0.0/16 nests inside
+# corp-a so longest-prefix matching is actually exercised. (label, lo, hi,
+# prefix_len) with lo/hi precomputed as ints — same literals in the oracle.
+_CIDR_BLOCKS = [
+    ("corp-a", 167772160, 176160767, 9),
+    ("corp-b", 176160768, 184549375, 9),
+    ("lab", 170524672, 170590207, 16),
+]
+
+
+@register(
+    "fn_ip_cidr_match",
+    oracle="""
+WITH ip AS (
+  SELECT event_id, user_id,
+         167772160 + (user_id % 200) * 65536
+         + ((user_id * 7) % 256) * 256 + ((user_id * 13) % 256) AS ip_int
+  FROM events),
+cidr AS (SELECT * FROM (VALUES
+    ('corp-a', 167772160, 176160767, 9),
+    ('corp-b', 176160768, 184549375, 9),
+    ('lab',    170524672, 170590207, 16)) t(label, lo, hi, plen)),
+m AS (
+  SELECT event_id, max(user_id) AS user_id,
+         arg_max(label, plen) AS label
+  FROM ip JOIN cidr ON ip_int BETWEEN lo AND hi
+  GROUP BY event_id)
+SELECT label, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM m GROUP BY label
+""",
+)
+def fn_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-ingestion IP enrichment: synthesize a deterministic dotted-quad
+    per event (octets are pure user_id arithmetic), PARSE it back to a
+    32-bit integer JVM-side (split + casts + place-value multiply — the
+    string round-trip is proven against an oracle that computes the int
+    directly), then longest-prefix-match against a CIDR block table via
+    an integer range join. Scale shapes: the block table is a bounded
+    literal dimension, so the BETWEEN join is a broadcast nested loop
+    that costs O(rows x blocks) with tiny blocks — linear, never
+    row x row; longest-prefix selection is a partial-aggregable
+    max_by(label, prefix_len) per event (no same-length overlaps exist
+    by construction, so max_by is deterministic), not a window. Oracle:
+    identical block literals + arg_max."""
+    t = Tables(spark, sf_dir)
+    uid = F.col("user_id")
+    ip_str = F.concat_ws(
+        ".",
+        F.lit(10),
+        (uid % 200).cast("string"),
+        ((uid * 7) % 256).cast("string"),
+        ((uid * 13) % 256).cast("string"),
+    )
+    parts = F.split(ip_str, r"\.")
+    ip_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    ip = t.events.select("event_id", "user_id", ip_int.alias("ip_int"))
+    cidr = spark.createDataFrame(
+        _CIDR_BLOCKS, "label string, lo long, hi long, plen int"
+    )
+    matched = ip.join(
+        F.broadcast(cidr),  # bounded literal dim: broadcast is always safe
+        (F.col("ip_int") >= F.col("lo")) & (F.col("ip_int") <= F.col("hi")),
+    )
+    per_event = matched.groupBy("event_id").agg(
+        F.max("user_id").alias("user_id"),
+        F.expr("max_by(label, plen)").alias("label"),
+    )
+    return per_event.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1140,3 +1140,35 @@ def test_variant_shreds_props_once(spark, sf_small):
     assert plan.count("parseJson(props") == 1, plan.count("parseJson(props")
     assert "get_json_object" not in plan
     assert "EvalPython" not in plan
+
+
+def test_global_index_avoids_single_partition_window(spark, sf_small):
+    """fn_global_row_index_scalable exists to replace the single-task
+    global row_number: its plan must contain only PARTITION-LOCAL windows
+    (pid-partitioned) and no SinglePartition exchange anywhere — the
+    offsets come from a bounded driver-side count collect, not a global
+    sort."""
+    plan = _executed_plan(spark, "fn_global_row_index_scalable", sf_small)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cdc_apply_windows_stay_key_partitioned(spark, sf_small):
+    """pipeline_cdc_apply_deletes: latest-wins compaction must be a
+    key-partitioned window over the feed — never a global one — and the
+    apply path must stay equi-join (no nested loop against the
+    snapshot)."""
+    plan = _executed_plan(spark, "pipeline_cdc_apply_deletes", sf_small)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ip_cidr_longest_prefix_is_partial_aggregable(spark, sf_small):
+    """fn_ip_cidr_match: the CIDR range join is a broadcast nested loop
+    against the BOUNDED literal block dim (linear in events), and
+    longest-prefix selection must plan as a partial-aggregable
+    max_by — not a per-event window."""
+    plan = _executed_plan(spark, "fn_ip_cidr_match", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
