@@ -97,6 +97,10 @@ HEADLINE = (
     "text_bpe_pair_merge",
     "graph_degree_distribution",
     "pipeline_zorder_layout_plan",
+    # round-7 wave 58: the global-index pattern (150k indexed rows out at
+    # sf0.1) and the tombstone CDC apply join the suite.
+    "fn_global_row_index_scalable",
+    "pipeline_cdc_apply_deletes",
 )
 
 N_RUNS = 3

@@ -408,3 +408,74 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, sf_small):
     }
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stateful_dedup_state_survives_kill_and_resume(spark):
+    """Stateful restart-recovery: dropDuplicatesWithinWatermark state must
+    be REBUILT FROM THE CHECKPOINT across a process restart. Run 1 drains
+    drop_0 (events 1..300) and terminates; drop_1 then re-delivers the
+    same 300 (duplicates) plus 301..600 and run 2 resumes on the same
+    checkpoint. The duplicates arrive only in the SECOND process, so they
+    can be suppressed only if the dedup state store round-tripped through
+    the checkpoint: lost state emits 900 rows, replayed batch 0 emits 300
+    twice. (The interrupted-mid-backlog kill is covered by
+    test_checkpoint_kill_and_resume_exactly_once.)"""
+    import shutil
+
+    from datetime import datetime, timedelta
+
+    staging = tempfile.mkdtemp(prefix="dedup_kill_")
+    base_ts = datetime.fromisoformat("2024-01-01 12:00:00")
+
+    def rows(lo, hi):
+        return [
+            Row(
+                event_id=i,
+                ts=base_ts + timedelta(seconds=i),
+                user_id=i % 7,
+                value=float(i),
+            )
+            for i in range(lo, hi)
+        ]
+
+    _write_drop(spark, staging, "drop_0", rows(1, 301))
+
+    root = tempfile.mkdtemp(prefix="dedup_kill_out_")
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+
+    def start():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(staging)
+            .withWatermark("ts", "30 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    assert q1.awaitTermination(300), "first drain did not finish"
+    first = sorted(
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    )
+    assert first == list(range(1, 301)), f"first drain wrote {len(first)} rows"
+
+    # the duplicates + new rows arrive only after the first process is gone
+    _write_drop(spark, staging, "drop_1", rows(1, 301) + rows(301, 601))
+    q2 = start()
+    assert q2.awaitTermination(300), "resumed drain did not finish"
+
+    sink = spark.read.parquet(out)
+    got = sorted(r.event_id for r in sink.select("event_id").collect())
+    assert got == list(range(1, 601)), (
+        f"{len(got)} rows (dups suppressed iff state recovered)"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
