@@ -207,6 +207,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "fn_global_row_index_scalable",
         "pipeline_cdc_apply_deletes",
         "fn_ip_cidr_match",
+        "sample_weighted_systematic",
     }
 )
 # Round 6: emptied per the round-5 note above — the ~163 deferred IDs

@@ -1195,3 +1195,84 @@ def fn_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_SYS_K = 100  # systematic sample size (thresholds at (2j+1)·W/2k, j<k)
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents),
+tot AS (SELECT sum(CAST(n_chars AS BIGINT)) AS big_w FROM documents),
+p AS (
+  SELECT doc_id, wt,
+         CAST(((cum * 200) + big_w) // (2 * big_w)
+              - (((cum - wt) * 200) + big_w) // (2 * big_w) AS BIGINT)
+           AS n_picks
+  FROM w CROSS JOIN tot)
+SELECT doc_id, wt, n_picks FROM p WHERE n_picks > 0
+""",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted sampling (systematic / Madow): lay k=100 equally
+    spaced thresholds (2j+1)·W/2k over the cumulative-weight axis (W =
+    total n_chars) and pick every document whose weight interval contains
+    a threshold — inclusion probability proportional to weight, heavy
+    docs picked multiple times (n_picks), ZERO transcendentals: every
+    comparison is BIGINT arithmetic via the closed form
+    f(x) = (x·2k + W) div (2W), n_picks = f(cum) − f(cum − wt), so the
+    result is bit-identical across engines (no A-Res u^(1/w) float
+    ranking to drift in the last ulp). The cumulative sum uses the
+    fn_global_row_index_scalable pattern — range repartition by doc_id,
+    bounded per-partition weight-sum collect (<=32 rows), broadcast
+    offsets, partition-LOCAL running sum — never a single-task global
+    window. The mixture-sampling primitive a corpus-curation pipeline
+    uses to downsample by quality weight. Oracle: DuckDB window cumsum +
+    the same integer arithmetic (// truncation == floor here because
+    every operand is non-negative; the SURVEY §5.4 negative-div trap is
+    avoided by construction)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    ranged = (
+        docs.repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_sums = sorted(
+        (r["pid"], r["s"])
+        for r in ranged.groupBy("pid").agg(F.sum("wt").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in part_sums:
+        offsets.append((pid, acc))
+        acc += s
+    big_w = acc
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.col("off") + F.sum("wt").over(w)).alias("cum")
+    picks = ranged.join(F.broadcast(off_df), "pid").select(
+        "doc_id", "wt", cum
+    )
+    # pure BIGINT `DIV` (truncation == floor: operands non-negative) — a
+    # float floor() here would lose exactness past 2^53 at lake scale
+    two_w = 2 * big_w if big_w else 1  # empty-corpus guard (0 rows anyway)
+    k2 = 2 * _SYS_K
+    n_picks = F.expr(
+        f"(cum * {k2} + {big_w}L) DIV {two_w}L"
+        f" - ((cum - wt) * {k2} + {big_w}L) DIV {two_w}L"
+    )
+    return (
+        picks.withColumn("n_picks", n_picks.cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "wt", "n_picks")
+    )

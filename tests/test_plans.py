@@ -1172,3 +1172,15 @@ def test_ip_cidr_longest_prefix_is_partial_aggregable(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_weighted_systematic_sample_no_global_window(spark, sf_small):
+    """sample_weighted_systematic: the cumulative-weight axis must come
+    from the partition-offset pattern (partition-local running sums), so
+    the plan may not contain a SinglePartition exchange; pick counting is
+    pure BIGINT arithmetic — no Python eval, no join against the
+    threshold set."""
+    plan = _executed_plan(spark, "sample_weighted_systematic", sf_small)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "EvalPython" not in plan
