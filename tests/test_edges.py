@@ -235,3 +235,38 @@ def test_idempotent_ledger_matches_single_delivery_truth(spark, sf_small):
     for b, n in truth.items():
         assert rows[b]["n_applied"] == n
         assert rows[b]["n_deduped_replays"] == (n if b in (1, 3) else 0)
+
+
+def test_weighted_systematic_closed_form_properties():
+    """Pure-python property check of sample_weighted_systematic's closed
+    form f(x) = (x*2k + W) div (2W): for arbitrary positive weight
+    sequences, total picks sum to exactly k, per-doc picks are bounded by
+    ceil(w*k/W)+1, and zero-weight docs are never picked — the invariants
+    that make the sampler a probability-proportional-to-size design."""
+    import math
+    import random
+
+    rng = random.Random(58)
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        k = rng.choice([1, 7, 100, 1000])
+        wts = [rng.choice([0, 1, 2, 5, 1000, 10**12]) for _ in range(n)]
+        big_w = sum(wts)
+        if big_w == 0:
+            continue
+
+        def f(x):
+            return (x * 2 * k + big_w) // (2 * big_w)
+
+        cum, total = 0, 0
+        for w in wts:
+            prev = cum
+            cum += w
+            picks = f(cum) - f(prev)
+            assert picks >= 0
+            if w == 0:
+                assert picks == 0
+            else:
+                assert picks <= math.ceil(w * k / big_w) + 1
+            total += picks
+        assert total == f(big_w) == k, (wts, k, total)
