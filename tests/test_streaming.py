@@ -347,10 +347,8 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, sf_small):
     )
 
     staging = stage_event_files(spark, sf_small, n_files=8)
-    root = tempfile.mkdtemp(prefix="kill_resume_")
-    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
 
-    def start_drain():
+    def start_drain(out, ck):
         return (
             spark.readStream.schema(_RAW_EVENTS_DDL)
             .option("maxFilesPerTrigger", 1)
@@ -363,29 +361,41 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, sf_small):
             .start()
         )
 
-    q1 = start_drain()
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        p = q1.lastProgress  # progress for batch N is posted after N commits
-        if p is not None and p["batchId"] >= 0:
-            break
-        time.sleep(0.05)
-    q1.stop()  # the kill: interrupts whatever batch is in flight
-    q1.awaitTermination(60)
-
-    def committed():
+    def committed(ck):
         # digit-named batch commit markers only (skip .crc siblings)
         return len(
             [f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()]
         )
 
-    committed_1 = committed()
-    assert committed_1 >= 1, "kill landed before any commit"
-    assert committed_1 < 8, "backlog fully drained before the kill"
+    # The kill must land mid-backlog (>=1 commit, <8). A warm JVM can race
+    # through all 8 micro-batches before the poll fires, so retry the
+    # scenario on a fresh sink+checkpoint until the interrupt lands inside
+    # the backlog (observed to succeed on the first try cold, rarely needs
+    # a retry warm; 5 consecutive full drains before a 10 ms poll would
+    # mean ~sub-2ms batches — not a real local[8] behavior).
+    for _attempt in range(5):
+        root = tempfile.mkdtemp(prefix="kill_resume_")
+        out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+        q1 = start_drain(out, ck)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q1.lastProgress  # progress for batch N posts after N commits
+            if p is not None and p["batchId"] >= 0:
+                break
+            time.sleep(0.01)
+        q1.stop()  # the kill: interrupts whatever batch is in flight
+        q1.awaitTermination(60)
+        committed_1 = committed(ck)
+        assert committed_1 >= 1, "kill landed before any commit"
+        if committed_1 < 8:
+            break
+        shutil.rmtree(root, ignore_errors=True)
+    else:
+        raise AssertionError("backlog fully drained before the kill, 5 times")
 
-    q2 = start_drain()  # resume: same checkpoint, same sink
+    q2 = start_drain(out, ck)  # resume: same checkpoint, same sink
     assert q2.awaitTermination(300), "resumed drain did not finish"
-    assert committed() == 8
+    assert committed(ck) == 8
 
     from ai_dataingestion_spark.registry import load_table
 
