@@ -174,32 +174,18 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
-# Formerly-green oracle-backed IDs whose green rows predate the driver's
-# corpus regeneration (stale evidence): re-check them right after the
-# rank-0 block. Round 5: only the two UDF-plumbing re-checks evicted from
-# the r4 window remain; the other nine earned fresh r4 green rows.
+# Formerly-green oracle-backed IDs whose evidence went stale (e.g. a
+# driver corpus regeneration): re-check them right after the rank-0 block.
+# Empty since round 6 — every former re-check earned a fresh green row.
 _EVENTS_RECHECK: frozenset[str] = frozenset()
-# Round 6: empty — udf_grouped_map / udf_map_in_pandas earned fresh green
-# rows in CORRECTNESS_r05 on the regenerated corpus.
 
 
-# Operators added AFTER this round's 50-slot window was finalized: they
-# rank behind the rows-only tier so they don't evict the planned re-checks
-# mid-round; drop them from this set next round to rotate them into the
-# window (they are locally oracle-verified + unit-tested meanwhile).
-# Round 5: the r5 window is exactly full (45 rank-0 + 2 re-checks + 3
-# rows-only), so every §2.Q addition (operators/round5b.py through
-# round6b.py — waves 2-28, 126 oracle + 1 rows-only IDs) defers to the
-# r6 window. Each is locally oracle-verified (driver sim at sf0.01 —
-# full-loop runs this session, latest: 292 ok / 4 rows-only / 0 fail
-# at wave 15; every later wave sim'd green on registration) and swept
-# in the Tier-2 parity loop meanwhile.
-# ROUND-6 SELF: empty this set so the deferred IDs rank into the r6
-# window in registration order. They now span ~3.3 windows (163
-# deferred — waves 2-45 — + 2 udf re-checks): r6 takes the first 50 by
-# registration index (waves 2-5 plus part of 6), the remainder stays
-# rank-0 and automatically fronts the r7/r8/r9 windows — no action
-# needed beyond emptying this set each round.
+# Operators added AFTER this round's 50-slot window was planned: they rank
+# behind the rows-only tier so they can't displace the planned window
+# mid-round. EACH ROUND: empty this set (the IDs then rank 0 in
+# registration order and queue for the next windows) and move the new
+# CORRECTNESS greens into _DRIVER_CHECKED above. Backlog state after r7's
+# window: 122 rank-0 IDs queued (~2.5 windows) + the 4 below.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         # round-7 wave 58 (registered after the r7 window was planned;
@@ -210,13 +196,6 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sample_weighted_systematic",
     }
 )
-# Round 6: emptied per the round-5 note above — the ~163 deferred IDs
-# (waves 2-48, operators/round5b.py .. round6v.py) now rank 0 in
-# registration order; the driver's 50-slot r6 window takes the first 50
-# (waves 2 through part of 6) and the remainder automatically fronts the
-# r7+ windows. Round-6 additions registered after the r6 window freezes
-# go back into this set (see the per-wave comments below as they land).
-
 
 # Rows-only IDs promoted into the current driver window: normally rows-only
 # operators rank 2 (behind every unchecked oracle-backed ID), which starved
