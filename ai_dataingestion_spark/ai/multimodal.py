@@ -141,3 +141,116 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("head_hex").alias("head_hex_upper"),
         "payload_sha",
     )
+
+
+_RESIZE_CELLS = 16
+_PAYLOAD_CAP = 4096
+
+_POOL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("cell_n", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+
+def _synthesize_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stage 1 — the deterministic FAKE DECODE (mandate: codecs aren't in
+    this container): byte i of doc d is (d*31 + i) mod 256, standing in
+    for decoded pixel intensities. Real deployments replace this body with
+    PIL/ffmpeg decode of fetched object-store bytes; everything downstream
+    (binary column, Arrow transfer, pooling) is the real pipeline."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = [
+            ((int(d) * 31 + np.arange(int(n), dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .tobytes()
+            for d, n in zip(pdf["doc_id"], pdf["n"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 2 — the resize kernel: average-pool the 1-D "pixel" buffer
+    into _RESIZE_CELLS fixed cells (cell c covers bytes
+    [c*n//16, (c+1)*n//16)). Emits exact integer (cell_n, byte_sum) so the
+    result is bit-stable; consumers derive means as byte_sum/cell_n."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_out, cell_out, n_out, sum_out = [], [], [], []
+        for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            bounds = [(c * n) // _RESIZE_CELLS for c in range(_RESIZE_CELLS + 1)]
+            for c in range(_RESIZE_CELLS):
+                lo, hi = bounds[c], bounds[c + 1]
+                doc_out.append(int(d))
+                cell_out.append(c)
+                n_out.append(hi - lo)
+                sum_out.append(int(b[lo:hi].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_out,
+                "cell": cell_out,
+                "cell_n": n_out,
+                "byte_sum": sum_out,
+            }
+        )
+
+
+@register(
+    "multimodal_image_resize_pool",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, least(n_chars, 4096) AS n, doc_id * 31 AS k
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(c AS BIGINT) AS cell,
+         (c + 1) * n // 16 - c * n // 16 AS cell_n,
+         k + (c + 1) * n // 16 AS xh,
+         k + c * n // 16 AS xl
+  FROM d CROSS JOIN range(16) t(c))
+SELECT doc_id, cell, CAST(cell_n AS BIGINT) AS cell_n,
+       CAST((xh // 256) * 32640 + (xh % 256) * ((xh % 256) - 1) // 2
+            - ((xl // 256) * 32640 + (xl % 256) * ((xl % 256) - 1) // 2)
+         AS BIGINT) AS byte_sum
+FROM b
+""",
+)
+def multimodal_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize leg of the multimodal quartet (decode / feature-extract /
+    RESIZE / frame-sample): a two-stage Arrow pipeline where stage 1 is
+    the clearly-marked deterministic fake decode (byte i of doc d =
+    (d*31+i) mod 256 — PIL/ffmpeg are not in this container) producing a
+    REAL binary column, and stage 2 average-pools each payload into 16
+    fixed cells via vectorized numpy over mapInPandas — the exact shape a
+    thumbnailing pass has at 100 TB (payloads never leave executors; the
+    shuffle-free plan is two chained ArrowEvalPython stages over the
+    documents scan; output is 16 rows per doc regardless of payload
+    size). Payload length is capped at 4096 bytes. Exactness: emitting
+    integer (cell_n, byte_sum) instead of float means makes the result
+    bit-stable, and because the fake-decode bytes are arithmetic, the
+    ORACLE never touches bytes at all — cell sums have the closed form
+    T(k+hi)-T(k+lo) with T(x) = (x div 256)*32640 + tri(x mod 256), so
+    DuckDB verifies the full decode->pool pipeline end-to-end from
+    integers alone."""
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.least(F.col("n_chars"), F.lit(_PAYLOAD_CAP)).cast("long").alias("n")
+    )
+    with_payload = d.mapInPandas(
+        _synthesize_payload_batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return with_payload.mapInPandas(_pool_batches, _POOL_SCHEMA)

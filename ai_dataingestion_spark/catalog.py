@@ -194,6 +194,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "pipeline_cdc_apply_deletes",
         "fn_ip_cidr_match",
         "sample_weighted_systematic",
+        "multimodal_image_resize_pool",
     }
 )
 

@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 447  # 189 through r4 + 32 (§2.P) + 187 (§2.Q waves 2-48) + 35 (§2.R waves 49-57) + 4 (wave 58)
+TOTAL_OPERATORS = 448  # 189 through r4 + 32 (§2.P) + 187 (§2.Q waves 2-48) + 35 (§2.R waves 49-57) + 5 (wave 58)
 
 
 @pytest.fixture(scope="module")

@@ -1184,3 +1184,13 @@ def test_weighted_systematic_sample_no_global_window(spark, sf_small):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_resize_pool_is_shuffle_free_arrow_chain(spark, sf_small):
+    """multimodal_image_resize_pool: the decode->pool pipeline must be two
+    chained Arrow python stages directly over the documents scan with NO
+    shuffle — payloads are created and consumed executor-side, 16 rows per
+    doc come out, bytes never move between nodes."""
+    plan = _executed_plan(spark, "multimodal_image_resize_pool", sf_small)
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
