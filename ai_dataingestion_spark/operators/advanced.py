@@ -1256,7 +1256,13 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 250)
     )
     return (
-        t.orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        # `big` is an aggregate FILTERED to ~1% of orders, but its size
+        # still scales with the corpus — gate the hint (lineitem bytes as
+        # the proxy); threshold+AQE decide from measured size at scale
+        t.orders.join(
+            broadcast_if_small(big, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
@@ -2228,6 +2234,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(sp_probe[k]).alias(k) for k in ("word_a", "bit_a", "word_b", "bit_b")],
     )
     cand = (
+        # bloom bitmaps are CONSTANT-size (16 words x 63 bits) regardless of
+        # build cardinality — a static hint is scale-safe here by design
         probe.join(F.broadcast(bloom_a), probe.word_a == bloom_a.word)
         .filter(F.expr("(bits_a >> bit_a) & 1 = 1"))
         .join(F.broadcast(bloom_b), probe.word_b == bloom_b.word)
