@@ -11,13 +11,13 @@ runner folds them over a source relation.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.lexicons import STOPWORDS
-from ai_dataingestion_spark.registry import Tables, load_table
+from ai_dataingestion_spark.registry import load_table
 
 Transform = Callable[..., DataFrame]
 
