@@ -45,6 +45,12 @@ def session_builder(
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
+    # Optional GC/JVM flags for the local driver JVM (e.g. "-XX:+UseZGC" to
+    # trade some throughput for pause stability in bench runs). Launch-time
+    # only, like driver.memory.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     return (
         # local mode runs every task inside the driver JVM; the 1g default
         # heap OOMs on any broadcast build beyond toy scale (measured at
