@@ -6461,7 +6461,10 @@ SELECT fmt_class, count(*) AS n,
   FROM (SELECT event_id,
       CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
            WHEN event_id % 3 = 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
-           ELSE CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR) END AS raw
+           -- floor() before the int cast: DuckDB CAST(double AS BIGINT)
+           -- ROUNDS while Spark unix_timestamp() truncates (SURVEY 5.4);
+           -- caught at sf0.1 where the max epoch row has fraction >= .5
+           ELSE CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) END AS raw
     FROM events) r) p
 GROUP BY 1
 """,

@@ -866,8 +866,8 @@ noedge AS (
   WHERE e.pa IS NULL),
 scored AS (
   SELECT n.a, n.b, n.common,
-         CAST(round(n.common * 1.0 / (da.d + db.d - n.common), 6) AS DOUBLE)
-           AS jaccard
+         CAST(floor(n.common * 1.0 / (da.d + db.d - n.common)
+                    * 1000000 + 0.5) / 1000000 AS DOUBLE) AS jaccard
   FROM noedge n JOIN deg da ON da.p = n.a JOIN deg db ON db.p = n.b)
 SELECT a, b, CAST(common AS BIGINT) AS common, jaccard
 FROM scored ORDER BY jaccard DESC, a, b LIMIT 15
@@ -884,11 +884,63 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     deg(a)+deg(b)-common so no neighbor-set materialization is needed,
     existing edges anti-joined out, top-15 with full tie-breaks. This is
     the "customers who bought X also bought Y" recommender primitive;
-    candidate fan-out is bounded by sum(deg^2) — the hub-skew profile
-    graph_degree_distribution measures is the capacity check for this
-    very join. Both engines run the identical statement."""
-    register_views(spark, sf_dir)
-    return spark.sql(_LINKPRED_SQL)
+    candidate fan-out is sum(deg^2) — 298M intermediate rows at sf0.1 —
+    so the pair aggregation is EXPLICITLY repartitioned wide (256 on the
+    pair key; the groupBy reuses that exchange, so per-task hash-agg
+    state stays ~1M pairs instead of ~9M, which OOM'd a 24g local heap
+    at the 32-partition session default; AQE coalesces the width back
+    down at small SF). Rounding uses the portable floor(x*1e6+0.5)/1e6
+    on both sides. Oracle: the original single-statement SQL form."""
+    t = Tables(spark, sf_dir)
+    basket = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        basket.alias("ba")
+        .join(
+            basket.alias("bb"),
+            (F.col("ba.l_orderkey") == F.col("bb.l_orderkey"))
+            & (F.col("ba.l_partkey") < F.col("bb.l_partkey")),
+        )
+        .select(
+            F.col("ba.l_partkey").alias("pa"), F.col("bb.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    und = edges.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
+        edges.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+    deg = und.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    u1 = und.select(F.col("p").alias("a"), F.col("q").alias("mid"))
+    u2 = und.select(F.col("p").alias("mid"), F.col("q").alias("b"))
+    cand = (
+        u1.join(u2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .repartition(256, "a", "b")  # wide explosion stage; AQE coalesces
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    noedge = cand.join(
+        edges,
+        (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("p").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("b"), F.col("d").alias("db"))
+    jac = F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
+    scored = (
+        noedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("bigint").alias("common"),
+            (F.floor(jac * 1_000_000 + 0.5) / 1_000_000)
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(15)
 
 
 @register(
