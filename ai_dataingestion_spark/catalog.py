@@ -39,7 +39,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate operator id: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+
+        def invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the PREVIOUS operator's tracked intermediate caches
+            # (its result has been consumed by now — harness loops are
+            # sequential); fixes the 50-query-session heap accumulation
+            # measured at the sfx1.0 sweep (opcache.py)
+            from ai_dataingestion_spark.opcache import release_op_caches
+
+            release_op_caches()
+            return fn(spark, sf_dir)
+
+        invoke.__name__ = fn.__name__
+        invoke.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name, invoke, oracle, doc or (fn.__doc__ or ""))
         return fn
 
     return wrap

@@ -397,8 +397,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part2"))
+    # shuffle_hash: BOTH sides are corpus-sized, so a broadcast here is
+    # never right — yet AQE's compressed-shuffle-bytes estimate can sneak a
+    # 60M-row distinct under the 64MB threshold and build a multi-GB heap
+    # hash relation (measured OOM at the sfx1.0 sweep). The partition-local
+    # hash build is the plan that survives any scale.
     return (
-        a.join(b, "ok")
+        a.join(b.hint("shuffle_hash"), "ok")
         .filter(F.col("part1") < F.col("part2"))
         .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_orders"))

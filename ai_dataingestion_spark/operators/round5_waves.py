@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
@@ -2413,7 +2414,7 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .cache()
+        .transform(op_cache)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -2425,7 +2426,7 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .cache()
+        .transform(op_cache)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2545,7 +2546,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
-    ).cache()
+    ).transform(op_cache)
     a = sig.alias("a")
     b = sig.alias("b")
     n_eq = sum(
@@ -2915,7 +2916,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = sess.groupBy("user_id", "session_id").agg(
         F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
         F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
-    ).cache()
+    ).transform(op_cache)
     deltas = intervals.select(
         F.col("start_us").alias("t"), F.lit(1).alias("d")
     ).unionAll(
@@ -3010,7 +3011,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         daily.join(F.broadcast(med), "event_type")
         .withColumn("adev", F.abs(F.col("n") - F.col("med")))
-        .cache()
+        .transform(op_cache)
     )
     mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
     z = (
@@ -3410,7 +3411,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
-    ).cache()
+    ).transform(op_cache)
 
     out = None
     for b, r in _TUNE_CONFIGS:
@@ -3954,7 +3955,7 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never OOMs) so the explode+dedup of shingles runs once, not 3x
     docs = corpus.withColumn("toks", F.split("text", " ")).select(
         "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
-    ).cache()
+    ).transform(op_cache)
     sig = (
         docs.select("doc_id", F.explode("shingles").alias("shingle"))
         .select(
@@ -5484,13 +5485,13 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b, "ok")
+        a.join(b.hint("shuffle_hash"), "ok")  # corpus-sized both sides
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
-        .cache()  # edges feed degree, wedge, and all three triangle sides
+        .transform(op_cache)  # edges feed degree, wedge, and all three triangle sides
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -5667,7 +5668,7 @@ def topk_per_group_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(19,2)")).alias("r")
         )
-        .cache()  # feeds both strategies
+        .transform(op_cache)  # feeds both strategies
     )
     # strategy A: window
     w = Window.partitionBy("p_brand").orderBy(F.desc("r"), F.asc("l_partkey"))
@@ -6655,7 +6656,7 @@ def search_inverted_index_and_query(
     idx = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .distinct()
-        .cache()
+        .transform(op_cache)
     )
 
     def postings(term: str) -> DataFrame:
@@ -7018,7 +7019,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = e.filter(F.col("vec_id") != q_id).select(
         "vec_id", "embedding", cos(F.col("embedding"), q_vec).alias("sim")
-    ).cache()
+    ).transform(op_cache)
 
     selected: list = []  # (vec_id, sim, embedding)
     for _ in range(_MMR_K):

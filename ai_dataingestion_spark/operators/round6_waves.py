@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1714,7 +1715,7 @@ def pipeline_resume_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select((F.col("o_orderkey") % 500).alias("batch_id"))
         .filter((F.col("batch_id") % 7) != 3)
         .distinct()
-        .cache()  # feeds bounds, successor anti-join, and the zero probe
+        .transform(op_cache)  # feeds bounds, successor anti-join, and the zero probe
     )
     succ = applied.select((F.col("batch_id") + 1).alias("batch_id"))
     first_gap = (
@@ -1810,7 +1811,7 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = corpus.select(
         "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
-    ).cache()
+    ).transform(op_cache)
     pairs = docs.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select(
@@ -4030,7 +4031,7 @@ def embed_sign_hamming_separation(
     # cache the labels×dims marginal (≤640 rows): the self-join would
     # otherwise re-run the corpus explode+aggregate once per side
     # (measured: 2 Generate posexplode nodes without it)
-    marg = bits.groupBy("label", "dim").agg(F.avg("b").alias("p")).cache()
+    marg = bits.groupBy("label", "dim").agg(F.avg("b").alias("p")).transform(op_cache)
     a = marg.select(
         F.col("label").alias("label_a"),
         F.col("dim").alias("dim_a"),

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.ai.dedup import _duck_h, _spark_h
@@ -896,7 +897,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = (
         basket.alias("ba")
         .join(
-            basket.alias("bb"),
+            basket.alias("bb").hint("shuffle_hash"),  # corpus-sized both sides
             (F.col("ba.l_orderkey") == F.col("bb.l_orderkey"))
             & (F.col("ba.l_partkey") < F.col("bb.l_partkey")),
         )
@@ -911,13 +912,22 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = und.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     u1 = und.select(F.col("p").alias("a"), F.col("q").alias("mid"))
     u2 = und.select(F.col("p").alias("mid"), F.col("q").alias("b"))
-    cand = (
-        u1.join(u2, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .repartition(256, "a", "b")  # wide explosion stage; AQE coalesces
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    pair_in = u1.join(u2.hint("shuffle_hash"), "mid").filter(
+        F.col("a") < F.col("b")
     )
+    # Wide explosion stage, gated on corpus bytes: an explicit repartition
+    # is NOT AQE-coalescible, so only pay the 256-way exchange when the
+    # two-hop fan-out is large. The threshold is deliberately LOW (4 MiB of
+    # lineitem parquet): fan-out is quadratic-in-degree, not linear in
+    # input bytes — 11 MB of sf0.1 lineitem explodes to 298M pair rows,
+    # which OOM'd a 24 GB heap at the 32-partition default. sf0.01 stays
+    # narrow; the gate fails CLOSED into the wide/safe path on non-local
+    # paths. The groupBy below reuses this exchange either way.
+    from ai_dataingestion_spark.scale import table_bytes_under
+
+    if not table_bytes_under(sf_dir, "lineitem", 4 * 1024 * 1024):
+        pair_in = pair_in.repartition(256, "a", "b")
+    cand = pair_in.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
     noedge = cand.join(
         edges,
         (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
@@ -1048,7 +1058,7 @@ def fn_global_row_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.select("o_orderkey")
         .repartitionByRange(n_parts, "o_orderkey")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .transform(op_cache)
     )
     # bounded driver collect: <= n_parts rows regardless of corpus size
     counts = sorted(
@@ -1296,7 +1306,7 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         docs.repartitionByRange(32, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .transform(op_cache)
     )
     part_sums = sorted(
         (r["pid"], r["s"])

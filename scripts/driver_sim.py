@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 from datetime import datetime
@@ -78,16 +79,25 @@ def corpus_fingerprint(sf_dir: str) -> dict:
     'corpus changed' line instead of a pile of mystery mismatches."""
     import pyarrow.parquet as pq
 
+    import glob as _glob
+    import os as _os
+
     fp = {}
     for t in TABLES:
         path = f"{sf_dir.rstrip('/')}/{t}.parquet"
-        f = pq.ParquetFile(path)
-        fp[t] = {
-            "rows": f.metadata.num_rows,
-            "schema": {
-                fld.name: str(fld.type) for fld in f.schema_arrow
-            },
-        }
+        # Spark-written tables are DIRECTORIES of part files (the sfx1.0
+        # scale-up scratch corpus); single-file tables come from the driver
+        parts = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        rows, schema = 0, {}
+        for p in parts:
+            f = pq.ParquetFile(p)
+            rows += f.metadata.num_rows
+            schema = {fld.name: str(fld.type) for fld in f.schema_arrow}
+        fp[t] = {"rows": rows, "schema": schema}
     return fp
 
 
@@ -165,7 +175,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet"
+            + ("/*.parquet" if os.path.isdir(f"{args.sf_dir}/{t}.parquet") else "")
+            + "')"
         )
 
     n_ok = n_fail = n_rows_only = 0

@@ -51,7 +51,14 @@ def build(spark) -> None:
             src.write.mode("overwrite").parquet(dst)
             continue
         n = src.count()
-        offset = 10 ** len(str(n * COPIES))  # round power beyond max key
+        # Round power beyond max key PLUS two extra decades of headroom:
+        # operators inject their own id offsets (e.g. similarity.py's
+        # _DUP_OFFSET = 100_000), and the old `10 ** len(str(n*COPIES))`
+        # rule landed EXACTLY on that constant for embeddings at sf0.1,
+        # colliding copy k's base ids with copy k-1's injected-dup ids
+        # (duplicate vec_ids -> oracle double-counts row-pairs that the
+        # engine's pair dedup collapses; caught by the sfx1.0 parity run).
+        offset = 10 ** (len(str(n * COPIES)) + 2)
         parts = []
         for i in range(COPIES):
             c = src
