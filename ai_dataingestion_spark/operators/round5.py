@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
-from ai_dataingestion_spark.scale import broadcast_if_small
+from ai_dataingestion_spark.scale import broadcast_if_small, hint_merge_if_large
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -397,13 +397,15 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part2"))
-    # shuffle_hash: BOTH sides are corpus-sized, so a broadcast here is
-    # never right — yet AQE's compressed-shuffle-bytes estimate can sneak a
-    # 60M-row distinct under the 64MB threshold and build a multi-GB heap
-    # hash relation (measured OOM at the sfx1.0 sweep). The partition-local
-    # hash build is the plan that survives any scale.
+    # merge (sort-merge): BOTH sides are corpus-sized, so a broadcast here
+    # is never right — yet AQE's compressed-shuffle-bytes estimate can
+    # sneak a 60M-row distinct under the 64MB threshold and build a
+    # multi-GB heap hash relation (measured OOM at the sfx1.0 sweep); and
+    # shuffled-hash's per-partition build is non-spillable (measured
+    # can't-acquire at sfx1.0). Sort-merge spills at every stage — the one
+    # strategy safe at any scale.
     return (
-        a.join(b.hint("shuffle_hash"), "ok")
+        a.join(hint_merge_if_large(b, sf_dir, "lineitem"), "ok")
         .filter(F.col("part1") < F.col("part2"))
         .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_orders"))

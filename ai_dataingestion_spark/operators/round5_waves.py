@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.opcache import op_cache
-from ai_dataingestion_spark.scale import broadcast_if_small
+from ai_dataingestion_spark.scale import broadcast_if_small, hint_merge_if_large
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.ai.dedup import (
@@ -3850,6 +3850,9 @@ corpus AS (
 """
 
 
+_ARRAY_MERGE_LIMIT = 1024 * 1024  # see merge-gate comment in dedup_removal_plan
+
+
 @register(
     "dedup_removal_plan",
     oracle="WITH "
@@ -3989,7 +3992,10 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
+        .join(
+            hint_merge_if_large(banded.alias("b"), sf_dir, "documents", _ARRAY_MERGE_LIMIT),
+            ["band", "bucket"],
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
@@ -3998,9 +4004,14 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    # merge gate at 1 MiB (not the 64 MiB join default): shingle-ARRAY
+    # relations expand ~100x from the compressed text bytes, and the
+    # broadcast OOM measured at the sfx1.0 sweep happened at just 5.3 MB
+    # of documents parquet (ai/dedup.py:558 rule). Sort-merge spills where
+    # both broadcast and shuffled-hash builds cannot.
     near_removed = (
-        cand.join(sh1, "id1")
-        .join(sh2, "id2")
+        cand.join(hint_merge_if_large(sh1, sf_dir, "documents", _ARRAY_MERGE_LIMIT), "id1")
+        .join(hint_merge_if_large(sh2, sf_dir, "documents", _ARRAY_MERGE_LIMIT), "id2")
         .filter(inter / union >= 0.6)
         .select(F.col("id2").alias("doc_id"))
         .distinct()
@@ -5485,7 +5496,7 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b.hint("shuffle_hash"), "ok")  # corpus-sized both sides
+        a.join(hint_merge_if_large(b, sf_dir, "lineitem"), "ok")  # corpus x corpus
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.scale import hint_merge_if_large
 from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
@@ -897,7 +898,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = (
         basket.alias("ba")
         .join(
-            basket.alias("bb").hint("shuffle_hash"),  # corpus-sized both sides
+            hint_merge_if_large(basket.alias("bb"), sf_dir, "lineitem"),
             (F.col("ba.l_orderkey") == F.col("bb.l_orderkey"))
             & (F.col("ba.l_partkey") < F.col("bb.l_partkey")),
         )
@@ -912,7 +913,9 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = und.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     u1 = und.select(F.col("p").alias("a"), F.col("q").alias("mid"))
     u2 = und.select(F.col("p").alias("mid"), F.col("q").alias("b"))
-    pair_in = u1.join(u2.hint("shuffle_hash"), "mid").filter(
+    pair_in = u1.join(
+        hint_merge_if_large(u2, sf_dir, "lineitem"), "mid"
+    ).filter(
         F.col("a") < F.col("b")
     )
     # Wide explosion stage, gated on corpus bytes: an explicit repartition

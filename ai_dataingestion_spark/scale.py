@@ -69,3 +69,20 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     if table_bytes_under(sf_dir, table):
         return F.broadcast(df)
     return df
+
+
+def hint_merge_if_large(
+    df: DataFrame, sf_dir: str, table: str, limit: int = SMALL_TABLE_BYTES
+) -> DataFrame:
+    """The mirror image of ``broadcast_if_small`` for corpus x corpus
+    joins: hint sort-merge — the only strategy that spills at every stage —
+    once ``table`` is no longer provably small, and leave Catalyst free to
+    broadcast below that. Rationale (measured at the sfx1.0 sweep): AQE's
+    compressed-shuffle-bytes estimate sneaks a 60M-row relation under the
+    64MB broadcast threshold and builds a multi-GB heap hash relation
+    (OOM), and shuffled-hash's per-partition build is non-spillable
+    (can't-acquire). Fail-closed means MERGE here — on non-local paths the
+    spillable plan is the safe default."""
+    if table_bytes_under(sf_dir, table, limit):
+        return df
+    return df.hint("merge")
