@@ -434,21 +434,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = sig.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_val")
     )
-    cand = (
+    # Scale posture for the bucket self-join (the link-prediction medicine,
+    # measured at the sfx1.0 sweep): hot chunk buckets blow up
+    # quadratically — spillable sort-merge instead of an AQE-estimated
+    # broadcast/non-spillable SHJ build, and the pair explosion goes
+    # through a wide exchange (AQE cannot coalesce an explicit
+    # repartition, so it is gated on corpus bytes) that the distinct
+    # reuses.
+    from ai_dataingestion_spark.scale import (
+        hint_merge_if_large,
+        table_bytes_under,
+    )
+
+    _gate = 1024 * 1024  # signatures derive from text: 1 MiB, not 64 MiB
+    pairs = (
         chunked.alias("a")
-        .join(chunked.alias("b"), ["chunk_idx", "chunk_val"])
+        .join(
+            hint_merge_if_large(chunked.alias("b"), sf_dir, "documents", _gate),
+            ["chunk_idx", "chunk_val"],
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
     )
+    if not table_bytes_under(sf_dir, "documents", _gate):
+        pairs = pairs.repartition(256, "id1", "id2")
+    cand = pairs.distinct()
     c1 = sig.select(F.col("doc_id").alias("id1"), F.col("chunks").alias("ch1"))
     c2 = sig.select(F.col("doc_id").alias("id2"), F.col("chunks").alias("ch2"))
     hamming = F.expr(
         "aggregate(zip_with(ch1, ch2, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"
     )
     return (
-        cand.join(c1, "id1")
-        .join(c2, "id2")
+        cand.join(hint_merge_if_large(c1, sf_dir, "documents", _gate), "id1")
+        .join(hint_merge_if_large(c2, sf_dir, "documents", _gate), "id2")
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= 3)
         .select("id1", "id2", "hamming")
