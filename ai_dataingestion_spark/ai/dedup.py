@@ -443,7 +443,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses.
     from ai_dataingestion_spark.scale import (
         hint_merge_if_large,
-        table_bytes_under,
+        wide_exchange_partitions,
     )
 
     _gate = 1024 * 1024  # signatures derive from text: 1 MiB, not 64 MiB
@@ -456,8 +456,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
     )
-    if not table_bytes_under(sf_dir, "documents", _gate):
-        pairs = pairs.repartition(256, "id1", "id2")
+    # width tiers with table bytes instead of cliff-jumping to a fixed 256
+    # just above the gate (ADVICE r7; AQE can't coalesce an explicit
+    # repartition, so the width choice is ours to size)
+    _width = wide_exchange_partitions(spark, sf_dir, "documents", _gate)
+    if _width:
+        pairs = pairs.repartition(_width, "id1", "id2")
     cand = pairs.distinct()
     c1 = sig.select(F.col("doc_id").alias("id1"), F.col("chunks").alias("ch1"))
     c2 = sig.select(F.col("doc_id").alias("id2"), F.col("chunks").alias("ch2"))

@@ -48,7 +48,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
             from ai_dataingestion_spark.opcache import release_op_caches
 
             release_op_caches()
-            return fn(spark, sf_dir)
+            try:
+                return fn(spark, sf_dir)
+            except BaseException:
+                # a raising operator returns no DataFrame anyone could still
+                # consume — release its orphaned caches NOW instead of
+                # leaking them until the next invocation (VERDICT r7 item 7)
+                release_op_caches()
+                raise
 
         invoke.__name__ = fn.__name__
         invoke.__doc__ = fn.__doc__
@@ -184,6 +191,32 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "text_kl_divergence_sources", "text_shingle_df_spectrum",
         "tpch_q20_excess_share_suppliers", "tpch_q21_single_late_supplier",
         "tpch_q2_min_cost_supplier", "win_percentile_disc_vs_cont",
+        # --- round 7 green (all 50 rows of CORRECTNESS_r07: 49 oracle pass
+        # + agg_hll_sketch_merge rows-only-by-design, 0 fail / 0 err) ---
+        "agg_empty_relation_semantics", "agg_equidepth_histogram",
+        "agg_hll_sketch_merge", "brand_pareto_coverage",
+        "dedup_incremental_batch", "dedup_removal_plan",
+        "embed_label_confusion", "events_alert_rules",
+        "events_attribution_linear", "events_cep_triple_pattern",
+        "events_gap_fill_linear", "events_late_arrival_audit",
+        "events_pre_post_welch_t", "events_rolling_7d_active_users",
+        "events_seasonal_naive_backtest", "events_sessions_bounce_rate",
+        "events_time_to_convert_quantiles", "events_top_session_paths",
+        "events_value_winsorized_stats", "fn_array_set_ops",
+        "fn_content_uuid", "fn_iso_week_parity", "fn_timezone_convert",
+        "graph_copurchase_triangles", "lineitem_abc_xyz_matrix",
+        "multimodal_coverage_audit", "multimodal_payload_dedup",
+        "pipeline_compaction_planner", "pipeline_idempotent_ledger",
+        "quality_schema_contract", "sample_k_per_group_stable",
+        "scan_binary_files", "scan_json_schema_infer",
+        "scan_parquet_schema_merge", "scan_text_wholefile",
+        "search_inverted_index_and_query", "sink_csv_quoted_roundtrip",
+        "sink_parquet_codecs", "sink_write_modes",
+        "subquery_not_in_null_trap", "supplier_hhi_by_nation",
+        "text_bm25_topk", "text_chunk_dup_ratio", "text_collocation_pmi",
+        "text_js_divergence_pairwise", "topk_per_group_strategies",
+        "udf_python_arrow", "win_default_frame_ties",
+        "win_range_numeric_frame", "win_running_distinct",
     }
 )
 
@@ -197,28 +230,17 @@ _EVENTS_RECHECK: frozenset[str] = frozenset()
 # behind the rows-only tier so they can't displace the planned window
 # mid-round. EACH ROUND: empty this set (the IDs then rank 0 in
 # registration order and queue for the next windows) and move the new
-# CORRECTNESS greens into _DRIVER_CHECKED above. Backlog state after r7's
-# window: 122 rank-0 IDs queued (~2.5 windows) + the 4 below.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        # round-7 wave 58 (registered after the r7 window was planned;
-        # locally sim-verified + swept — empty this set next round)
-        "fn_global_row_index_scalable",
-        "pipeline_cdc_apply_deletes",
-        "fn_ip_cidr_match",
-        "sample_weighted_systematic",
-        "multimodal_image_resize_pool",
-    }
-)
+# CORRECTNESS greens into _DRIVER_CHECKED above. Backlog state after r8's
+# window plan: 127 rank-0 IDs queued (the wave-58 five now rank 0 with
+# everyone else; ~2.5 windows to clear at 50/round). The backlog count is
+# asserted in tests/test_oracle_parity.py alongside TOTAL_OPERATORS.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Rows-only IDs promoted into the current driver window: normally rows-only
-# operators rank 2 (behind every unchecked oracle-backed ID), which starved
-# agg_hll_sketch_merge of a driver row for six rounds while ~170 oracle IDs
-# queued ahead of it (VERDICT r6 item 3). Promoting it to rank 0 lets its
-# (early, round5e) registration index place it inside the r7 window like
-# sim_ann_lsh / sim_ann_ivf / stream_watermark_late got in r5. Remove after
-# its rows-only row lands.
-_PROMOTE_ROWS_ONLY: frozenset[str] = frozenset({"agg_hll_sketch_merge"})
+# operators rank 2 (behind every unchecked oracle-backed ID). Used in r7 to
+# land agg_hll_sketch_merge's first driver row (VERDICT r6 item 3); empty
+# since — every rows-only ID now has a driver row.
+_PROMOTE_ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def _rotation_rank(spec: QuerySpec) -> int:

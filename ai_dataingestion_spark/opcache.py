@@ -14,37 +14,58 @@ a fresh session).
 via ``.transform(op_cache)``: it persists the DataFrame AND tracks it. The
 catalog invokes ``release_op_caches()`` at the START of every operator call,
 unpersisting the previous operator's tracked caches — by then its result has
-been collected (the driver, bench, and tests all consume sequentially).
+been collected (the driver, bench, and tests all consume sequentially) — and
+again (via the catalog's except path) when an operator RAISES, since a
+raising operator returns no DataFrame anyone could still consume.
 
-Contract: an operator's returned DataFrame must be consumed before the next
-operator is invoked on the same session (all harness loops do); releasing
-merely triggers recomputation otherwise, except for operators whose
-correctness depends on cache-backed partition-assignment consistency
-(fn_global_row_index_scalable, sample_weighted_systematic) — which is
-exactly why release happens at next-operator start and never mid-build.
+The tracked list is keyed by thread ident (ADVICE r7): a threaded bench or
+parallel pytest runs each operator on its own thread, and a process-global
+list would let thread A's release_op_caches() unpersist thread B's live
+intermediates mid-build — silent recompute at best, and for the two
+partition-assignment-consistency operators (fn_global_row_index_scalable,
+sample_weighted_systematic) a correctness hazard, because Spark does not
+guarantee repartitionByRange resamples identically on recompute. Thread
+keying makes cross-thread release impossible; within one thread, the
+sequential build-then-consume contract holds for every harness we ship
+(driver loop, bench.py min-of-3, pytest parametrize).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LIVE: dict[int, list[DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def op_cache(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default) and track it for release
-    when the next operator starts. Use as ``.transform(op_cache)``."""
+    when the next operator starts on THIS thread. Use as
+    ``.transform(op_cache)``."""
     out = df.persist()
-    _LIVE.append(out)
+    with _LOCK:
+        _LIVE.setdefault(threading.get_ident(), []).append(out)
     return out
 
 
 def release_op_caches() -> None:
-    """Unpersist every tracked cache from previous operator invocations.
+    """Unpersist every cache tracked by previous operator invocations on the
+    CALLING thread (other threads' live intermediates are never touched).
     Safe against stopped sessions (best-effort)."""
-    while _LIVE:
-        df = _LIVE.pop()
+    with _LOCK:
+        mine = _LIVE.pop(threading.get_ident(), [])
+    while mine:
+        df = mine.pop()
         try:
             df.unpersist(blocking=True)
         except Exception:
             pass
+
+
+def live_cache_count() -> int:
+    """Diagnostic: tracked-but-unreleased caches on the calling thread
+    (tests assert 0 after a raising operator)."""
+    with _LOCK:
+        return len(_LIVE.get(threading.get_ident(), ()))

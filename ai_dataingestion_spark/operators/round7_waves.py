@@ -1153,7 +1153,11 @@ def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("U").alias("op"),
                 F.lit(2).alias("seq"),
                 "o_orderstatus",
-                F.round(F.col("price") * 1.1, 2)
+                # 1.1BD keeps the multiply in exact DECIMAL arithmetic
+                # (a bare 1.1 literal is a double and promotes the whole
+                # expression to DOUBLE before the round — ADVICE r7); the
+                # DuckDB oracle's 1.1 literal is likewise exact decimal.
+                F.round(F.col("price") * F.expr("1.1BD"), 2)
                 .cast("decimal(19,2)")
                 .alias("price"),
             )

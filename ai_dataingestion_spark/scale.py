@@ -60,6 +60,51 @@ def table_bytes_under(sf_dir: str, table: str, limit: int = SMALL_TABLE_BYTES) -
     return False
 
 
+def table_bytes(sf_dir: str, table: str, cap: int) -> int:
+    """Total on-disk bytes of ``{sf_dir}/{table}.parquet``, walking at most
+    until ``cap`` (early exit keeps the driver-side cost bounded). Non-local
+    or unreadable paths report ``cap`` — the scale-safe 'assume big'."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            return min(os.path.getsize(path), cap)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    total += os.path.getsize(os.path.join(root, fname))
+                    if total >= cap:
+                        return cap
+            return total
+    except OSError:
+        pass
+    return cap
+
+
+def wide_exchange_partitions(
+    spark, sf_dir: str, table: str, gate: int
+) -> int:
+    """Partition count for an explicit pair-explosion exchange (candidate
+    self-joins whose output is quadratic in hot-key bucket sizes). AQE
+    cannot coalesce an explicit ``repartition()``, so a fixed wide count is
+    a cliff just above the gate (ADVICE r7): instead, start at the session
+    shuffle width and DOUBLE it per doubling of table bytes above ``gate``,
+    capped at 2048. Returns 0 when the table is under ``gate`` — the caller
+    skips the explicit exchange entirely and lets AQE shape the small case.
+    (Calibration: documents at the sfx1.0 sweep = 5.3 MB over a 1 MiB gate
+    -> 8x the 32-wide session default = the measured-stable 256.)"""
+    bytes_ = table_bytes(sf_dir, table, cap=2048 * gate)
+    if bytes_ < gate:
+        return 0
+    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = base
+    ratio = bytes_ // gate
+    while ratio >= 1 and width < 2048:
+        width *= 2
+        ratio //= 2
+    return min(width, 2048)
+
+
 def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     """Broadcast-hint ``df`` (a projection/filter of ``table``) only when the
     table's on-disk bytes prove it is small; otherwise return ``df`` unhinted

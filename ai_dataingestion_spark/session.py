@@ -23,6 +23,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(cap_gb: int = 24) -> str:
+    """Bench-stable 24g, bounded by ~60% of detected physical RAM so the JVM
+    heap limit never exceeds what the host can actually back (minimum 2g to
+    stay above the broadcast-build floor). Detection failures fall back to
+    the cap — the historical default."""
+    try:
+        phys_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        return f"{cap_gb}g"
+    return f"{max(2, min(cap_gb, int(phys_gb * 0.6)))}g"
+
+
 def session_builder(
     app_name: str = "ai_dataingestion_spark",
     master: str | None = None,
@@ -45,6 +59,7 @@ def session_builder(
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
+    default_mem = _default_driver_mem()
     # Optional GC/JVM flags for the local driver JVM (e.g. "-XX:+UseZGC" to
     # trade some throughput for pause stability in bench runs). Launch-time
     # only, like driver.memory.
@@ -55,14 +70,15 @@ def session_builder(
         # local mode runs every task inside the driver JVM; the 1g default
         # heap OOMs on any broadcast build beyond toy scale (measured at
         # 10x sf0.1), and 8g showed up-to-4x GC-pause swings on the
-        # warm-cached bench suite (BASELINE.md round-5 infra findings), so
-        # the default matches bench.py's measured-stable 24g. Only effective
-        # at JVM launch — a no-op when the driver hands us an
-        # already-started session; override via SPARK_GRAFT_DRIVER_MEM on
-        # memory-constrained hosts.
+        # warm-cached bench suite (BASELINE.md round-5 infra findings).
+        # Default: bench-stable 24g, capped at ~60% of detected physical
+        # RAM (ADVICE r7: a fixed 24g on a <24 GB host exceeds physical
+        # memory and trades a clean in-JVM failure for swap/OOM-killer).
+        # Only effective at JVM launch — a no-op when the driver hands us
+        # an already-started session; SPARK_GRAFT_DRIVER_MEM overrides.
         b.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,82 @@
+"""opcache contract tests (ADVICE r7 medium + VERDICT r7 item 7):
+
+- a RAISING operator must not leak its tracked caches until the next
+  invocation — the catalog wrapper releases them on the except path;
+- release is thread-keyed: one thread's release_op_caches() never touches
+  another thread's live intermediates (the threaded-bench interleave that
+  would otherwise silently unpersist mid-build).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from ai_dataingestion_spark import opcache
+from ai_dataingestion_spark.catalog import QuerySpec, _REGISTRY, register
+
+
+@pytest.fixture
+def _clean_registry():
+    """Register throwaway operators under reserved test ids; always remove."""
+    added: list[str] = []
+    yield added
+    for name in added:
+        _REGISTRY.pop(name, None)
+
+
+def test_raising_operator_releases_caches(spark, sf_small, _clean_registry):
+    name = "_test_opcache_raiser"
+    _clean_registry.append(name)
+
+    @register(name)
+    def _raiser(s, sf_dir):
+        df = s.range(10).transform(opcache.op_cache)
+        df.count()  # materialize so the persist is real, not just planned
+        raise RuntimeError("operator failed after persisting")
+
+    assert opcache.live_cache_count() == 0
+    spec: QuerySpec = _REGISTRY[name]
+    with pytest.raises(RuntimeError, match="after persisting"):
+        spec.fn(spark, sf_small)
+    # the except path must have released the orphaned cache immediately
+    assert opcache.live_cache_count() == 0
+
+
+def test_successful_operator_caches_release_at_next_call(
+    spark, sf_small, _clean_registry
+):
+    a, b = "_test_opcache_a", "_test_opcache_b"
+    _clean_registry.extend([a, b])
+
+    @register(a)
+    def _op_a(s, sf_dir):
+        return s.range(5).transform(opcache.op_cache)
+
+    @register(b)
+    def _op_b(s, sf_dir):
+        return s.range(3)
+
+    df = _REGISTRY[a].fn(spark, sf_small)
+    assert df.count() == 5
+    assert opcache.live_cache_count() == 1  # alive until the result is consumed
+    _REGISTRY[b].fn(spark, sf_small).count()
+    assert opcache.live_cache_count() == 0  # released at next operator start
+
+
+def test_release_is_thread_local(spark):
+    """Another thread calling release_op_caches() must NOT unpersist this
+    thread's tracked caches."""
+    df = spark.range(100).transform(opcache.op_cache)
+    df.count()
+    assert opcache.live_cache_count() == 1
+    try:
+        t = threading.Thread(target=opcache.release_op_caches)
+        t.start()
+        t.join()
+        assert opcache.live_cache_count() == 1, "cross-thread release happened"
+        assert df.storageLevel.useMemory, "cache was unpersisted cross-thread"
+    finally:
+        opcache.release_op_caches()
+    assert opcache.live_cache_count() == 0

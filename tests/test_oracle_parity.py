@@ -88,3 +88,13 @@ def test_driver_window_rotation():
     for n in window:
         if n in _DRIVER_CHECKED and n not in _EVENTS_RECHECK:
             assert len(pending) < 50
+    # Backlog bookkeeping pin (ADVICE r7 item 4): the hand-maintained
+    # rotation comments plan driver windows from this count — assert it so
+    # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
+    # caught by pytest, not by a mis-planned window. Update alongside
+    # TOTAL_OPERATORS each round: backlog = total - attested-green.
+    EXPECTED_BACKLOG = 127  # after r7's 50-ID window landed (321 attested)
+    assert len(pending) == EXPECTED_BACKLOG, (
+        f"rotation backlog {len(pending)} != planned {EXPECTED_BACKLOG}; "
+        "update _DRIVER_CHECKED (fold the new CORRECTNESS greens) and this pin"
+    )
