@@ -1,0 +1,120 @@
+"""ANN selectivity calibration on a CLUSTERED corpus (VERDICT r7 item 5).
+
+The shipped corpus is uniform random noise — the worst case for
+random-hyperplane LSH: true top-5 neighbors sit at cos ~ 0.33-0.45, so high
+recall inherently costs a large candidate fraction (BENCH corpus_fraction
+~ 0.47). That number demonstrates the bucketing is sound (never all-pairs)
+but cannot demonstrate the property that matters at 100 TB: on REAL
+clustered embeddings (neighbor cos >= ~0.8) the identical 32x12 mp2 config
+must prune to a few percent. Without a clustered fixture, a selectivity
+regression (e.g. a bucket-width bug that silently admits most of the
+corpus) is invisible — recall would stay high on the uniform corpus either
+way.
+
+This module builds a deterministic 10-Gaussian-cluster corpus in the
+engine's embeddings schema and measures sim_ann_lsh's recall@5 and
+candidate fraction against brute-force cosine truth on it.
+tests/test_ai.py asserts fraction <= 0.15 at recall@5 >= 0.95; bench.py
+records both next to the uniform-corpus numbers every round.
+"""
+
+from __future__ import annotations
+
+import os
+
+EMBEDDING_DIM = 64
+N_CLUSTERS = 10
+PER_CLUSTER = 200  # 2000 vectors: big enough that fraction is meaningful
+# Per-dimension isotropic noise sigma. Sibling cosine ~ 1/(1 + sigma^2 * dim):
+# 0.04 over 64 dims -> total noise norm ~ 0.32 vs unit centers -> cos ~ 0.90,
+# the "real clustered embeddings" regime the selectivity claim is about.
+NOISE_SCALE = 0.04
+SEED = 20260814
+
+
+def build_clustered_embeddings(path: str) -> None:
+    """Write ``{path}/embeddings.parquet`` with N_CLUSTERS Gaussian clusters
+    (unit centers, NOISE_SCALE isotropic noise). vec_id 0..9 are one member
+    of each cluster (the engine's probe rows are vec_id < 10), so every
+    probe's true neighbors are its cluster siblings. Deterministic: fixed
+    seed, fixed layout."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CLUSTERS, EMBEDDING_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate(
+        [
+            c + NOISE_SCALE * rng.standard_normal((PER_CLUSTER, EMBEDDING_DIM))
+            for c in centers
+        ]
+    ).astype("float32")
+    # probes: vec_id k (k<10) must belong to cluster k -> put one member of
+    # each cluster first, then the rest in cluster-major order
+    order = np.concatenate(
+        [
+            np.arange(N_CLUSTERS) * PER_CLUSTER,  # first member of each cluster
+            np.concatenate(
+                [
+                    np.arange(k * PER_CLUSTER + 1, (k + 1) * PER_CLUSTER)
+                    for k in range(N_CLUSTERS)
+                ]
+            ),
+        ]
+    )
+    vecs = vecs[order]
+    labels = np.repeat(np.arange(N_CLUSTERS, dtype="int32"), PER_CLUSTER)[order]
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(path, "embeddings.parquet"),
+    )
+
+
+def measure_lsh_on_clustered(spark, fixture_dir: str) -> dict[str, float]:
+    """recall@5 (vs brute-force cosine truth, numpy) and candidate fraction
+    of sim_ann_lsh on the clustered fixture. Builds the fixture if absent."""
+    import numpy as np
+
+    from ai_dataingestion_spark.ai.similarity import (
+        lsh_candidate_ids,
+        sim_ann_lsh,
+    )
+
+    if not os.path.exists(os.path.join(fixture_dir, "embeddings.parquet")):
+        build_clustered_embeddings(fixture_dir)
+
+    ann = sim_ann_lsh(spark, fixture_dir).toPandas()
+    cand = lsh_candidate_ids(spark, fixture_dir)
+    n_pairs = cand.count()
+    n_probes = cand.select("probe_id").distinct().count()
+    n_corpus = N_CLUSTERS * PER_CLUSTER
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(fixture_dir, "embeddings.parquet"))
+    V = np.stack(t["embedding"].to_pylist()).astype("float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    hits = 0
+    for p in range(N_CLUSTERS):
+        cos = Vn @ Vn[p]
+        cos[p] = -2.0  # exclude self, as the operator does
+        truth = set(np.argsort(-cos)[:5].tolist())
+        got = set(
+            ann[ann["probe_id"] == p]["neighbor_id"].astype(int).tolist()
+        )
+        hits += len(truth & got)
+    return {
+        "recall_at_5": round(hits / (N_CLUSTERS * 5), 4),
+        "corpus_fraction": round(n_pairs / max(n_probes * n_corpus, 1), 4),
+    }

@@ -292,15 +292,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .distinct()
-    )
+    # shared bounded pair generator (scale.py): unhinted/estimator-driven at
+    # provably-small corpus bytes (plan identical to the pre-helper one at
+    # bench SF), spillable sort-merge once the text-derived banded relation
+    # stops being provably tiny
+    from ai_dataingestion_spark.scale import ARRAY_TABLE_BYTES, bounded_self_join
+
+    cand = bounded_self_join(
+        banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
+        gate=ARRAY_TABLE_BYTES,
+    ).distinct()
 
     sh1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
@@ -438,39 +439,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured at the sfx1.0 sweep): hot chunk buckets blow up
     # quadratically — spillable sort-merge instead of an AQE-estimated
     # broadcast/non-spillable SHJ build, and the pair explosion goes
-    # through a wide exchange (AQE cannot coalesce an explicit
-    # repartition, so it is gated on corpus bytes) that the distinct
-    # reuses.
-    from ai_dataingestion_spark.scale import (
-        hint_merge_if_large,
-        wide_exchange_partitions,
-    )
+    # through a size-tiered wide exchange (AQE cannot coalesce an explicit
+    # repartition) that the distinct reuses. All via the shared bounded
+    # pair generator (scale.py; 1 MiB gate — signatures derive from text).
+    from ai_dataingestion_spark.scale import ARRAY_TABLE_BYTES, bounded_self_join
 
-    _gate = 1024 * 1024  # signatures derive from text: 1 MiB, not 64 MiB
-    pairs = (
-        chunked.alias("a")
-        .join(
-            hint_merge_if_large(chunked.alias("b"), sf_dir, "documents", _gate),
-            ["chunk_idx", "chunk_val"],
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-    )
-    # width tiers with table bytes instead of cliff-jumping to a fixed 256
-    # just above the gate (ADVICE r7; AQE can't coalesce an explicit
-    # repartition, so the width choice is ours to size)
-    _width = wide_exchange_partitions(spark, sf_dir, "documents", _gate)
-    if _width:
-        pairs = pairs.repartition(_width, "id1", "id2")
-    cand = pairs.distinct()
+    cand = bounded_self_join(
+        chunked, ["chunk_idx", "chunk_val"], "doc_id", sf_dir, "documents",
+        gate=ARRAY_TABLE_BYTES, spark=spark,
+    ).distinct()
     c1 = sig.select(F.col("doc_id").alias("id1"), F.col("chunks").alias("ch1"))
     c2 = sig.select(F.col("doc_id").alias("id2"), F.col("chunks").alias("ch2"))
     hamming = F.expr(
         "aggregate(zip_with(ch1, ch2, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"
     )
+    from ai_dataingestion_spark.scale import hint_merge_if_large
+
     return (
-        cand.join(hint_merge_if_large(c1, sf_dir, "documents", _gate), "id1")
-        .join(hint_merge_if_large(c2, sf_dir, "documents", _gate), "id2")
+        cand.join(
+            hint_merge_if_large(c1, sf_dir, "documents", ARRAY_TABLE_BYTES), "id1"
+        )
+        .join(
+            hint_merge_if_large(c2, sf_dir, "documents", ARRAY_TABLE_BYTES), "id2"
+        )
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= 3)
         .select("id1", "id2", "hamming")
@@ -559,11 +550,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count common rare shingles per pair; 3*I >= |A|+|B| is EXACTLY
     # J >= 0.5 when the DF cap doesn't bite, so almost all of the ~1.6M raw
     # candidate pairs die on integer counts before any array work
+    from ai_dataingestion_spark.scale import (
+        ARRAY_TABLE_BYTES,
+        bounded_self_join,
+        hint_array_side,
+    )
+
     cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        bounded_self_join(
+            rare, ["h"], "doc_id", sf_dir, "documents", gate=ARRAY_TABLE_BYTES
+        )
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     # prefilter on per-doc shingle COUNTS (ints) first; full shingle arrays
@@ -577,16 +574,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(3 * F.col("n_common") >= F.col("sz1") + F.col("sz2"))
         .select("id1", "id2")
     )
-    # shuffle_hash hints: the shingle-ARRAY relation must never broadcast —
-    # Catalyst's size estimate sees a narrow projection of the cached table
-    # and under-counts the arrays (measured at 10x sf0.1: a driver-OOM
-    # broadcast build). Array-carrying join sides get an explicit
-    # shuffle-hash strategy; the int-only joins above stay estimator-driven.
+    # hint_array_side (scale.py): the shingle-ARRAY relation must never be
+    # estimator-driven — Catalyst sizes a narrow projection of the cached
+    # table and under-counts the arrays (measured at 10x sf0.1: a
+    # driver-OOM broadcast build). Shuffle-hash while documents is provably
+    # tiny (bench plan unchanged), spillable sort-merge once it is not
+    # (SHJ builds can't spill — the sfx1.0 can't-acquire class).
     s1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     survivors = (
-        prefiltered.join(s1.hint("shuffle_hash"), "id1")
-        .join(s2.hint("shuffle_hash"), "id2")
+        prefiltered.join(hint_array_side(s1, sf_dir, "documents"), "id1")
+        .join(hint_array_side(s2, sf_dir, "documents"), "id2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -665,11 +663,13 @@ def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = fp.select("doc_id", F.explode("fingerprint").alias("h"))
     rare_h = inv.groupBy("h").count().filter(F.col("count") <= _FP_DF_CAP).select("h")
     rare = inv.join(rare_h, "h")
+    from ai_dataingestion_spark.scale import ARRAY_TABLE_BYTES, bounded_self_join
+
     return (
-        rare.alias("a")
-        .join(rare.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        bounded_self_join(
+            rare, ["h"], "doc_id", sf_dir, "documents", gate=ARRAY_TABLE_BYTES
+        )
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _FP_MIN_SHARED)
     )
@@ -744,14 +744,20 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     inv = shingle_rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
     rare = _rare_shingle_index(inv, cap=50, small_corpus=_small_corpus(sf_dir))
+    from ai_dataingestion_spark.scale import (
+        ARRAY_TABLE_BYTES,
+        bounded_self_join,
+        hint_array_side,
+    )
+
+    # ordered=False: containment roles are asymmetric (small-in-big), so
+    # both pair directions are emitted and the containment filter decides
     cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), "h")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("small_id"),
-            F.col("b.doc_id").alias("big_id"),
+        bounded_self_join(
+            rare, ["h"], "doc_id", sf_dir, "documents",
+            gate=ARRAY_TABLE_BYTES, out=("small_id", "big_id"), ordered=False,
         )
+        .groupBy("small_id", "big_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
@@ -765,8 +771,8 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("sh1", "sh2")).cast("double") / F.size("sh1")
     )
     return (
-        prefiltered.join(s1.hint("shuffle_hash"), "small_id")
-        .join(s2.hint("shuffle_hash"), "big_id")
+        prefiltered.join(hint_array_side(s1, sf_dir, "documents"), "small_id")
+        .join(hint_array_side(s2, sf_dir, "documents"), "big_id")
         .withColumn("containment", containment)
         .filter(F.col("containment") >= 0.8)
         .select("small_id", "big_id", "containment")

@@ -395,18 +395,20 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel at 100 TB: shuffle on orderkey, quadratic only within an order."""
     t = Tables(spark, sf_dir)
     op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part2"))
-    # merge (sort-merge): BOTH sides are corpus-sized, so a broadcast here
-    # is never right — yet AQE's compressed-shuffle-bytes estimate can
-    # sneak a 60M-row distinct under the 64MB threshold and build a
-    # multi-GB heap hash relation (measured OOM at the sfx1.0 sweep); and
-    # shuffled-hash's per-partition build is non-spillable (measured
-    # can't-acquire at sfx1.0). Sort-merge spills at every stage — the one
-    # strategy safe at any scale.
+    # shared bounded pair generator (scale.py): BOTH sides are corpus-sized,
+    # so a broadcast here is never right — yet AQE's compressed-bytes
+    # estimate can sneak a 60M-row distinct under the 64MB threshold and
+    # build a multi-GB heap hash relation (measured OOM at the sfx1.0
+    # sweep); and shuffled-hash's per-partition build is non-spillable
+    # (measured can't-acquire at sfx1.0). The helper hints spillable
+    # sort-merge once lineitem is no longer provably small.
+    from ai_dataingestion_spark.scale import bounded_self_join
+
     return (
-        a.join(hint_merge_if_large(b, sf_dir, "lineitem"), "ok")
-        .filter(F.col("part1") < F.col("part2"))
+        bounded_self_join(
+            op, ["l_orderkey"], "l_partkey", sf_dir, "lineitem",
+            out=("part1", "part2"),
+        )
         .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.opcache import op_cache
-from ai_dataingestion_spark.scale import broadcast_if_small, hint_merge_if_large
+from ai_dataingestion_spark.scale import (
+    bounded_self_join,
+    broadcast_if_small,
+    hint_merge_if_large,
+)
 from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.ai.dedup import (
@@ -3430,12 +3434,9 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bb.bucket").alias("bucket"),
         )
         n_cand = (
-            banded.alias("a")
-            .join(banded.alias("b"), ["band", "bucket"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("id1"),
-                F.col("b.doc_id").alias("id2"),
+            bounded_self_join(
+                banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
+                gate=_ARRAY_MERGE_LIMIT,
             )
             .distinct()
             .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
@@ -3990,16 +3991,10 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            hint_merge_if_large(banded.alias("b"), sf_dir, "documents", _ARRAY_MERGE_LIMIT),
-            ["band", "bucket"],
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
+    cand = bounded_self_join(
+        banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
+        gate=_ARRAY_MERGE_LIMIT,
+    ).distinct()
     sh1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")

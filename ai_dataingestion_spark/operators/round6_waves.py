@@ -1840,13 +1840,12 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
+    from ai_dataingestion_spark.scale import ARRAY_TABLE_BYTES, bounded_self_join
+
+    cand = bounded_self_join(
+        banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
+        gate=ARRAY_TABLE_BYTES,
+    ).distinct()
     sh1 = docs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")

@@ -101,6 +101,11 @@ HEADLINE = (
     # sf0.1) and the tombstone CDC apply join the suite.
     "fn_global_row_index_scalable",
     "pipeline_cdc_apply_deletes",
+    # round-8 (VERDICT r7 item 6): the remaining wave-58 heavies join —
+    # the closed-form weighted systematic sampler and the Arrow-batched
+    # image-resize plumbing kernel.
+    "sample_weighted_systematic",
+    "multimodal_image_resize_pool",
 )
 
 N_RUNS = 3
@@ -201,6 +206,17 @@ def main() -> None:
 
     recall = _recall_at_5(spark, qs)
     lsh_stats = _lsh_candidate_stats(spark)
+    # Selectivity on CLUSTERED data (VERDICT r7 item 5): the uniform corpus
+    # can't show sublinear candidate generation, so the deterministic
+    # 10-cluster fixture is measured every round — a silent selectivity
+    # regression shows up here as fraction drift.
+    from ai_dataingestion_spark.ai.ann_calibration import (
+        measure_lsh_on_clustered,
+    )
+
+    lsh_clustered = measure_lsh_on_clustered(
+        spark, "/tmp/spark_graft_ann_clustered"
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -212,6 +228,7 @@ def main() -> None:
                 "queries": results,
                 "recall_at_5": recall,
                 "lsh_candidates": lsh_stats,
+                "lsh_clustered": lsh_clustered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
