@@ -4642,9 +4642,15 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_winsorized_stats",
     oracle="""
 WITH cuts AS (
+  -- DISC percentiles: the cuts must be actual data values, not
+  -- interpolations — at sfx1.0 the interpolated cut lands INSIDE a tie
+  -- run and the engines' last-ulp interpolation differences flip the
+  -- hard value<p05 comparison for the whole tie group (measured: a
+  -- 50-row n_clamped drift). percentile_disc/quantile_disc agree
+  -- bit-exactly cross-engine (win_percentile_disc_vs_cont).
   SELECT event_type,
-         CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p05,
-         CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95
+         CAST(quantile_disc(value, 0.05) AS DOUBLE) AS p05,
+         CAST(quantile_disc(value, 0.95) AS DOUBLE) AS p95
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
@@ -4664,7 +4670,8 @@ def events_value_winsorized_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Winsorized mean per event type: values clamped to [p05, p95]
-    before averaging — the robust-stats answer to 'one whale event
+    (DISC percentiles — actual data values, so the clamp boundary is
+    tie-stable cross-engine at any scale) before averaging — the robust-stats answer to 'one whale event
     wrecked the average' that a trimmed count can't give (n is
     preserved). The corpus value column carries exactly 2 decimals, so
     the DECIMAL(20,6) accumulation is EXACT (order-independent) and
@@ -4673,10 +4680,10 @@ def events_value_winsorized_stats(
     passes over events, no window."""
     e = Tables(spark, sf_dir).events
     cuts = e.groupBy("event_type").agg(
-        F.expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)").alias(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias(
             "p05"
         ),
-        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").alias(
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
             "p95"
         ),
     )
@@ -7194,18 +7201,25 @@ h2 AS (
              * CAST(o_totalprice AS DECIMAL(19, 2))) AS s2
   FROM orders WHERE o_orderkey % 2 = 1
 )
-SELECT w.n AS n_rows,
-       floor((CAST(w.s2 AS DOUBLE) - CAST(w.s AS DOUBLE)
-              * CAST(w.s AS DOUBLE) / w.n) / (w.n - 1) * 1000000 + 0.5)
-         / 1000000 AS variance_whole,
-       floor((CAST(h1.s2 + h2.s2 AS DOUBLE) - CAST(h1.s + h2.s AS DOUBLE)
-              * CAST(h1.s + h2.s AS DOUBLE) / (h1.n + h2.n))
-             / (h1.n + h2.n - 1) * 1000000 + 0.5) / 1000000
-         AS variance_merged,
-       CAST(CASE WHEN w.n = h1.n + h2.n AND w.s = h1.s + h2.s
-                  AND w.s2 = h1.s2 + h2.s2
-                 THEN 0 ELSE 1 END AS INT) AS merge_mismatch
-FROM whole w CROSS JOIN h1 CROSS JOIN h2
+, vars AS (
+  SELECT w.n AS n_rows,
+         (CAST(w.s2 AS DOUBLE) - CAST(w.s AS DOUBLE)
+          * CAST(w.s AS DOUBLE) / w.n) / (w.n - 1) AS vw,
+         (CAST(h1.s2 + h2.s2 AS DOUBLE) - CAST(h1.s + h2.s AS DOUBLE)
+          * CAST(h1.s + h2.s AS DOUBLE) / (h1.n + h2.n))
+         / (h1.n + h2.n - 1) AS vm,
+         CAST(CASE WHEN w.n = h1.n + h2.n AND w.s = h1.s + h2.s
+                    AND w.s2 = h1.s2 + h2.s2
+                   THEN 0 ELSE 1 END AS INT) AS merge_mismatch
+  FROM whole w CROSS JOIN h1 CROSS JOIN h2
+)
+SELECT n_rows,
+       round(vw / pow(10, floor(log10(abs(vw)))), 6) AS variance_whole_mant,
+       CAST(floor(log10(abs(vw))) AS INT) AS variance_whole_exp10,
+       round(vm / pow(10, floor(log10(abs(vm)))), 6) AS variance_merged_mant,
+       CAST(floor(log10(abs(vm))) AS INT) AS variance_merged_exp10,
+       merge_mismatch
+FROM vars
 """,
 )
 def agg_partial_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7249,10 +7263,26 @@ def agg_partial_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("w_s2") == ms2),
         0,
     ).otherwise(1)
+
+    # Variance is emitted as (6-dp mantissa, power-of-ten exponent), i.e.
+    # RELATIVE precision, not absolute decimals: at sfx1.0 the Σx² decimal
+    # state is ~4.5e20 and the two engines' int128->double casts may differ
+    # by 1 ulp (~1.4e-16 relative), which at variance magnitude ~2e10 is a
+    # legitimate 1e-5 ABSOLUTE difference — the old fixed 6-decimal
+    # rounding asserted precision finer than the double format carries at
+    # that magnitude (measured mismatch at the sfx1.0 sweep). Mantissa at
+    # 6 dp = 1e-6 relative tolerance, valid at every scale.
+    def mant_exp(var, name: str):
+        mag = F.floor(F.log10(F.abs(var)))
+        return [
+            F.round(var / F.pow(F.lit(10.0), mag), 6).alias(f"{name}_mant"),
+            mag.cast("int").alias(f"{name}_exp10"),
+        ]
+
     return j.select(
         F.col("w_n").alias("n_rows"),
-        _pround(var_whole).alias("variance_whole"),
-        _pround(var_merged).alias("variance_merged"),
+        *mant_exp(var_whole, "variance_whole"),
+        *mant_exp(var_merged, "variance_merged"),
         mismatch.cast("int").alias("merge_mismatch"),
     )
 

@@ -5726,7 +5726,14 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based (``bitmap_bit_position(x) = (x-1) % 32768``), so a 0 key
     collides with another key's slot — measured as an off-by-one distinct
     count (189 vs 190) before the shift; +1 is bijective so counts are
-    unaffected. Oracle: DuckDB's plain count(DISTINCT)."""
+    unaffected. The per-month total is the SUM of per-bucket
+    ``bitmap_count``s, never ``bitmap_or_agg`` across buckets: bit
+    position only identifies a key WITHIN its 32768-wide bucket, so
+    OR-merging different buckets' bitmaps collapses distinct keys that
+    share a position — invisible while max(key) < 32768 (one bucket,
+    every SF <= 0.1) and measured as a 14343-vs-17910 undercount the
+    moment the sfx1.0 corpus's offset keys spanned buckets.
+    Oracle: DuckDB's plain count(DISTINCT)."""
     t = Tables(spark, sf_dir)
     per_bucket = (
         t.orders.select(
@@ -5738,7 +5745,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
     )
     return per_bucket.groupBy("month").agg(
-        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_cust")
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_cust")
     )
 
 

@@ -810,10 +810,18 @@ WITH arms AS (
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
   FROM events GROUP BY user_id),
 post AS (
+  -- all-DOUBLE posterior arithmetic: a bare 1.0 literal is DECIMAL in
+  -- both engines, and Spark's decimal-division scale rules truncate the
+  -- Beta variance (~1.8e-8 at sfx1.0, where every user converts) to a
+  -- hard 0.000000 at scale 6 -> sqrt(0) -> ANSI DIVIDE_BY_ZERO; doubles
+  -- also keep the (1+c)(1+n-c) numerator from overflowing BIGINT at
+  -- lake-scale n. Measured at the round-8 sfx1.0 full-surface sweep.
   SELECT arm, count(*) AS n, sum(conv) AS conv,
-         (1.0 + sum(conv)) / (2.0 + count(*)) AS pmean,
-         ((1.0 + sum(conv)) * (1.0 + count(*) - sum(conv)))
-           / ((2.0 + count(*)) * (2.0 + count(*)) * (3.0 + count(*)))
+         (CAST(1 AS DOUBLE) + sum(conv)) / (2 + count(*)) AS pmean,
+         ((CAST(1 AS DOUBLE) + sum(conv))
+          * (CAST(1 AS DOUBLE) + count(*) - sum(conv)))
+           / ((2 + count(*)) * CAST(2 + count(*) AS DOUBLE)
+              * (3 + count(*)))
            AS pvar
   FROM arms GROUP BY arm),
 pair AS (
