@@ -20,9 +20,11 @@ records both next to the uniform-corpus numbers every round.
 
 from __future__ import annotations
 
+import json
 import os
 
-EMBEDDING_DIM = 64
+from ai_dataingestion_spark.registry import EMBEDDING_DIM
+
 N_CLUSTERS = 10
 PER_CLUSTER = 200  # 2000 vectors: big enough that fraction is meaningful
 # Per-dimension isotropic noise sigma. Sibling cosine ~ 1/(1 + sigma^2 * dim):
@@ -32,12 +34,25 @@ NOISE_SCALE = 0.04
 SEED = 20260814
 
 
+def _fixture_params() -> dict:
+    return {
+        "dim": EMBEDDING_DIM,
+        "clusters": N_CLUSTERS,
+        "per_cluster": PER_CLUSTER,
+        "noise": NOISE_SCALE,
+        "seed": SEED,
+    }
+
+
 def build_clustered_embeddings(path: str) -> None:
     """Write ``{path}/embeddings.parquet`` with N_CLUSTERS Gaussian clusters
     (unit centers, NOISE_SCALE isotropic noise). vec_id 0..9 are one member
     of each cluster (the engine's probe rows are vec_id < 10), so every
     probe's true neighbors are its cluster siblings. Deterministic: fixed
-    seed, fixed layout."""
+    seed, fixed layout. A params sidecar is written so a cached fixture is
+    rebuilt when any generation parameter changes (bench reuses a fixed
+    path across rounds; measuring a stale fixture would silently decouple
+    the recorded drift numbers from the code)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -67,6 +82,8 @@ def build_clustered_embeddings(path: str) -> None:
     vecs = vecs[order]
     labels = np.repeat(np.arange(N_CLUSTERS, dtype="int32"), PER_CLUSTER)[order]
     os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "fixture_params.json"), "w") as f:
+        json.dump(_fixture_params(), f)
     pq.write_table(
         pa.table(
             {
@@ -91,9 +108,19 @@ def measure_lsh_on_clustered(spark, fixture_dir: str) -> dict[str, float]:
         sim_ann_lsh,
     )
 
-    if not os.path.exists(os.path.join(fixture_dir, "embeddings.parquet")):
+    params_path = os.path.join(fixture_dir, "fixture_params.json")
+    stale = True
+    if os.path.exists(os.path.join(fixture_dir, "embeddings.parquet")):
+        try:
+            with open(params_path) as f:
+                stale = json.load(f) != _fixture_params()
+        except (OSError, ValueError):
+            stale = True
+    if stale:
         build_clustered_embeddings(fixture_dir)
 
+    # note: sim_ann_lsh internally regenerates the candidate set this also
+    # counts — acceptable double work at the 2000-row fixture size
     ann = sim_ann_lsh(spark, fixture_dir).toPandas()
     cand = lsh_candidate_ids(spark, fixture_dir)
     n_pairs = cand.count()

@@ -18,16 +18,19 @@ been collected (the driver, bench, and tests all consume sequentially) — and
 again (via the catalog's except path) when an operator RAISES, since a
 raising operator returns no DataFrame anyone could still consume.
 
-The tracked list is keyed by thread ident (ADVICE r7): a threaded bench or
-parallel pytest runs each operator on its own thread, and a process-global
-list would let thread A's release_op_caches() unpersist thread B's live
-intermediates mid-build — silent recompute at best, and for the two
-partition-assignment-consistency operators (fn_global_row_index_scalable,
-sample_weighted_systematic) a correctness hazard, because Spark does not
-guarantee repartitionByRange resamples identically on recompute. Thread
-keying makes cross-thread release impossible; within one thread, the
-sequential build-then-consume contract holds for every harness we ship
-(driver loop, bench.py min-of-3, pytest parametrize).
+Entries are tagged with the CREATING Thread object (ADVICE r7): a threaded
+bench or parallel pytest runs each operator on its own thread, and an
+untagged global list would let thread A's release_op_caches() unpersist
+thread B's live intermediates mid-build — silent recompute at best, and for
+the two partition-assignment-consistency operators
+(fn_global_row_index_scalable, sample_weighted_systematic) a correctness
+hazard, because Spark does not guarantee repartitionByRange resamples
+identically on recompute. A release call frees the CALLING thread's entries
+plus any entry whose creating thread has exited (its operator can no longer
+be mid-build, and without this drain a thread-per-operator harness would
+reintroduce the very leak this module fixes). Thread OBJECTS, not idents,
+are the tag: CPython recycles idents after thread exit, which would
+misattribute a dead thread's entries to a new worker.
 """
 
 from __future__ import annotations
@@ -36,28 +39,30 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_LIVE: dict[int, list[DataFrame]] = {}
+_LIVE: list[tuple[threading.Thread, DataFrame]] = []
 _LOCK = threading.Lock()
 
 
 def op_cache(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default) and track it for release
-    when the next operator starts on THIS thread. Use as
-    ``.transform(op_cache)``."""
+    when the next operator starts on this thread (or, if this thread exits
+    first, at any later release call). Use as ``.transform(op_cache)``."""
     out = df.persist()
     with _LOCK:
-        _LIVE.setdefault(threading.get_ident(), []).append(out)
+        _LIVE.append((threading.current_thread(), out))
     return out
 
 
 def release_op_caches() -> None:
     """Unpersist every cache tracked by previous operator invocations on the
-    CALLING thread (other threads' live intermediates are never touched).
-    Safe against stopped sessions (best-effort)."""
+    CALLING thread, plus entries of threads that have exited (a live other
+    thread's intermediates are never touched). Safe against stopped
+    sessions (best-effort)."""
+    me = threading.current_thread()
     with _LOCK:
-        mine = _LIVE.pop(threading.get_ident(), [])
-    while mine:
-        df = mine.pop()
+        mine = [df for t, df in _LIVE if t is me or not t.is_alive()]
+        _LIVE[:] = [(t, df) for t, df in _LIVE if t is not me and t.is_alive()]
+    for df in mine:
         try:
             df.unpersist(blocking=True)
         except Exception:
@@ -65,7 +70,9 @@ def release_op_caches() -> None:
 
 
 def live_cache_count() -> int:
-    """Diagnostic: tracked-but-unreleased caches on the calling thread
-    (tests assert 0 after a raising operator)."""
+    """Diagnostic: tracked-but-unreleased caches attributed to the calling
+    thread — including dead-thread entries it would drain (tests assert 0
+    after a raising operator)."""
+    me = threading.current_thread()
     with _LOCK:
-        return len(_LIVE.get(threading.get_ident(), ()))
+        return sum(1 for t, _ in _LIVE if t is me or not t.is_alive())

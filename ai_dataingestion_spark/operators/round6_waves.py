@@ -4614,13 +4614,25 @@ seas AS (
   SELECT month_num, count(*) AS n_obs, avg(d) AS s
   FROM det GROUP BY month_num
 )
+, rem AS (
+  SELECT seas.month_num, seas.n_obs, seas.s,
+         (SELECT avg(abs(det.d - seas.s)) FROM det
+          WHERE det.month_num = seas.month_num) AS mar
+  FROM seas
+)
 SELECT month_num,
        CAST(n_obs AS BIGINT) AS n_obs,
-       round(s, 6) AS seasonal_index,
-       round((SELECT avg(abs(det.d - seas.s)) FROM det
-              WHERE det.month_num = seas.month_num), 6)
-         AS mean_abs_remainder
-FROM seas
+       CASE WHEN s = 0 THEN 0.0
+            ELSE round(s / pow(10, floor(log10(abs(s)))), 6)
+       END AS seasonal_mant,
+       CAST(CASE WHEN s = 0 THEN 0
+                 ELSE floor(log10(abs(s))) END AS INT) AS seasonal_exp10,
+       CASE WHEN mar = 0 THEN 0.0
+            ELSE round(mar / pow(10, floor(log10(abs(mar)))), 6)
+       END AS remainder_mant,
+       CAST(CASE WHEN mar = 0 THEN 0
+                 ELSE floor(log10(abs(mar))) END AS INT) AS remainder_exp10
+FROM rem
 """,
 )
 def orders_seasonal_decomposition_additive(
@@ -4665,11 +4677,31 @@ def orders_seasonal_decomposition_additive(
             F.avg(F.abs(F.col("d") - F.col("s"))).alias("mar")
         )
     )
+
+    # relative (6-sig-digit mantissa + exponent) emission, not absolute
+    # decimals: revenue magnitudes scale with the corpus, and at sfx1.0 the
+    # ~1e8-magnitude remainder average sits within double's summation-order
+    # noise of a fixed 6-dp rounding boundary (measured 1-ulp flip at the
+    # round-8 sweep); the mantissa form is scale-invariant
+    def _me(col, name):
+        # zero-guard: the seasonal index is zero-centered, and an exact 0.0
+        # hits log10(0) — NULL in Spark, -inf (then a cast error) in DuckDB;
+        # emit (0, 0) deterministically on both sides instead
+        mag = F.floor(F.log10(F.abs(col)))
+        return [
+            F.when(col == 0, F.lit(0.0))
+            .otherwise(F.round(col / F.pow(F.lit(10.0), mag), 6))
+            .alias(f"{name}_mant"),
+            F.when(col == 0, F.lit(0))
+            .otherwise(mag.cast("int"))
+            .alias(f"{name}_exp10"),
+        ]
+
     return seas.join(rem, "month_num").select(
         "month_num",
         "n_obs",
-        F.round("s", 6).alias("seasonal_index"),
-        F.round("mar", 6).alias("mean_abs_remainder"),
+        *_me(F.col("s"), "seasonal"),
+        *_me(F.col("mar"), "remainder"),
     )
 
 
@@ -5717,8 +5749,8 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap_* functions, SPARK-44189): customers per order-month. Keys are
     bucketed into 32768-bit ranges (``bitmap_bucket_number``), each
     (month, bucket) group ORs its bit positions into a <=4 KB binary bitmap
-    map-side, and the final per-month count is ``bitmap_count`` over the
-    OR-merge of bucket bitmaps. Both aggregation levels are
+    map-side, and the final per-month count SUMS the per-bucket
+    ``bitmap_count``s. Both aggregation levels are
     partial-aggregable, so the shuffle carries fixed-size bitmaps instead
     of raw keys — the exact-distinct answer with HLL-like movement cost
     (vs count(DISTINCT) whose expand-shuffle moves every key occurrence).

@@ -96,7 +96,10 @@ def wide_exchange_partitions(
     bytes_ = table_bytes(sf_dir, table, cap=2048 * gate)
     if bytes_ < gate:
         return 0
-    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" on managed platforms
+        base = 200
     width = base
     ratio = bytes_ // gate
     while ratio >= 1 and width < 2048:

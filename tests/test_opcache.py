@@ -65,6 +65,21 @@ def test_successful_operator_caches_release_at_next_call(
     assert opcache.live_cache_count() == 0  # released at next operator start
 
 
+def test_dead_thread_caches_are_drained(spark):
+    """A thread-per-operator harness must not leak: caches created by an
+    exited thread are released by ANY later release call (and ident reuse
+    cannot misattribute them — entries are tagged with Thread objects)."""
+    def worker():
+        spark.range(50).transform(opcache.op_cache).count()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert opcache.live_cache_count() == 1  # dead-thread entry, drainable
+    opcache.release_op_caches()
+    assert opcache.live_cache_count() == 0
+
+
 def test_release_is_thread_local(spark):
     """Another thread calling release_op_caches() must NOT unpersist this
     thread's tracked caches."""
