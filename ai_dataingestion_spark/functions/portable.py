@@ -1,0 +1,50 @@
+"""Portable cross-engine numeric emission helpers.
+
+The driver hash-compares Spark output against a DuckDB oracle, so any
+emitted float must round identically on both engines. Two layers exist:
+
+- ``floor(x * 10^dp + 0.5) / 10^dp`` (the per-module ``_pround`` closures)
+  — ABSOLUTE decimal rounding, right for values whose magnitude is bounded
+  by the domain (ratios, probabilities, per-row prices).
+- ``mant_exp_cols`` below — RELATIVE (significant-digit) emission as a
+  (mantissa, power-of-ten exponent) column pair, required for values whose
+  magnitude GROWS with the corpus (revenue sums, variances of sums): at
+  sfx1.0 a ~2e10 variance carries legitimate ~1e-5 absolute cross-engine
+  noise from int128->double decimal casts, so 6 absolute decimals asserts
+  precision the double format does not hold at that magnitude. Measured at
+  the round-8 full-surface sfx1.0 sweep (agg_partial_merge_proof,
+  orders_seasonal_decomposition_additive).
+
+Exact zero is emitted as (0.0, 0): log10(0) is NULL in Spark but -inf
+(then a cast error) in DuckDB — a deterministic divergence without the
+guard. Known residual: a value within ~1 ulp of an exact power of ten can
+flip floor(log10) between engines, shifting the pair by a decade; inputs
+are data-fixed so this is a per-corpus constant, not a flake, and the
+probability per emitted value is ~1e-15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def mant_exp_cols(col: Column, name: str, dp: int = 6) -> list[Column]:
+    """``[<name>_mant, <name>_exp10]`` — value as a ``dp``-decimal mantissa
+    in [1, 10) (sign carried by the mantissa) plus an int power-of-ten
+    exponent. The DuckDB oracle side must emit the same shape:
+
+        CASE WHEN x = 0 THEN 0.0
+             ELSE round(x / pow(10, floor(log10(abs(x)))), {dp}) END
+          AS {name}_mant,
+        CAST(CASE WHEN x = 0 THEN 0
+                  ELSE floor(log10(abs(x))) END AS INT) AS {name}_exp10
+    """
+    mag = F.floor(F.log10(F.abs(col)))
+    return [
+        F.when(col == 0, F.lit(0.0))
+        .otherwise(F.round(col / F.pow(F.lit(10.0), mag), dp))
+        .alias(f"{name}_mant"),
+        F.when(col == 0, F.lit(0))
+        .otherwise(mag.cast("int"))
+        .alias(f"{name}_exp10"),
+    ]

@@ -7264,25 +7264,17 @@ def agg_partial_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).otherwise(1)
 
-    # Variance is emitted as (6-dp mantissa, power-of-ten exponent), i.e.
-    # RELATIVE precision, not absolute decimals: at sfx1.0 the Σx² decimal
-    # state is ~4.5e20 and the two engines' int128->double casts may differ
-    # by 1 ulp (~1.4e-16 relative), which at variance magnitude ~2e10 is a
-    # legitimate 1e-5 ABSOLUTE difference — the old fixed 6-decimal
-    # rounding asserted precision finer than the double format carries at
-    # that magnitude (measured mismatch at the sfx1.0 sweep). Mantissa at
-    # 6 dp = 1e-6 relative tolerance, valid at every scale.
-    def mant_exp(var, name: str):
-        mag = F.floor(F.log10(F.abs(var)))
-        return [
-            F.round(var / F.pow(F.lit(10.0), mag), 6).alias(f"{name}_mant"),
-            mag.cast("int").alias(f"{name}_exp10"),
-        ]
+    # RELATIVE (mantissa/exponent) emission, not absolute decimals: at
+    # sfx1.0 the Σx² decimal state is ~4.5e20 and the engines'
+    # int128->double casts may differ by 1 ulp, a legitimate ~1e-5
+    # ABSOLUTE difference at variance magnitude ~2e10 (measured at the
+    # sfx1.0 sweep) — see functions/portable.py.
+    from ai_dataingestion_spark.functions.portable import mant_exp_cols
 
     return j.select(
         F.col("w_n").alias("n_rows"),
-        *mant_exp(var_whole, "variance_whole"),
-        *mant_exp(var_merged, "variance_merged"),
+        *mant_exp_cols(var_whole, "variance_whole"),
+        *mant_exp_cols(var_merged, "variance_merged"),
         mismatch.cast("int").alias("merge_mismatch"),
     )
 

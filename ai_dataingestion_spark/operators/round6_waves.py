@@ -4678,30 +4678,18 @@ def orders_seasonal_decomposition_additive(
         )
     )
 
-    # relative (6-sig-digit mantissa + exponent) emission, not absolute
-    # decimals: revenue magnitudes scale with the corpus, and at sfx1.0 the
-    # ~1e8-magnitude remainder average sits within double's summation-order
-    # noise of a fixed 6-dp rounding boundary (measured 1-ulp flip at the
-    # round-8 sweep); the mantissa form is scale-invariant
-    def _me(col, name):
-        # zero-guard: the seasonal index is zero-centered, and an exact 0.0
-        # hits log10(0) — NULL in Spark, -inf (then a cast error) in DuckDB;
-        # emit (0, 0) deterministically on both sides instead
-        mag = F.floor(F.log10(F.abs(col)))
-        return [
-            F.when(col == 0, F.lit(0.0))
-            .otherwise(F.round(col / F.pow(F.lit(10.0), mag), 6))
-            .alias(f"{name}_mant"),
-            F.when(col == 0, F.lit(0))
-            .otherwise(mag.cast("int"))
-            .alias(f"{name}_exp10"),
-        ]
+    # relative (mantissa/exponent) emission — revenue magnitudes scale with
+    # the corpus, and at sfx1.0 the ~1e8 remainder average sits within
+    # double's summation-order noise of a fixed 6-dp rounding boundary
+    # (measured at the round-8 sweep); zero-guarded because the seasonal
+    # index is zero-centered. See functions/portable.py.
+    from ai_dataingestion_spark.functions.portable import mant_exp_cols
 
     return seas.join(rem, "month_num").select(
         "month_num",
         "n_obs",
-        *_me(F.col("s"), "seasonal"),
-        *_me(F.col("mar"), "remainder"),
+        *mant_exp_cols(F.col("s"), "seasonal"),
+        *mant_exp_cols(F.col("mar"), "remainder"),
     )
 
 

@@ -1065,12 +1065,18 @@ def test_recursive_cte_step_is_hash_join(spark, sf_small):
 
 
 def test_bitmap_distinct_is_two_level_partial(spark, sf_small):
-    """agg_bitmap_exact_distinct: both bitmap levels must plan partial
+    """agg_bitmap_exact_distinct: the bitmap-build level must plan partial
     (map-side) aggregation — the shuffle carries <=4 KB bitmaps, not raw
-    keys — and no distinct-Expand node may appear."""
+    keys — the roll-up must SUM per-bucket bitmap_counts (never
+    bitmap_or_agg ACROSS buckets, which collapses distinct keys sharing a
+    bit position — the sfx1.0 defect fixed in r8), and no distinct-Expand
+    node may appear."""
     plan = _executed_plan(spark, "agg_bitmap_exact_distinct", sf_small)
     assert "partial_bitmap_construct_agg" in plan
-    assert "partial_bitmap_or_agg" in plan
+    assert "bitmap_or_agg" not in plan
+    # bitmap_count compiles to a static_invoke of BitmapExpressionUtils
+    # inside the roll-up sum
+    assert "sum(static_invoke(BitmapExpressionUt" in plan
     assert "Expand" not in plan
 
 
