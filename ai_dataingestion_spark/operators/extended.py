@@ -161,8 +161,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens at query time. This is the repeated-join strategy at 100 TB:
     pay the partitioning once at ingest, amortize over every later join."""
     t = Tables(spark, sf_dir)
-    # stable per-sf table names; first call pays the bucketed write
-    suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    # stable per-corpus table names; first call pays the bucketed write.
+    # Sanitized leaf + path hash, not sf-number parsing: corpus dirs that
+    # don't match the sf* naming (the skew fixture, scratch tiers) would
+    # otherwise leak '/' into the table identifier (ParseException), and
+    # two dirs with the same leaf must not share stale bucket data.
+    import hashlib
+    import os
+    import re
+
+    leaf = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    suffix = f"{leaf}_{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:6]}"
     li_tab, o_tab = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
     for tab, df, key in ((li_tab, t.lineitem, "l_orderkey"), (o_tab, t.orders, "o_orderkey")):
         if not spark.catalog.tableExists(tab):
