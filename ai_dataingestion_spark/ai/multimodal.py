@@ -92,15 +92,20 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     import hashlib
 
     for pdf in batches:
-        decoded = pdf["payload"].map(_decode_payload)
+        # na_action="ignore" propagates a NULL payload (missing media blob)
+        # as NULL features — the oracle's strlen/sha256(NULL) semantics —
+        # instead of crashing the worker; Int64 keeps the length nullable.
+        decoded = pdf["payload"].map(_decode_payload, na_action="ignore")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "mime": pdf["meta"].map(lambda m: m["mime"]),
-                "n_bytes": decoded.map(len).astype("int64"),
-                "head_hex": decoded.map(lambda b: b[:8].hex()),
+                "n_bytes": decoded.map(len, na_action="ignore").astype("Int64"),
+                "head_hex": decoded.map(
+                    lambda b: b[:8].hex(), na_action="ignore"
+                ),
                 "payload_sha": decoded.map(
-                    lambda b: hashlib.sha256(b).hexdigest()
+                    lambda b: hashlib.sha256(b).hexdigest(), na_action="ignore"
                 ),
             }
         )

@@ -21,6 +21,16 @@ from ai_dataingestion_spark.registry import EMBEDDING_DIM, Tables
 _SQ_NORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
 
+def _vectors(e):
+    """Exclude rows with a NULL embedding from vector kernels — the
+    null-tier contract, stated identically (embedding IS NOT NULL) in every
+    oracle that feeds a kernel: a missing vector has no geometry, so it can
+    be neither normalized, bucketed, nor ranked, and np.stack over an Arrow
+    batch containing None is a hard crash. Null LABELS stay in: both engines
+    group NULL keys together."""
+    return e.where(F.col("embedding").isNotNull())
+
+
 def _dot(a, b):
     """Σ a_i * b_i with double widening, left-to-right."""
     return F.aggregate(
@@ -102,8 +112,8 @@ def _probe_matrix(spark: SparkSession, sf_dir: str):
     key = (sf_dir.rstrip("/"), _embeddings_mtime(sf_dir))
     if key not in _probe_cache:
         rows = sorted(
-            Tables(spark, sf_dir)
-            .embeddings.filter(F.col("vec_id") < 10)
+            _vectors(Tables(spark, sf_dir).embeddings)
+            .filter(F.col("vec_id") < 10)
             .select("vec_id", "embedding")
             .collect(),
             key=lambda r: r.vec_id,
@@ -121,7 +131,8 @@ def _probe_matrix(spark: SparkSession, sf_dir: str):
 
 _COSINE_PAIRS_SQL = f"""
 probes AS (
-  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+  WHERE vec_id < 10 AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT probe_id, e.vec_id AS neighbor_id,
@@ -130,7 +141,7 @@ pairs AS (
          / (sqrt({_SQ_NORM.format(v='pe')})
             * sqrt({_SQ_NORM.format(v='e.embedding')})) AS cos
   FROM probes, embeddings e
-  WHERE e.vec_id <> probe_id
+  WHERE e.vec_id <> probe_id AND e.embedding IS NOT NULL
 )
 """
 
@@ -161,7 +172,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     pids, Pn = _probe_matrix(spark, sf_dir)
 
     def score(batches):
@@ -226,7 +237,11 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = topk.join(labels, "neighbor_id").groupBy("probe_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    # asc_nulls_last matches DuckDB's ASC default; a NULL neighbor label is
+    # a legal vote group and must tie-break identically on both engines
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc_nulls_last("label")
+    )
     return (
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -239,9 +254,11 @@ _DUP_OFFSET = 100_000
 _PAIR_DEDUP_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
   UNION ALL
   SELECT vec_id + {_DUP_OFFSET}, embedding, label
-  FROM embeddings WHERE vec_id % 10 = 0
+  FROM embeddings
+  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL AND label IS NOT NULL
 ),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -258,8 +275,17 @@ SELECT id1, id2, round(cos, 9) AS cos FROM pairs WHERE round(cos, 9) >= 0.99
 
 def _dup_injected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings plus injected exact copies (every 10th vector, id offset)
-    — the shared SemDeDup test corpus with deterministic positives."""
-    e = Tables(spark, sf_dir).embeddings
+    — the shared SemDeDup test corpus with deterministic positives.
+
+    Null-tier contract (mirrored in _PAIR_DEDUP_ORACLE): rows with a NULL
+    embedding have no geometry, and rows with a NULL label have no block
+    key — SQL's a.label = b.label never matches NULL while Spark's groupBy
+    happily forms a NULL block, so the exclusion must be explicit on both
+    sides. The LSH variant shares this corpus so its label-blocked oracle
+    coincidence argument stays valid under nulls."""
+    e = _vectors(Tables(spark, sf_dir).embeddings).where(
+        F.col("label").isNotNull()
+    )
     return e.select("vec_id", "embedding", "label").unionByName(
         e.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "embedding", "label"
@@ -443,7 +469,7 @@ def _adaptive_multiprobe_dist(spark: SparkSession, sf_dir: str) -> int:
     if key in _mp_cache:
         return _mp_cache[key]
     _pids, Pn = _probe_matrix(spark, sf_dir)
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     n = e.count()
     mod = max(1, n // _MP_SAMPLE_ROWS)
     rows = (
@@ -485,7 +511,7 @@ def lsh_candidate_ids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     import numpy as np
     import pandas as pd
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     P = np.array(_hyperplanes(_N_TABLES * _BITS_PER_TABLE), dtype="float64")
     weights = (1 << np.arange(_BITS_PER_TABLE)).astype("int64")
 
@@ -589,7 +615,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     pids, Pn = _probe_matrix(spark, sf_dir)
     cand_ids = lsh_candidate_ids(spark, sf_dir)
     if cand_ids is None:  # empty corpus: no probes, no neighbors
@@ -643,7 +669,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     cent_rows = sorted(
         e.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,

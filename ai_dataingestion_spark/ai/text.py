@@ -344,6 +344,7 @@ FROM (
   )) AS bigram
   FROM documents
 )
+WHERE bigram IS NOT NULL
 GROUP BY bigram
 ORDER BY freq DESC, bigram ASC
 LIMIT 20
@@ -355,10 +356,19 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel — explode is map-side, the aggregate shuffles only (bigram,
     partial count) pairs)."""
     d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    # The >= 2 gate replaces the old greatest(size-1, 1) floor: a
+    # single-token document (empty or whitespace-only text) would index
+    # toks[1] out of bounds — an ANSI crash, where the oracle's
+    # out-of-range list index is a NULL it then filters. NULL text: split
+    # is NULL, the CASE is NULL, explode emits nothing — matching the
+    # oracle's NULL-bigram filter.
     bigrams = F.expr(
         """
-        transform(sequence(1, greatest(size(toks) - 1, 1)),
-                  i -> concat(toks[i - 1], ' ', toks[i]))
+        CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                            i -> concat(toks[i - 1], ' ', toks[i]))
+             ELSE array()
+        END
         """
     )
     return (

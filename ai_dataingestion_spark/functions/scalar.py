@@ -61,7 +61,8 @@ SELECT p_partkey,
        regexp_extract(p_brand, 'Brand#([0-9]+)', 1)        AS brand_num_str,
        CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
        regexp_replace(p_name, '[aeiou]', '*', 'g')         AS name_starred,
-       regexp_matches(p_type, '^(PROMO|ECONOMY)')          AS is_cheap_line
+       coalesce(regexp_matches(p_type, '^(PROMO|ECONOMY)'),
+                false)                                       AS is_cheap_line
 FROM part
 """,
 )
@@ -76,7 +77,11 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("name_starred"),
-        F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_cheap_line"),
+        # coalesce(false) both sides: a NULL boolean crosses the harness
+        # asymmetrically (None vs NaN); a missing type is not a cheap line
+        F.coalesce(
+            F.col("p_type").rlike("^(PROMO|ECONOMY)"), F.lit(False)
+        ).alias("is_cheap_line"),
     )
 
 
@@ -220,7 +225,8 @@ SELECT doc_id,
        len(string_split(text, ' '))                         AS n_tokens,
        len(list_distinct(string_split(text, ' ')))          AS n_distinct,
        array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
-       list_contains(string_split(text, ' '), 'data')       AS has_data,
+       coalesce(list_contains(string_split(text, ' '), 'data'),
+                false)                                       AS has_data,
        list_sort(string_split(text, ' '))[1]                AS first_alpha
 FROM documents
 """,
@@ -234,7 +240,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
         F.array_join(F.slice("toks", 1, 3), " ").alias("first3"),
-        F.array_contains("toks", "data").alias("has_data"),
+        # coalesce(false): missing text does not contain 'data' (see
+        # fn_regex is_cheap_line for the NULL-boolean harness note)
+        F.coalesce(F.array_contains("toks", "data"), F.lit(False)).alias(
+            "has_data"
+        ),
         F.element_at(F.sort_array("toks"), 1).alias("first_alpha"),
     )
 
@@ -300,7 +310,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        json_extract_string(props, '$.k')                  AS k_str,
        CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int,
-       CAST(json_valid(props) AS BOOLEAN)                 AS is_valid
+       -- coalesce(false): missing props is NOT valid JSON on both sides
+       -- (Spark's isNotNull already says false; json_valid(NULL) is NULL)
+       coalesce(CAST(json_valid(props) AS BOOLEAN), false) AS is_valid
 FROM events
 """,
 )
@@ -488,8 +500,12 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_parts",
     oracle="""
 SELECT doc_id,
-       split_part(text, ' ', 1)                    AS first_word,
-       split_part(text, ' ', 3)                    AS third_word,
+       -- DuckDB split_part(NULL,..) is '' (non-standard); Spark's is NULL.
+       -- The NULL-propagating contract is the SQL-idiomatic one.
+       CASE WHEN text IS NULL THEN NULL
+            ELSE split_part(text, ' ', 1) END      AS first_word,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE split_part(text, ' ', 3) END      AS third_word,
        strpos(text, 'data')                        AS data_pos,
        translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up,
        repeat(lang, 3)                             AS lang_x3,

@@ -639,6 +639,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_id, out_idx, out_off, out_hex = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no payload, no frames (oracle's
+                    continue         # NULL octet_length never passes >=)
                 buf = bytes(payload)
                 for i in range(_N_FRAMES):
                     off = i * _FRAME_STRIDE

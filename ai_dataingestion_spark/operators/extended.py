@@ -170,8 +170,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
 
-    leaf = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    suffix = f"{leaf}_{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:6]}"
+    canon = os.path.realpath(sf_dir)  # one table per corpus, however spelled
+    leaf = re.sub(r"[^0-9A-Za-z_]", "_", os.path.basename(canon))
+    suffix = f"{leaf}_{hashlib.md5(canon.encode()).hexdigest()[:6]}"
     li_tab, o_tab = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
     for tab, df, key in ((li_tab, t.lineitem, "l_orderkey"), (o_tab, t.orders, "o_orderkey")):
         if not spark.catalog.tableExists(tab):

@@ -741,7 +741,8 @@ SELECT doc_id,
              / len(text), 6) AS frac_digit,
        round(CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
              / len(text), 6) AS frac_space,
-       CAST(len(text) <> octet_length(encode(text)) AS BOOLEAN) AS has_non_ascii
+       coalesce(CAST(len(text) <> octet_length(encode(text)) AS BOOLEAN),
+                false) AS has_non_ascii
 FROM documents
 """,
 )
@@ -754,15 +755,26 @@ def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     n = F.length("text")
     def frac(pattern):
+        # try_divide: an EMPTY text has n = 0 and DuckDB's x/0 is NULL;
+        # ANSI division would crash the whole scan on one degenerate row
         return F.round(
-            F.length(F.regexp_replace("text", pattern, "")).cast("double") / n, 6
+            F.try_divide(
+                F.length(F.regexp_replace("text", pattern, "")).cast("double"),
+                n,
+            ),
+            6,
         )
     return t.documents.select(
         "doc_id",
         frac("[^a-zA-Z]").alias("frac_alpha"),
         frac("[^0-9]").alias("frac_digit"),
         frac("[^ ]").alias("frac_space"),
-        (F.length("text") != F.octet_length("text")).alias("has_non_ascii"),
+        # coalesce(false) both sides: a NULL boolean crosses the comparison
+        # harness asymmetrically (None vs NaN), and "no evidence of
+        # non-ASCII" is the honest answer for a missing document
+        F.coalesce(
+            F.length("text") != F.octet_length("text"), F.lit(False)
+        ).alias("has_non_ascii"),
     )
 
 
@@ -962,6 +974,7 @@ WITH pairs AS (
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) AS cos
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 )
 SELECT CAST(floor(cos * 10) AS INT) AS bin,
        count(*) AS n_pairs
@@ -1007,7 +1020,16 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"bin": list(counts), "n": list(counts.values())}
         ).astype({"bin": "int32", "n": "int64"})
 
-    e = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding", "label")
+    # Null-tier contract (mirrored in the oracle): NULL embeddings have no
+    # geometry, and the oracle's a.label = b.label join never matches NULL
+    # labels while groupBy would form a NULL block — exclude both here.
+    e = (
+        Tables(spark, sf_dir)
+        .embeddings.where(
+            F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        )
+        .select("vec_id", "embedding", "label")
+    )
     per_block = e.groupBy("label").applyInPandas(block_bins, "bin int, n bigint")
     return per_block.groupBy("bin").agg(F.sum("n").alias("n_pairs"))
 

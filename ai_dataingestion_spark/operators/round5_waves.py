@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.scale import (
+    ARRAY_TABLE_BYTES as _ARRAY_MERGE_LIMIT,
     bounded_self_join,
     broadcast_if_small,
     hint_merge_if_large,
@@ -1234,10 +1235,10 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        to_base64(encode(substring(text, 1, 24))) AS b64_prefix,
-       decode(from_base64(to_base64(encode(substring(text, 1, 24)))))
-         = substring(text, 1, 24) AS b64_roundtrip_ok,
+       coalesce(decode(from_base64(to_base64(encode(substring(text, 1, 24)))))
+         = substring(text, 1, 24), false) AS b64_roundtrip_ok,
        lower(hex(lang)) AS lang_hex,
-       decode(unhex(hex(lang))) = lang AS hex_roundtrip_ok
+       coalesce(decode(unhex(hex(lang))) = lang, false) AS hex_roundtrip_ok
 FROM documents
 """,
 )
@@ -1253,13 +1254,17 @@ def fn_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id",
         F.base64(prefix.cast("binary")).alias("b64_prefix"),
-        (
-            F.unbase64(F.base64(prefix.cast("binary"))).cast("string") == prefix
+        # coalesce(false) both sides: NULL input has no roundtrip to pass,
+        # and a NULL boolean crosses the compare harness asymmetrically
+        F.coalesce(
+            F.unbase64(F.base64(prefix.cast("binary"))).cast("string") == prefix,
+            F.lit(False),
         ).alias("b64_roundtrip_ok"),
         F.lower(F.hex("lang")).alias("lang_hex"),
-        (F.unhex(F.hex("lang")).cast("string") == F.col("lang")).alias(
-            "hex_roundtrip_ok"
-        ),
+        F.coalesce(
+            F.unhex(F.hex("lang")).cast("string") == F.col("lang"),
+            F.lit(False),
+        ).alias("hex_roundtrip_ok"),
     )
 
 
@@ -1812,7 +1817,7 @@ WITH ex AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
 cov AS (
@@ -1861,8 +1866,12 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     t = Tables(spark, sf_dir)
-    partial = t.embeddings.select("embedding").mapInPandas(
-        _partial_gram_kernel, schema=_GRAM_SCHEMA
+    # NULL embeddings have no geometry (oracle mirrors the exclusion);
+    # np.stack over an Arrow batch containing None is a hard crash.
+    partial = (
+        t.embeddings.where(F.col("embedding").isNotNull())
+        .select("embedding")
+        .mapInPandas(_partial_gram_kernel, schema=_GRAM_SCHEMA)
     )
     stats = partial.groupBy("i", "j").agg(F.sum("s").alias("s"))
     rows = stats.collect()  # d*(d+1)/2 + d + 1 rows — dimension-bounded
@@ -2769,9 +2778,9 @@ def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ai_dataingestion_spark.ai.similarity import _probe_matrix
+    from ai_dataingestion_spark.ai.similarity import _probe_matrix, _vectors
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     pids, Pn = _probe_matrix(spark, sf_dir)
 
     def score(batches):
@@ -3191,9 +3200,14 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("p_name", "aeiou", "AEIOU").alias("name_devoweled"),
         F.repeat(F.substring("p_name", 1, 2), 3).alias("name_stutter"),
         F.reverse("p_name").alias("name_reversed"),
-        F.format_string("%s-%05d", "p_brand", "p_size").alias(
-            "brand_size_code"
-        ),
+        # format_string renders a NULL arg as the text "null"; DuckDB's
+        # printf NULL-propagates. The guard pins the SQL-idiomatic contract.
+        F.when(
+            F.col("p_brand").isNull() | F.col("p_size").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.format_string("%s-%05d", "p_brand", "p_size"))
+        .alias("brand_size_code"),
         F.concat_ws(
             "|", "p_brand", "p_type", F.col("p_size").cast("string")
         ).alias("packed"),
@@ -3851,7 +3865,8 @@ corpus AS (
 """
 
 
-_ARRAY_MERGE_LIMIT = 1024 * 1024  # see merge-gate comment in dedup_removal_plan
+# _ARRAY_MERGE_LIMIT is scale.ARRAY_TABLE_BYTES (imported at top): one home
+# for the array-table merge gate so scale.py recalibrations reach every site.
 
 
 @register(
@@ -4742,6 +4757,8 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(StringType(), useArrow=True)
     def slug(p: str) -> str:
+        if p is None:  # replace(NULL, ...) is NULL in the oracle
+            return None
         return p.replace("-", "_").lower()
 
     o = Tables(spark, sf_dir).orders
@@ -5345,12 +5362,18 @@ def fn_content_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing of the hex digest into 8-4-4-4-12; zero shuffles."""
     d = Tables(spark, sf_dir).documents
     h = F.md5("text")
-    uuid = F.concat_ws(
-        "-",
+    # F.concat, not concat_ws: concat_ws SKIPS null parts, minting the
+    # empty string as a "uuid" for a NULL document — concat propagates
+    # the NULL like the oracle's || chain (no content, no content key).
+    uuid = F.concat(
         F.substring(h, 1, 8),
+        F.lit("-"),
         F.substring(h, 9, 4),
+        F.lit("-"),
         F.substring(h, 13, 4),
+        F.lit("-"),
         F.substring(h, 17, 4),
+        F.lit("-"),
         F.substring(h, 21, 12),
     )
     return d.select("doc_id", uuid.alias("content_uuid"))
@@ -6059,7 +6082,8 @@ SELECT doc_id,
              x -> list_contains(b, x))))                      AS n_intersect,
        len(list_distinct(list_filter(a,
              x -> NOT list_contains(b, x))))                  AS n_a_only,
-       len(list_filter(a, x -> list_contains(b, x))) > 0      AS overlaps,
+       coalesce(len(list_filter(a, x -> list_contains(b, x))) > 0,
+                false)                                          AS overlaps,
        CAST(coalesce(list_position(a, 'data'), 0) AS BIGINT)  AS pos_data
 FROM halves
 """,
@@ -6086,7 +6110,9 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("a", "b")).cast("bigint").alias("n_union"),
         F.size(F.array_intersect("a", "b")).cast("bigint").alias("n_intersect"),
         F.size(F.array_except("a", "b")).cast("bigint").alias("n_a_only"),
-        F.arrays_overlap("a", "b").alias("overlaps"),
+        # coalesce(false): a NULL token list overlaps nothing (and a NULL
+        # boolean crosses the compare harness asymmetrically)
+        F.coalesce(F.arrays_overlap("a", "b"), F.lit(False)).alias("overlaps"),
         F.coalesce(F.array_position("a", "data"), F.lit(0))
         .cast("bigint")
         .alias("pos_data"),
@@ -7214,10 +7240,16 @@ h2 AS (
   FROM whole w CROSS JOIN h1 CROSS JOIN h2
 )
 SELECT n_rows,
-       round(vw / pow(10, floor(log10(abs(vw)))), 6) AS variance_whole_mant,
-       CAST(floor(log10(abs(vw))) AS INT) AS variance_whole_exp10,
-       round(vm / pow(10, floor(log10(abs(vm)))), 6) AS variance_merged_mant,
-       CAST(floor(log10(abs(vm))) AS INT) AS variance_merged_exp10,
+       CASE WHEN vw = 0 THEN 0.0
+            ELSE round(vw / pow(10, floor(log10(abs(vw)))), 6)
+       END AS variance_whole_mant,
+       CAST(CASE WHEN vw = 0 THEN 0
+                 ELSE floor(log10(abs(vw))) END AS INT) AS variance_whole_exp10,
+       CASE WHEN vm = 0 THEN 0.0
+            ELSE round(vm / pow(10, floor(log10(abs(vm)))), 6)
+       END AS variance_merged_mant,
+       CAST(CASE WHEN vm = 0 THEN 0
+                 ELSE floor(log10(abs(vm))) END AS INT) AS variance_merged_exp10,
        merge_mismatch
 FROM vars
 """,

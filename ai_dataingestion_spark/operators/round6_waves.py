@@ -2230,7 +2230,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cnt AS (
   SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority AS p,
          count(*) AS c
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
 ),
 grid AS (
   SELECT months.m, prios.p, coalesce(cnt.c, 0) AS c
@@ -2267,10 +2269,22 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares stay unrounded doubles through the diff (c/total division is
     IEEE-exact on both engines); only the final statistics round."""
     t = Tables(spark, sf_dir)
-    cnt = t.orders.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("m"),
-        F.col("o_orderpriority").alias("p"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # Null months/priorities are excluded EXPLICITLY on both sides: a mix
+    # shift over an unknown month is meaningless, NULL grid keys never
+    # match the null-unsafe grid join anyway, and (found on the null tier)
+    # DISTINCT-then-dense-grid over a NULL timestamp month is nondeterminate
+    # in the oracle engine — the contract must not stand on that construct.
+    cnt = (
+        t.orders.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     months = cnt.select("m").distinct()
     prios = cnt.select("p").distinct()
     grid = (
@@ -2278,12 +2292,15 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cnt, ["m", "p"], "left")
         .select("m", "p", F.coalesce("c", F.lit(0)).alias("c"))
     )
+    # try_divide: a NULL-month group never matches the null-unsafe grid
+    # join, leaving an all-zero partition whose total is 0 — DuckDB's /0
+    # yields NULL (then drops at ds IS NOT NULL); ANSI division would crash.
     sh = grid.select(
         "m",
         "p",
-        (
-            F.col("c").cast("double")
-            / F.sum("c").over(Window.partitionBy("m")).cast("double")
+        F.try_divide(
+            F.col("c").cast("double"),
+            F.sum("c").over(Window.partitionBy("m")).cast("double"),
         ).alias("s"),
     )
     d = sh.select(
@@ -4884,7 +4901,7 @@ def orders_fulfillment_vintage_curves(
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS c,
          generate_subscripts(embedding, 1) - 1 AS i
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 vals AS (
   SELECT vec_id, sum(c * power(0.5, i)) AS h FROM ex GROUP BY vec_id
@@ -4906,7 +4923,9 @@ def fn_array_reduce_horner(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until the 1-row corpus summary. The oracle evaluates
     the mathematically identical power sum Σ cᵢ·0.5^i; with |x| < 1
     the two orderings agree far beyond the 6-dp comparison."""
-    e = Tables(spark, sf_dir).embeddings
+    # NULL embeddings are no polynomial: the oracle's unnest drops them
+    # from vals entirely, so the count must exclude them here too.
+    e = Tables(spark, sf_dir).embeddings.where(F.col("embedding").isNotNull())
     vals = e.select(
         F.aggregate(
             F.reverse(F.col("embedding")),
@@ -5841,7 +5860,7 @@ def fn_collation_lcase_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_aes_encrypt_roundtrip",
     oracle="""
-SELECT count(*) AS n, count(*) AS n_ok,
+SELECT count(*) AS n, count(c_name) AS n_ok,
        count(DISTINCT c_name) AS n_distinct_ct
 FROM customer
 """,
@@ -5859,7 +5878,8 @@ def fn_aes_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the parity check deterministic.) All JVM-side codegen
     expressions, one scan, 1-row output. Oracle: the decrypt side cannot
     be spelled portably, so DuckDB pins the invariants' expected values —
-    full-cardinality round-trip and name-cardinality ciphertexts."""
+    every NON-NULL name round-trips (count(c_name); encrypt of NULL is
+    NULL) and ciphertexts have name-cardinality."""
     t = Tables(spark, sf_dir)
     enc = t.customer.select(
         "c_name",
@@ -6153,7 +6173,11 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_xpath_extract",
     oracle="""
 SELECT o_orderstatus AS status_from_xml,
-       CAST(sum(o_orderkey % 5 + 2) AS BIGINT) AS sum_b,
+       -- a NULL status makes the whole synthesized XML doc NULL on the
+       -- engine side, so nothing is extractable from those rows: the
+       -- reproduced arithmetic must go NULL with it
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN NULL
+                     ELSE o_orderkey % 5 + 2 END) AS BIGINT) AS sum_b,
        count(*) AS n
 FROM orders GROUP BY 1
 """,

@@ -1242,11 +1242,16 @@ def fn_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical block literals + arg_max."""
     t = Tables(spark, sf_dir)
     uid = F.col("user_id")
-    ip_str = F.concat_ws(
-        ".",
-        F.lit(10),
+    # F.concat, not concat_ws: concat_ws SKIPS null args, so a NULL user_id
+    # would emit a short dotted-quad whose split()[3] is an ANSI
+    # out-of-bounds crash; concat propagates the NULL end-to-end, matching
+    # the oracle's null-propagating arithmetic (NULL ip joins nothing).
+    ip_str = F.concat(
+        F.lit("10."),
         (uid % 200).cast("string"),
+        F.lit("."),
         ((uid * 7) % 256).cast("string"),
+        F.lit("."),
         ((uid * 13) % 256).cast("string"),
     )
     parts = F.split(ip_str, r"\.")

@@ -43,21 +43,9 @@ def table_bytes_under(sf_dir: str, table: str, limit: int = SMALL_TABLE_BYTES) -
     paths (s3://, hdfs://...), missing files, and stat failures return False
     — the scale-safe default. The directory walk early-exits at ``limit`` so
     the cost is bounded regardless of table size."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isfile(path):
-            return os.path.getsize(path) < limit
-        if os.path.isdir(path):
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for fname in files:
-                    total += os.path.getsize(os.path.join(root, fname))
-                    if total >= limit:
-                        return False
-            return total < limit
-    except OSError:
-        pass
-    return False
+    # Delegates to table_bytes: missing/non-local/unreadable paths report
+    # the cap, and cap < limit is False — the same scale-safe default.
+    return table_bytes(sf_dir, table, cap=limit) < limit
 
 
 def table_bytes(sf_dir: str, table: str, cap: int) -> int:

@@ -24,10 +24,15 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem(cap_gb: int = 24) -> str:
-    """Bench-stable 24g, bounded by ~60% of detected physical RAM so the JVM
-    heap limit never exceeds what the host can actually back (minimum 2g to
-    stay above the broadcast-build floor). Detection failures fall back to
-    the cap — the historical default."""
+    """Bench-stable 24g, bounded by ~60% of detected physical RAM (minimum
+    2g to stay above the broadcast-build floor). The 60% bound deliberately
+    trims hosts between 24 and 40 GB too (e.g. 32 GB -> 19g), not only
+    <24 GB hosts: the heap is not the process — JVM metaspace/off-heap,
+    Python UDF workers, and the OS page cache for parquet scans share the
+    same RAM, and a 24g heap on a 32 GB host swaps under exactly the wide
+    shuffles the big heap exists for. Hosts >=40 GB get the full 24g.
+    Detection failures fall back to the cap — the historical default.
+    SPARK_GRAFT_DRIVER_MEM overrides for bench-parity runs on small hosts."""
     try:
         phys_gb = (
             os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")

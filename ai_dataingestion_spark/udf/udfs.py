@@ -25,7 +25,8 @@ from ai_dataingestion_spark.registry import Tables
     "udf_python",
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            WHEN o_totalprice >= 200000 THEN 'platinum'
             WHEN o_totalprice >= 100000 THEN 'gold'
             WHEN o_totalprice >= 25000  THEN 'silver'
             ELSE 'bronze' END AS tier_udf
@@ -39,6 +40,8 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(StringType())
     def tier(price: float) -> str:
+        if price is None:  # unknown price has no tier (oracle: explicit
+            return None    # IS NULL branch — a bare CASE would say bronze)
         if price >= 200000:
             return "platinum"
         if price >= 100000:
@@ -148,7 +151,10 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "event_id": pdf["event_id"],
                     "log1p_value": np.round(np.log1p(pdf["value"]), 6),
-                    "type_len": pdf["event_type"].str.len().astype("int64"),
+                    # nullable Int64: .str.len() of a missing string is
+                    # <NA>, which Arrow ships back as a NULL bigint —
+                    # astype("int64") would crash the worker on it
+                    "type_len": pdf["event_type"].str.len().astype("Int64"),
                 }
             )
 
@@ -181,6 +187,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: bigint, token: string, pos: bigint")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # string_split(NULL) unnests to zero rows
+                return
             for i, tok in enumerate(text.split(" "), start=1):
                 yield doc_id, tok, i
 

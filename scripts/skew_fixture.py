@@ -11,11 +11,16 @@ derives from sf0.1 with three deterministic whale injections:
   relation; Spark's window sort spills, but per-key hash-agg state and the
   AQE skew-join splitter are what's actually on trial).
 - lineitem: rows with l_orderkey % 751 == 0 (~0.13%, ~800 rows at sf0.1)
-  collapse into mega-order 4242424242 — a single order whose part set
+  collapse into one EXISTING mega-order — a single order whose part set
   forms a ~700-part clique in every basket self-join (C(n,2) pair blowup
   per ONE key; the class the bounded_self_join posture must absorb).
-- orders: every 3rd order (o_orderkey % 3 == 0) is reassigned to customer
-  424242 — a whale customer through RFM / cohort / order-gap paths.
+- orders: every 3rd order (o_orderkey % 3 == 0) is reassigned to an
+  EXISTING whale customer — skew through RFM / cohort / order-gap paths.
+
+Both whale keys are real parent-table keys (derived at build time), so
+inner joins CARRY the skew to the join output instead of dropping it as
+dangling foreign keys; the mega-order belongs to the whale customer, so
+the hot key compounds through lineitem -> orders -> customer chains.
 
 Keys keep their original dtype; all other tables copy through unchanged.
 Oracle parity transfers: DuckDB recomputes over the SAME skewed parquet,
@@ -37,8 +42,13 @@ SRC = os.environ.get("SPARK_GRAFT_SKEW_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_skew")
 
 WHALE_USER = 42
-MEGA_ORDER = 4242424242
-WHALE_CUST = 424242
+# The whale keys are chosen from EXISTING parent rows at build time (review
+# r8): a synthetic key (the old 4242424242 / 424242 constants) is a dangling
+# foreign key — inner joins to the parent table drop every injected row at
+# the exchange, so join-OUTPUT-side skew is never exercised even though the
+# sweep reads green (DuckDB drops the same rows). The mega-order is picked
+# from the whale customer's own orders so the skew compounds through the
+# lineitem -> orders -> customer join chain.
 
 PLAIN_TABLES = (
     "region nation customer supplier part documents embeddings"
@@ -56,6 +66,24 @@ def build() -> None:
 
     def done(t: str) -> bool:
         return os.path.exists(os.path.join(OUT, f"{t}.parquet"))
+
+    # Existing-key whales (see module comment): deterministic given the
+    # source corpus — min() over fixed predicates, no sampling.
+    # >= 42/4242 floors skip the degenerate key 0 (keyspaces start at 0;
+    # a zero hot key would alias with default/sentinel arithmetic).
+    whale_cust = (
+        spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+        .where(F.col("c_custkey") >= 42)
+        .agg(F.min("c_custkey"))
+        .first()[0]
+    )
+    mega_order = (
+        spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+        # % 3 == 0 so the mega-order's o_custkey is reassigned to the whale
+        .where((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") >= 4242))
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
 
     for t in PLAIN_TABLES:
         if done(t):
@@ -80,7 +108,7 @@ def build() -> None:
         li.withColumn(
             "l_orderkey",
             F.when(
-                F.col("l_orderkey") % 751 == 0, F.lit(MEGA_ORDER)
+                F.col("l_orderkey") % 751 == 0, F.lit(mega_order)
             ).otherwise(F.col("l_orderkey")).cast(dict(li.dtypes)["l_orderkey"]),
         ).coalesce(8).write.mode("overwrite").parquet(
             os.path.join(OUT, "lineitem.parquet")
@@ -91,13 +119,13 @@ def build() -> None:
         o.withColumn(
             "o_custkey",
             F.when(
-                F.col("o_orderkey") % 3 == 0, F.lit(WHALE_CUST)
+                F.col("o_orderkey") % 3 == 0, F.lit(whale_cust)
             ).otherwise(F.col("o_custkey")).cast(dict(o.dtypes)["o_custkey"]),
         ).coalesce(8).write.mode("overwrite").parquet(
             os.path.join(OUT, "orders.parquet")
         )
 
-    print(f"skew fixture ready at {OUT}")
+    print(f"skew fixture ready at {OUT} (whale_cust={whale_cust}, mega_order={mega_order})")
     spark.stop()
 
 

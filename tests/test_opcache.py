@@ -17,6 +17,17 @@ from ai_dataingestion_spark import opcache
 from ai_dataingestion_spark.catalog import QuerySpec, _REGISTRY, register
 
 
+@pytest.fixture(autouse=True)
+def _drained():
+    """Make the absolute live_cache_count asserts order-independent: an
+    earlier test file's LAST op_cache-using operator leaves its entries
+    tracked on this thread (release happens at the NEXT invocation), so a
+    test that asserts == 0/== 1 would otherwise depend on which operator
+    some other file happened to invoke last (review r8)."""
+    opcache.release_op_caches()
+    yield
+
+
 @pytest.fixture
 def _clean_registry():
     """Register throwaway operators under reserved test ids; always remove."""
