@@ -42,18 +42,33 @@ def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup threshold for realistic lengths."""
     d = Tables(spark, sf_dir).documents.select("doc_id", "text")
     toks = F.split("text", " ")
+    # The >= 2 guard pins the degenerate case: dropping a single-token
+    # document's only token leaves NO text — Spark's array_join([]) is ''
+    # but the oracles' array_to_string([]) is NULL, so without the guard
+    # the two engines disagree on whether the mutated doc exists at all
+    # (found by the null tier via its empty-text rows).
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        F.when(
+            F.size(toks) >= 2,
+            F.array_join(F.slice(toks, 1, F.size(toks) - 1), " "),
+        ).alias("text"),
     )
     return d.unionByName(mutated)
 
 
+# The explicit NULL branch is load-bearing: Spark's size(NULL) is -1 (legacy
+# sizeOfNull) and concat_ws(' ', NULL) is '' — without it a NULL document
+# mints the [''] shingle set, identical signatures, and every NULL doc pairs
+# with every other (found by the null-injected tier: 238 phantom pairs).
+# DuckDB's list ops NULL-propagate, so the oracles already exclude them.
 _SHINGLES_EXPR = f"""
-array_distinct(transform(
-  sequence(1, greatest(size(toks) - {SHINGLE_K - 1}, 1)),
-  i -> concat_ws(' ', slice(toks, i, {SHINGLE_K}))
-))
+CASE WHEN toks IS NULL THEN NULL
+     ELSE array_distinct(transform(
+       sequence(1, greatest(size(toks) - {SHINGLE_K - 1}, 1)),
+       i -> concat_ws(' ', slice(toks, i, {SHINGLE_K}))
+     ))
+END
 """
 
 

@@ -270,12 +270,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer cannot hash ndarray cells — the raw-array shape was the
     one driver ERR of round 4."""
     d = Tables(spark, sf_dir).documents.withColumn("toks", F.split("text", " "))
+    # NULL branch is load-bearing: size(NULL) is -1 and concat_ws(' ', NULL)
+    # is '', so a NULL document would otherwise fingerprint as md5('') — a
+    # shared fake identity for every null doc (the _SHINGLES_EXPR rule)
     window_hashes = F.expr(
         """
-        transform(
-          sequence(1, greatest(size(toks) - 3, 1)),
-          i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, 4))),1,15),16,10) AS BIGINT)
-        )
+        CASE WHEN toks IS NULL THEN NULL
+             ELSE transform(
+               sequence(1, greatest(size(toks) - 3, 1)),
+               i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, 4))),1,15),16,10) AS BIGINT)
+             )
+        END
         """
     )
     return d.select(

@@ -370,7 +370,12 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    (-F.col("o_totalprice")).alias("neg_price"),
+                    # +inf sentinel: a NULL price must sort LAST under the
+                    # oracle's price DESC (struct comparison would put the
+                    # NULL field first)
+                    F.coalesce(
+                        -F.col("o_totalprice"), F.lit(float("inf"))
+                    ).alias("neg_price"),
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_orderpriority").alias("prio"),
                 )
@@ -380,8 +385,13 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select(
         "o_custkey",
         F.array_join(
+            # null-propagating concat: a NULL priority nulls the whole tag,
+            # which array_join then SKIPS — exactly the oracle's
+            # || -then-array_to_string behavior (concat_ws would emit a
+            # bare ':4028' tag instead)
             F.transform(
-                F.col("structs"), lambda s: F.concat_ws(":", s.prio, s.okey)
+                F.col("structs"),
+                lambda s: F.concat(s.prio, F.lit(":"), s.okey.cast("string")),
             ),
             "|",
         ).alias("order_tags"),

@@ -341,8 +341,11 @@ def fn_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = t.supplier.select("s_suppkey", "s_name").crossJoin(
         F.broadcast(t.nation.select("n_name"))
     )
+    # asc_nulls_last on both keys: a NULL name has NULL distance to
+    # everything and must never win the argmin (oracle ASC default);
+    # NULL reference names lose the tie-break the same way
     w = Window.partitionBy("s_suppkey").orderBy(
-        F.asc("dist"), F.asc("n_name")
+        F.asc_nulls_last("dist"), F.asc_nulls_last("n_name")
     )
     return (
         pairs.select(
@@ -399,7 +402,7 @@ def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable — SURVEY.md §5.4). One shuffle on the entity key; at
     100 TB this is the dimension-history build over a CDC feed."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc("event_id"))
     nxt = F.lead("ts").over(w)
     return e.select(
         "user_id",
@@ -721,11 +724,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
-    return (
-        spark.table(name)
-        .select("event_type", "n")
-        .join(exact, "event_type")
-    )
+    # eqNullSafe: the NULL event_type group is a legal aggregation result
+    # on both sides; a null-unsafe equijoin would silently drop it
+    agg = spark.table(name).select("event_type", "n")
+    return agg.join(
+        exact, agg["event_type"].eqNullSafe(exact["event_type"])
+    ).select(agg["event_type"], "n", "n_users")
 
 
 @register(
@@ -1188,7 +1192,10 @@ def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # when(~high), not otherwise(1): a NULL priority is three-valued
+            # NEITHER bucket in the oracle's IN / NOT IN pair — the
+            # otherwise() spelling would count it as low
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -1681,9 +1688,9 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-user rollup. Deterministic ordering ties broken by
     event_id."""
     e = Tables(spark, sf_dir).events
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     w_type = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+        F.asc_nulls_last("ts"), "event_id"
     )
     seq = e.select(
         "user_id",
@@ -1882,7 +1889,7 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle feeds the entire pipeline. Durations exported as epoch-µs
     deltas (sub-second timestamps never cross engines as strings)."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -1895,7 +1902,7 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_new"),
         "event_id",
     )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    cum = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = seq.select(

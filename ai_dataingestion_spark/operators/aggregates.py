@@ -301,7 +301,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey,
        array_to_string(list(o_orderpriority ORDER BY o_orderpriority), ',')
          AS priorities,
-       len(list(o_orderpriority)) AS n_orders
+       -- count(col), not len(list(col)): list() keeps NULL elements that
+       -- array_to_string then skips, while Spark's collect_list drops them
+       count(o_orderpriority) AS n_orders
 FROM orders
 GROUP BY o_custkey
 """,
@@ -426,10 +428,17 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; the acctbal-keyed one relies on measured-distinct balances
     per nation (2-dp domain, 60 customers/nation)."""
     c = Tables(spark, sf_dir).customer
+    # the when-guard nulls the ORDERING value when the RESULT value is
+    # NULL: the oracle's arg_max/arg_min skip rows where either side is
+    # NULL, while Spark's max_by/min_by happily return a NULL name from
+    # the extremum row
+    def _ord(col):
+        return F.when(F.col("c_name").isNotNull(), F.col(col))
+
     return c.groupBy("c_nationkey").agg(
-        F.max_by("c_name", "c_custkey").alias("newest_customer"),
-        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
-        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.max_by("c_name", _ord("c_custkey")).alias("newest_customer"),
+        F.min_by("c_name", _ord("c_custkey")).alias("oldest_customer"),
+        F.max_by("c_name", _ord("c_acctbal")).alias("richest_customer"),
     )
 
 

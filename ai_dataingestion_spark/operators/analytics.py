@@ -294,7 +294,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizing window runs on a broadcast-sized relation at any corpus
     size. Deterministic ordering via the (ts, event_id) tie-break."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     ordered = e.select(
         "user_id",
         "event_type",
@@ -514,9 +514,12 @@ _EWMA_ALPHA = 0.3
     "events_ewma_daily",
     oracle=f"""
 WITH daily AS (
+  -- NULL timestamps have no day: a daily series cannot seat them, and
+  -- the two engines would disagree on which end of the sequence the
+  -- NULL day occupies (t=0 poisons x0 on one side)
   SELECT event_type, date_trunc('day', ts) AS day,
          CAST(count(*) AS DOUBLE) AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 seq AS (
   SELECT event_type, day, x,
@@ -547,7 +550,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum trick is numerically safe; both engines evaluate identical
     double math, rounded to 6 dp. One shuffle on event_type; window input
     is days × types — broadcast-sized at any event volume."""
-    e = Tables(spark, sf_dir).events
+    e = Tables(spark, sf_dir).events.where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))

@@ -230,8 +230,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     oracle="""
-WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
-     clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+WITH purchases AS (SELECT * FROM events
+                   WHERE event_type = 'purchase' AND ts IS NOT NULL),
+     clicks    AS (SELECT * FROM events
+                   WHERE event_type = 'click' AND ts IS NOT NULL)
 SELECT p.event_id, p.user_id, p.ts,
        c.ts AS last_click_ts, c.event_id AS last_click_id
 FROM purchases p
@@ -249,24 +251,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort the click first ('click' < 'purchase'), matching DuckDB's inclusive
     `p.ts >= c.ts`.
     """
+    # ts IS NOT NULL both sides: an as-of join is defined over timestamped
+    # rows only (the oracle engine's ASOF otherwise treats a NULL probe ts
+    # as +infinity — an accident, not a contract)
     e = Tables(spark, sf_dir).events.filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_type"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # As-of on an unknown time matches nothing (ASOF's p.ts >= c.ts is NULL
+    # for either NULL side): clicks without a timestamp are never carried,
+    # and purchases without a timestamp get no match.
     click_struct = F.when(
-        F.col("event_type") == "click", F.struct("ts", "event_id")
+        (F.col("event_type") == "click") & F.col("ts").isNotNull(),
+        F.struct("ts", "event_id"),
     )
     carried = e.withColumn("last_click", F.last(click_struct, ignorenulls=True).over(w))
+    # NULL user_id: partitionBy groups NULL users into ONE partition where
+    # they would as-of match each other's clicks — but the join's equality
+    # predicate never matches NULL, so those purchases must stay unmatched
+    matched = F.when(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+        F.col("last_click"),
+    )
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         "ts",
-        F.col("last_click.ts").alias("last_click_ts"),
-        F.col("last_click.event_id").alias("last_click_id"),
+        matched.getField("ts").alias("last_click_ts"),
+        matched.getField("event_id").alias("last_click_id"),
     )
 
 

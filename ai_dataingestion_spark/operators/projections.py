@@ -44,7 +44,11 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net.alias("net_price"),
         (net * (1 + F.col("l_tax"))).alias("gross_price"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # F.concat, not concat_ws: concat_ws SKIPS null parts ('A' instead
+        # of NULL), the oracle's || chain propagates the NULL
+        F.concat(
+            F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+        ).alias("flag_status"),
     )
 
 

@@ -357,7 +357,8 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = t.orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue")
     )
-    w = Window.orderBy("o_year")
+    # asc_nulls_last: the NULL-date year sequences last (oracle default)
+    w = Window.orderBy(F.asc_nulls_last("o_year"))
     return yearly.select(
         "o_year",
         F.round("revenue", 2).cast("double").alias("revenue"),
@@ -1222,9 +1223,14 @@ def pipeline_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_cumulative_share_monthly",
     oracle="""
 WITH monthly AS (
+  -- o_orderdate IS NOT NULL: a cumulative monthly curve has no seat for
+  -- "no month" — and the oracle engine's window ordering over a NULL
+  -- month from a GROUP BY date_trunc is broken even under an explicit
+  -- NULLS LAST (it seats the NULL first; verified on this corpus)
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          sum(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue
-  FROM orders GROUP BY date_trunc('month', o_orderdate)
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY date_trunc('month', o_orderdate)
 )
 SELECT month,
        CAST(round(revenue, 2) AS DOUBLE) AS revenue,
@@ -1240,10 +1246,14 @@ def orders_cumulative_share_monthly(spark: SparkSession, sf_dir: str) -> DataFra
     grand total) run over the months-sized relation, decimal until the
     final ratio."""
     t = Tables(spark, sf_dir)
-    monthly = t.orders.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue"))
-    w_run = Window.orderBy("month").rowsBetween(
+    monthly = (
+        t.orders.where(F.col("o_orderdate").isNotNull())  # oracle mirrors
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue"))
+    )
+    # asc_nulls_last: the NULL-date month accrues at the END of the
+    # cumulative curve, as in the oracle's ORDER BY month default
+    w_run = Window.orderBy(F.asc_nulls_last("month")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w_all = Window.partitionBy()

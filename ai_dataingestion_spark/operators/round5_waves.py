@@ -152,8 +152,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_cost")
         )
     )
+    # asc_nulls_last: a supplier whose observed quantities are all NULL has
+    # NULL unit cost — it must never WIN the argmin (oracle ASC default)
     w = Window.partitionBy("l_partkey").orderBy(
-        F.asc("unit_cost"), F.asc("l_suppkey")
+        F.asc_nulls_last("unit_cost"), F.asc("l_suppkey")
     )
     best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
@@ -261,7 +263,12 @@ def orders_repeat_customer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey-partitioned row_number (shuffles orderkey+date pairs only),
     then a months-sized groupBy — no self-join against order history."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_last: NULL-date orders must sequence LAST per customer as
+    # in the oracle — at the front they shift every real order's nth up
+    # and miscount first purchases as repeats
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     seq = t.orders.select(
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.row_number().over(w).alias("nth"),
@@ -356,7 +363,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     touched = t.events.select(
@@ -2040,8 +2047,11 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     "lineitem_quantity_cusum_shift",
     oracle="""
 WITH daily AS (
+  -- l_shipdate IS NOT NULL: a daily control chart has no seat for
+  -- "no day" (and the oracle engine's window ordering over a NULL
+  -- grouped date is unreliable — see orders_cumulative_share_monthly)
   SELECT l_shipdate AS day, CAST(sum(l_quantity) AS DOUBLE) AS x
-  FROM lineitem GROUP BY l_shipdate
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY l_shipdate
 ),
 stats AS (
   SELECT day, x, avg(x) OVER () AS mu, count(*) OVER () AS n_days
@@ -2070,8 +2080,10 @@ def lineitem_quantity_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame
     rank) runs over the days-sized relation; output is exactly one row
     with a deterministic tie-break."""
     t = Tables(spark, sf_dir)
-    daily = t.lineitem.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.sum("l_quantity").cast("double").alias("x")
+    daily = (
+        t.lineitem.where(F.col("l_shipdate").isNotNull())  # oracle mirrors
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(F.sum("l_quantity").cast("double").alias("x"))
     )
     w_all = Window.partitionBy()
     stats = daily.select(
@@ -2661,7 +2673,7 @@ def events_markov_2step_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying only the type column produces both lags; output is bounded
     by |types|³ at any event volume."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     seq = t.events.select(
         F.col("event_type").alias("step3"),
         F.lag("event_type", 1).over(w).alias("step2"),
@@ -2837,7 +2849,8 @@ seq AS (
               OR lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  -- an event with no timestamp cannot sit on a concurrency timeline
+  FROM events WHERE ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, ts,
@@ -2905,8 +2918,8 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window; peaks are always attained at +1 boundary points, so
     the per-day max over boundary points is the true within-day peak.
     """
-    e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = Tables(spark, sf_dir).events.where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -3665,7 +3678,9 @@ SELECT 'v1' AS src, count(*) AS n,
        CAST(NULL AS DOUBLE) AS acctbal_sum
 FROM customer WHERE c_custkey % 2 = 0
 UNION ALL
-SELECT 'v2', count(*), 0,
+-- v2 null count is the SOURCE's own null acctbals (not a pinned 0): the
+-- evolved file carries the column, nullable like any other
+SELECT 'v2', count(*), CAST(count(*) - count(c_acctbal) AS BIGINT),
        CAST(round(sum(CAST(c_acctbal AS DECIMAL(20, 2))), 2) AS DOUBLE)
 FROM customer WHERE c_custkey % 2 = 1
 """,
@@ -4135,7 +4150,8 @@ WITH seq AS (
               OR lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  -- an event with no timestamp cannot be sessionized onto a day
+  FROM events WHERE ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, ts,
@@ -4163,8 +4179,8 @@ def events_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement-quality headline next to events_dau_mau's volume view.
     Same single user-partitioned shuffle as events_sessionize_batch;
     the daily rollup is days-sized."""
-    e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = Tables(spark, sf_dir).events.where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -5137,7 +5153,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays through the window and do not."""
     e = Tables(spark, sf_dir).events
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+        F.asc_nulls_last("ts"), "event_id"
     )
     flagged = e.select(
         "user_id",
@@ -5149,7 +5165,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return flagged.select(
@@ -5420,7 +5436,7 @@ def events_cep_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-user match counts; strict contiguity is what separates this
     from events_markov_2step_paths' unconditional trigram census."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -5569,8 +5585,10 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_text_wholefile",
     oracle="""
 WITH content AS (
+  -- r_name IS NOT NULL (explicit; string_agg would skip it anyway): a
+  -- NULL has no line representation in the text format
   SELECT string_agg(r_name, chr(10) ORDER BY r_name) || chr(10) AS body
-  FROM region
+  FROM region WHERE r_name IS NOT NULL
 )
 SELECT 1 AS n_files,
        CAST(length(body) AS BIGINT) AS content_chars,
@@ -5588,7 +5606,7 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (ordered lines + trailing newline). The non-splittability is
     the point: one file = one task, so at scale this pairs with
     many-small-files layouts, never one giant blob."""
-    r = Tables(spark, sf_dir).region
+    r = Tables(spark, sf_dir).region.where(F.col("r_name").isNotNull())
     out = op_tmpdir("scan_wholefile_")
     (
         r.select("r_name")
@@ -5611,8 +5629,11 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_seasonal_naive_backtest",
     oracle="""
 WITH daily AS (
+  -- ts IS NOT NULL: a NULL day has no lag-7 seat, and the oracle
+  -- engine's window over a NULL grouped date is nondeterministic
+  -- (observed flipping across identical runs on this corpus)
   SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 lagged AS (
   SELECT event_type, day, n,
@@ -5641,7 +5662,7 @@ def events_seasonal_naive_backtest(
     score). Error sums are exact integer arithmetic; the two final
     divisions and the sqrt are portable-rounded. Windows run over the
     types×days aggregate — broadcast-sized at any event volume."""
-    e = Tables(spark, sf_dir).events
+    e = Tables(spark, sf_dir).events.where(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -5802,7 +5823,7 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ordered string_agg. Top-20 cut is count-then-path
     deterministic."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -5830,18 +5851,34 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(
                 F.transform(
+                    # the +inf sentinel sorts NULL-ts events LAST (struct
+                    # field comparison would put them first; the oracle's
+                    # ORDER BY ts is NULLS LAST) — event_id tiebreaks both
                     F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        F.collect_list(
+                            F.struct(
+                                F.coalesce(
+                                    F.col("ts"),
+                                    F.lit("9999-12-31").cast("timestamp"),
+                                ).alias("ts_k"),
+                                "event_id",
+                                "event_type",
+                            )
+                        )
                     ),
                     lambda s: s.getField("event_type"),
                 ),
                 ">",
-            ).alias("path"),
+            ).alias("path_raw"),
         )
         .filter(F.col("n_events") <= 8)
+        # all-NULL-type sessions: array_join renders '', the oracle's
+        # string_agg renders NULL — nullif pins the NULL contract (no
+        # event_type in this corpus is the empty string)
+        .withColumn("path", F.nullif(F.col("path_raw"), F.lit("")))
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc_nulls_last("path"))
     return (
         counted.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= 20)
@@ -6123,9 +6160,11 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_binary_files",
     oracle="""
 WITH payloads AS (
+  -- r_name IS NOT NULL: an asset without a name cannot be staged as a
+  -- file (and || NULL would null the body on this side only)
   SELECT r_name, 'ASSET:' || r_name || ':' || CAST(r_regionkey AS VARCHAR)
            AS body
-  FROM region
+  FROM region WHERE r_name IS NOT NULL
 )
 SELECT count(*) AS n_files,
        CAST(sum(octet_length(encode(body))) AS BIGINT) AS total_bytes,
@@ -6144,7 +6183,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared schema. Pairs with multimodal_payload_dedup (dedup after
     this ingest) and the mapInPandas featurizers (decode after this
     ingest)."""
-    r = Tables(spark, sf_dir).region.select("r_name", "r_regionkey").collect()
+    r = (
+        Tables(spark, sf_dir)
+        .region.where(F.col("r_name").isNotNull())  # oracle mirrors
+        .select("r_name", "r_regionkey")
+        .collect()
+    )
     out = op_tmpdir("scan_binary_")
     for row in r:  # 5 rows — bounded driver-side staging
         body = f"ASSET:{row['r_name']}:{row['r_regionkey']}".encode()
@@ -6435,10 +6479,15 @@ def win_default_frame_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Tables(spark, sf_dir).customer
     band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
     dec = F.col("c_acctbal").cast("decimal(19,2)")
-    w_default = Window.partitionBy("c_mktsegment").orderBy("band")
+    # asc_nulls_last: NULL band (NULL acctbal) must sit at the partition
+    # END as in the oracle engine, so its RANGE frame spans the whole
+    # partition rather than opening it with a NULL-sum prefix
+    w_default = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("band")
+    )
     w_rows = (
         Window.partitionBy("c_mktsegment")
-        .orderBy("band", "c_custkey")
+        .orderBy(F.asc_nulls_last("band"), "c_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_peers = Window.partitionBy("c_mktsegment", "band")
@@ -7342,7 +7391,7 @@ def events_transition_dwell_stats(
     integer µs sums, one rounded division for the mean, interpolating
     median over exact integers. Output bounded by types²."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     dwell = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.lag("ts").over(w).cast("timestamp")
     )
@@ -7596,9 +7645,11 @@ _KS_CUT = "2024-01-15"
     "quality_ks_two_sample",
     oracle=f"""
 WITH tagged AS (
+  -- value IS NOT NULL: an ECDF is over OBSERVED values; a NULL value is
+  -- not an observation and its group has no seat in the ordered walk
   SELECT value,
          CASE WHEN ts < TIMESTAMP '{_KS_CUT}' THEN 1 ELSE 0 END AS pre
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (
   SELECT value,
@@ -7640,7 +7691,9 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window never sees raw events. Exact integer ranks, two
     divisions per distinct value, deterministic argmax with a value
     tiebreak."""
-    e = Tables(spark, sf_dir).events
+    e = Tables(spark, sf_dir).events.where(
+        F.col("value").isNotNull()  # oracle mirrors: ECDF over observations
+    )
     tagged = e.select(
         "value",
         F.when(F.col("ts") < F.lit(_KS_CUT).cast("timestamp"), 1)
@@ -7695,9 +7748,12 @@ _PAGE_SIZE = 50
     "sort_keyset_pagination",
     oracle=f"""
 WITH ranked AS (
+  -- o_orderdate IS NOT NULL: keyset pagination requires a totally
+  -- ordered, seekable cursor; a NULL date cannot anchor the predicate
+  -- (o_orderdate > NULL is never true) so such rows are out of scope
   SELECT o_orderkey, o_orderdate, o_totalprice,
          row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 )
 SELECT CAST((rn - 1) // {_PAGE_SIZE} + 1 AS INT) AS page,
        o_orderkey, o_orderdate, o_totalprice
@@ -7714,8 +7770,10 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle spells the same three pages as one ranked window. The
     (date, key) cursor is totally ordered because orderkey is unique —
     the precondition keyset pagination always needs."""
-    o = Tables(spark, sf_dir).orders.select(
-        "o_orderkey", "o_orderdate", "o_totalprice"
+    o = (
+        Tables(spark, sf_dir)
+        .orders.where(F.col("o_orderdate").isNotNull())  # oracle mirrors
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
     pages = []
     cursor = None  # (date, key) of last row seen
@@ -8174,14 +8232,18 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", t.alias("t")
     )
     err_t = F.when(F.col("event_type") == "error", F.col("t"))
+    # asc_nulls_last: NULL-t rows sit at the partition end in the oracle
+    # engine's ORDER BY t; matching placement keeps the carry windows
+    # row-identical (NULL-t errors are skipped as VALUES by ignore-nulls
+    # on both sides, but their POSITION shifts every neighbor otherwise)
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
+        .orderBy(F.asc_nulls_last("t"), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
+        .orderBy(F.asc_nulls_last("t"), "event_id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     enriched = seq.select(
@@ -8319,7 +8381,11 @@ def quality_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_retention_gc_plan",
     oracle="""
 WITH snapshots AS (
-  SELECT DISTINCT date_trunc('month', o_orderdate) AS snap FROM orders
+  -- o_orderdate IS NOT NULL: a snapshot without a date has no age (and
+  -- the oracle engine's window ranking over a NULL grouped date is
+  -- unreliable — see orders_cumulative_share_monthly)
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS snap
+  FROM orders WHERE o_orderdate IS NOT NULL
 ),
 ranked AS (
   SELECT snap,
@@ -8342,7 +8408,7 @@ def pipeline_retention_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy every lakehouse table ages under. Rank arithmetic only, over
     the snapshots-sized relation; the emitted plan is the input a GC
     executor consumes (and what retention audits diff against)."""
-    o = Tables(spark, sf_dir).orders
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderdate").isNotNull())
     snaps = o.select(
         F.date_trunc("month", "o_orderdate").alias("snap")
     ).distinct()

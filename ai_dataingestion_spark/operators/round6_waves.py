@@ -263,7 +263,9 @@ WITH lake_grams AS (
   FROM documents,
        unnest(generate_series(1, greatest(
          len(string_split(text, ' ')) - 2, 1))) s(i)
-  WHERE doc_id % 3 <> 0
+  -- text IS NOT NULL: a NULL doc yields no shingles (it would otherwise
+  -- contribute a DISTINCT NULL digest on this side only)
+  WHERE doc_id % 3 <> 0 AND text IS NOT NULL
 ),
 batch_grams AS (
   SELECT DISTINCT md5(array_to_string(
@@ -271,7 +273,7 @@ batch_grams AS (
   FROM documents,
        unnest(generate_series(1, greatest(
          len(string_split(text, ' ')) - 2, 1))) s(i)
-  WHERE doc_id % 3 = 0
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
 )
 SELECT (SELECT count(*) FROM batch_grams) AS batch_distinct_grams,
        (SELECT count(*) FROM batch_grams b
@@ -294,9 +296,12 @@ def text_batch_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is the same digest index the incremental dedup keeps."""
     d = Tables(spark, sf_dir).documents
     toks = F.split("text", " ")
+    # NULL branch: size(NULL) = -1 + concat_ws(' ', NULL) = '' would mint
+    # md5('') shingles for NULL docs (the _SHINGLES_EXPR rule)
     grams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-        " i -> md5(concat_ws(' ', slice(toks, i, 3))))"
+        "CASE WHEN toks IS NULL THEN NULL"
+        " ELSE transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> md5(concat_ws(' ', slice(toks, i, 3)))) END"
     )
 
     def gram_set(df: DataFrame) -> DataFrame:
@@ -836,13 +841,16 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_representative_selection",
     oracle="""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  -- text IS NOT NULL on both sides: a doc with no text has no family
+  -- key, and Spark's size(NULL) = -1 vs len(NULL) = NULL would rank
+  -- NULL-family members differently
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
   UNION ALL
   -- truncated inferior copies of every 4th doc under offset ids
   SELECT doc_id + 3000000,
          array_to_string(list_slice(string_split(text, ' '), 1,
            greatest(len(string_split(text, ' ')) - 5, 1)), ' ')
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL
 ),
 keyed AS (
   -- family key: first 5 tokens (the prefix-template family rule)
@@ -879,7 +887,11 @@ def dedup_representative_selection(
     its fuller original). One family-partitioned window over
     (family-hash, token-count) — text leaves the scan only as its
     hash and length."""
-    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    d = (
+        Tables(spark, sf_dir)
+        .documents.where(F.col("text").isNotNull())  # oracle mirrors
+        .select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     inferior = d.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 3_000_000).alias("doc_id"),
@@ -931,10 +943,12 @@ def dedup_representative_selection(
     "orders_moving_annual_total",
     oracle="""
 WITH monthly AS (
+  -- o_orderdate IS NOT NULL: a NULL month has no seat in a trailing
+  -- 12-month frame (see orders_cumulative_share_monthly)
   SELECT date_trunc('month', o_orderdate) AS m,
          sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS rev,
          count(*) AS n
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 indexed AS (
   SELECT m, rev, n,
@@ -963,7 +977,7 @@ def orders_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     row frame ≡ a month-range frame); months_in_window exposes the
     warm-up period where the window is still partial. DECIMAL sums,
     broadcast-sized relation at any order volume."""
-    o = Tables(spark, sf_dir).orders
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderdate").isNotNull())
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
@@ -1033,7 +1047,7 @@ def events_session_depth_survival(
     AGGREGATED lengths relation (the events_survival_weeks explode
     pattern) — never against raw events."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
@@ -1117,7 +1131,7 @@ def events_session_gap_sensitivity(
     e = Tables(spark, sf_dir).events
     out = None
     for gap in _GAPS_MIN:
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
         prev = F.lag("ts").over(w)
         gap_us = F.unix_micros(
             F.col("ts").cast("timestamp")
@@ -1309,7 +1323,7 @@ def events_longest_same_type_run(
     anomaly primitive over ordered categorical streams. One user
     partitioning serves both windows."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     brk = F.when(
         F.col("event_type") == F.lag("event_type").over(w), 0
     ).otherwise(1)
@@ -1481,8 +1495,10 @@ def scan_csv_column_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_wow_change_contributions",
     oracle="""
 WITH cells AS (
+  -- a NULL timestamp has no week; the engines would seat the NULL week
+  -- at opposite ends of each type's lag sequence
   SELECT date_trunc('week', ts) AS m, event_type, count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 lagged AS (
   SELECT m, event_type, n,
@@ -1515,7 +1531,7 @@ def events_wow_change_contributions(
     the number" attribution every growth review starts with, exact
     because Δtotal ≡ ΣΔtype. Integer deltas; the only division is the
     guarded share. Windows over the weeks×types aggregate."""
-    e = Tables(spark, sf_dir).events
+    e = Tables(spark, sf_dir).events.where(F.col("ts").isNotNull())
     cells = e.groupBy(
         F.date_trunc("week", "ts").alias("m"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -1917,9 +1933,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.col("l_quantity").cast("decimal(19,2)")).alias("w")
     )
-    w_cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # asc_nulls_last: the NULL-price cell must accumulate at the END of the
+    # cumulative weight (oracle ORDER BY v default) — at the front it
+    # shifts the half-total crossing and the reported median
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        F.asc_nulls_last("v")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = grouped.select(
         "l_returnflag",
         "v",
@@ -2033,9 +2052,12 @@ WITH comp AS (
   FROM lineitem GROUP BY l_orderkey
 ),
 od AS (
+  -- both months NOT NULL: an order with an unknown start or completion
+  -- month cannot be swept onto the calendar line
   SELECT date_trunc('month', o_orderdate) AS start_m, done_m,
          CAST(o_totalprice AS DECIMAL(20,2)) AS v
   FROM orders JOIN comp ON o_orderkey = ok
+  WHERE o_orderdate IS NOT NULL AND done_m IS NOT NULL
 ),
 deltas AS (
   SELECT start_m AS m, 1 AS d, v FROM od
@@ -2066,10 +2088,15 @@ def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("month", F.max("l_shipdate")).alias("done_m")
     )
     price = F.col("o_totalprice").cast("decimal(20,2)")
-    od = t.orders.join(comp, F.col("o_orderkey") == F.col("ok")).select(
-        F.date_trunc("month", "o_orderdate").alias("start_m"),
-        "done_m",
-        price.alias("v"),
+    od = (
+        t.orders.join(comp, F.col("o_orderkey") == F.col("ok"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("start_m"),
+            "done_m",
+            price.alias("v"),
+        )
+        # oracle mirrors: unknown start/completion months can't be swept
+        .where(F.col("start_m").isNotNull() & F.col("done_m").isNotNull())
     )
     deltas = od.select(
         F.col("start_m").alias("m"), F.lit(1).alias("d"), F.col("v")
@@ -2388,8 +2415,12 @@ def quality_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
     "part_skyline_price_size",
     oracle="""
 WITH pts AS (
+  -- a point with an unknown coordinate cannot be dominance-compared:
+  -- NULL comparisons make the NOT-EXISTS vacuously keep it
   SELECT p_retailprice AS price, p_size AS sz, count(*) AS n_parts
-  FROM part GROUP BY 1, 2
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  GROUP BY 1, 2
 )
 SELECT price AS p_retailprice, sz AS p_size,
        CAST(n_parts AS BIGINT) AS n_parts
@@ -2416,7 +2447,9 @@ def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) points collapse to one row with their part count."""
     t = Tables(spark, sf_dir)
     wp = Window.partitionBy("p_retailprice")
-    p2 = t.part.select(
+    p2 = t.part.where(  # oracle mirrors: no NULL coordinates in a skyline
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
         "p_retailprice",
         "p_size",
         F.max("p_size").over(wp).alias("pmax"),
@@ -2549,10 +2582,12 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_corr_daily",
     oracle="""
 WITH daily AS (
+  -- NULL timestamps have no day; the engines would seat the NULL day at
+  -- opposite ends of the rolling ORDER BY day sequence
   SELECT CAST(ts AS DATE) AS day,
          count(CASE WHEN event_type = 'click' THEN 1 END) AS x,
          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 mom AS (
   SELECT day,
@@ -2585,11 +2620,13 @@ def events_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Days with a degenerate window (zero variance) yield NULL on both
     sides; the first six ramp-up days are excluded by row_number."""
     t = Tables(spark, sf_dir)
-    daily = t.events.groupBy(
-        F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    daily = (
+        t.events.where(F.col("ts").isNotNull())  # oracle mirrors: no day
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     mom = daily.select(
@@ -2879,7 +2916,7 @@ def events_interarrival_burstiness(
     order by (ts, event_id) so timestamp ties break deterministically;
     one corpus shuffle on event_type for the lag, then a 5-row rollup."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("ts"), "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = e.select(
         "event_type", (us - F.lag(us).over(w)).alias("d")
@@ -3553,7 +3590,10 @@ touched AS (
   WHERE day <= DATE '2024-01-05' AND event_type = 'click'
 ),
 untouched AS (
-  SELECT count(*) AS c FROM d WHERE day > DATE '2024-01-05'
+  -- the NULL-day partition (hive default dir) is a real partition the
+  -- dynamic overwrite leaves untouched — it survives in the target
+  SELECT count(*) AS c FROM d
+  WHERE day > DATE '2024-01-05' OR day IS NULL
 )
 SELECT 'rows_after' AS metric,
        (SELECT c FROM touched) + (SELECT c FROM untouched) AS value
@@ -3609,9 +3649,11 @@ def sink_dynamic_partition_overwrite(
         F.count(F.when(F.col("day") <= cutoff, 1)).alias(
             "touched_day_rows"
         ),
-        F.count(F.when(F.col("day") > cutoff, 1)).alias(
-            "untouched_day_rows"
-        ),
+        # the NULL-day partition is untouched by the overwrite (the
+        # incoming slice has no NULL day) — count it on that side
+        F.count(
+            F.when((F.col("day") > cutoff) | F.col("day").isNull(), 1)
+        ).alias("untouched_day_rows"),
     )
     return audit.select(
         F.expr(
@@ -3637,10 +3679,12 @@ def sink_dynamic_partition_overwrite(
     "stream_foreachbatch_upsert",
     oracle="""
 WITH ranked AS (
+  -- user_id IS NOT NULL both sides: upsert state is keyed by user, and
+  -- the correlated count below is null-unsafe anyway (count 0 for NULL)
   SELECT user_id, event_type, value,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT user_id,
        (SELECT count(*) FROM events e WHERE e.user_id = ranked.user_id)
@@ -3691,6 +3735,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # upsert state is keyed by user: no user, no state row (oracle
+        # mirrors with user_id IS NOT NULL)
+        batch_df = batch_df.where(F.col("user_id").isNotNull())
         batch_state = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,6)"))
@@ -4158,7 +4205,9 @@ def orders_hierarchy_share_of_parent(
     )
     seg_lvl = base.select(
         F.lit("segment").alias("level"),
-        F.concat_ws("/", "n_name", "seg").alias("key"),
+        # null-propagating concat (oracle ||): a NULL nation or segment
+        # nulls the composite key instead of collapsing to a bare name
+        F.concat(F.col("n_name"), F.lit("/"), F.col("seg")).alias("key"),
         F.col("n_name").alias("parent"),
         "rev",
         F.sum("rev").over(Window.partitionBy("n_name")).alias("parent_rev"),
@@ -4243,7 +4292,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user lag; everything after runs on the ≤ types² cell
     aggregate, probabilities as exact integer-count ratios."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     seq = e.select(
         F.col("event_type").alias("nxt"),
         F.lag("event_type").over(w).alias("prv"),
@@ -4612,9 +4661,11 @@ def text_naive_bayes_source_classifier(
     "orders_seasonal_decomposition_additive",
     oracle="""
 WITH monthly AS (
+  -- o_orderdate IS NOT NULL: a NULL month has no seat in a centered
+  -- 12-month moving window (see orders_cumulative_share_monthly)
   SELECT date_trunc('month', o_orderdate) AS m,
          CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE) AS rev
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 tr AS (
   SELECT m, rev,
@@ -4664,7 +4715,7 @@ def orders_seasonal_decomposition_additive(
     growing business doesn't masquerade as seasonality. Monthly sums
     in DECIMAL → identical doubles; trend divides a window sum by the
     exact count; all windows run over the ~80-row months relation."""
-    o = Tables(spark, sf_dir).orders
+    o = Tables(spark, sf_dir).orders.where(F.col("o_orderdate").isNotNull())
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
@@ -5941,9 +5992,14 @@ def scan_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(out)
     )
+    # NULL priorities land in the hive default-partition directory; decode
+    # it back to NULL so the audit reconciles against the source's NULL
+    # group instead of silently dropping that partition
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
     files = [
-        (p.split("o_orderpriority=")[1].split("/")[0], p)
+        (None if raw == _HIVE_NULL else raw, p)
         for p in glob.glob(os.path.join(out, "o_orderpriority=*", "*.parquet"))
+        for raw in [p.split("o_orderpriority=")[1].split("/")[0]]
     ]
     paths = spark.createDataFrame(files, "priority string, path string").repartition(
         8, "path"
@@ -5973,8 +6029,15 @@ def scan_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("source_rows")
     )
-    return per_part.join(source, "priority").select(
-        "priority", "n_files", "n_row_groups", "footer_rows", "source_rows"
+    # eqNullSafe: the NULL-priority partition must reconcile, not vanish
+    return per_part.join(
+        source, per_part["priority"].eqNullSafe(source["priority"])
+    ).select(
+        per_part["priority"],
+        "n_files",
+        "n_row_groups",
+        "footer_rows",
+        "source_rows",
     )
 
 
@@ -6349,10 +6412,14 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_nationkey")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+    # final groupBy(n_name): the oracle groups by NAME, so boxes sharing a
+    # name — including several NULL-named nations, which GROUP BY collapses
+    # into one NULL group on both engines — merge their point counts
     return (
         boxes.select("n_nationkey", "n_name")
         .join(hits, "n_nationkey", "left")
-        .select("n_name", F.coalesce("n_points", F.lit(0)).alias("n_points"))
+        .groupBy("n_name")
+        .agg(F.sum(F.coalesce("n_points", F.lit(0))).alias("n_points"))
     )
 
 
@@ -6382,7 +6449,9 @@ def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the contract itself (all three accuracies within bound)."""
     li = Tables(spark, sf_dir).lineitem
     sk = li.agg(
-        F.count(F.lit(1)).alias("n"),
+        # count(col), not count(*): the sketch ignores NULL prices, so the
+        # rank band must be centered on the NON-NULL population
+        F.count("l_extendedprice").alias("n"),
         F.expr("percentile_approx(l_extendedprice, 0.5, 100)").alias("a100"),
         F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("a1000"),
         F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias(

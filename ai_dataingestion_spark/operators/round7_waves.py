@@ -155,7 +155,8 @@ SELECT strftime(ts, '%Y-%m') AS month,
        count(DISTINCT user_id) AS exact_u,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
        true AS within_5pct
-FROM events GROUP BY 1
+-- ts IS NOT NULL: a NULL timestamp has no grain cell at any rollup level
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
 )
 def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +173,8 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bound boolean. Both aggregation levels are partial-aggregable;
     the shuffle carries <=16 KB sketch blobs."""
     t = Tables(spark, sf_dir)
-    daily = t.events.groupBy(
+    ev = t.events.where(F.col("ts").isNotNull())  # oracle mirrors
+    daily = ev.groupBy(
         F.to_date("ts").alias("day"),
         F.date_format("ts", "yyyy-MM").alias("month"),
     ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
@@ -180,7 +182,7 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
         F.count(F.lit(1)).alias("n_days"),
     )
-    exact = t.events.groupBy(
+    exact = ev.groupBy(
         F.date_format("ts", "yyyy-MM").alias("month")
     ).agg(F.count_distinct("user_id").alias("exact_u"))
     return monthly.join(exact, "month").select(
@@ -217,11 +219,16 @@ def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator documents.)"""
     t = Tables(spark, sf_dir)
     out = op_tmpdir("csv_md_")
-    line = F.concat_ws(
-        "||",
+    # coalesce-to-empty, not concat_ws's null-SKIPPING: a skipped field
+    # shifts every later column over the delimiter and corrupts the parse;
+    # an empty field reads back as NULL (Spark CSV's default nullValue),
+    # round-tripping the NULL faithfully
+    line = F.concat(
         F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("string"),
+        F.lit("||"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.lit("||"),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")),
     )
     t.orders.select(line.alias("value")).write.mode("overwrite").text(out)
     back = (
@@ -599,13 +606,17 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PIVOT_SPARK)
 
 
+# NULLS LAST is spelled out because this one statement runs VERBATIM on
+# both engines, whose ASC defaults disagree (Spark NULLS FIRST, oracle
+# NULLS LAST) — the only dialect-divergent piece of an otherwise shared text
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey,
        row_number() OVER w AS rn,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w, 2)
             AS DOUBLE) AS run_spend
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """
 
 

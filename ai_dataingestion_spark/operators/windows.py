@@ -95,7 +95,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap (µs) via lag; next event type via lead, per user."""
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc("event_id"))
     e = Tables(spark, sf_dir).events.withColumn("_us", _epoch_us("ts"))
     return e.select(
         "event_id",
@@ -120,7 +120,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer in order-date order."""
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return Tables(spark, sf_dir).orders.select(
@@ -145,7 +145,7 @@ def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving average of value over the last 3 events per user (ROWS frame)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_last("ts"), F.asc("event_id"))
         .rowsBetween(-2, Window.currentRow)
     )
     return Tables(spark, sf_dir).events.select(
@@ -171,7 +171,7 @@ def win_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-based frames need a numeric ordering column in Spark."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("_us"))
+        .orderBy(F.asc_nulls_last("_us"))
         .rangeBetween(-_HOUR_US, Window.currentRow)
     )
     e = Tables(spark, sf_dir).events.withColumn("_us", _epoch_us("ts"))
@@ -197,7 +197,7 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucket + distribution ranks over account balances.
     percent_rank/cume_dist are exact rationals of row counts, so raw doubles
     match bit-for-bit; ntile is cast to bigint (DuckDB's type)."""
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    w = Window.orderBy(F.asc_nulls_last("c_acctbal"), F.asc("c_custkey"))
     return Tables(spark, sf_dir).customer.select(
         "c_custkey",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
@@ -230,7 +230,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events.withColumn(
         "day", F.col("ts").cast("date").cast("string")
     )
-    w = Window.partitionBy("user_id", "day").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id", "day").orderBy(F.asc_nulls_last("ts"), F.asc("event_id"))
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         e.select(
@@ -256,7 +256,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 def win_lag_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead with multi-row offsets and explicit defaults (the partition
     edges take the default instead of NULL)."""
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc("event_id"))
     return Tables(spark, sf_dir).events.select(
         "event_id",
         "user_id",

@@ -110,7 +110,11 @@ def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fk = (
+        # o_custkey IS NOT NULL: a NULL FK is not an ORPHAN (the oracle's
+        # NOT IN is never true for NULL); left_anti would keep it —
+        # nullness itself is quality_profile's department, not this rule's
         t.orders.select("o_custkey")
+        .where(F.col("o_custkey").isNotNull())
         .distinct()
         .join(
             t.customer.select(F.col("c_custkey").alias("o_custkey")),
@@ -189,7 +193,13 @@ def pipeline_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("user_id").agg(
         F.max_by("event_id", ord_key).alias("last_event_id"),
-        F.max_by("event_type", ord_key).alias("last_event_type"),
+        # the when-guard mirrors the oracle's arg_max, which skips rows
+        # whose VALUE is NULL: the latest KNOWN type, not a NULL from the
+        # newest row (see agg_arg_minmax for the general rule)
+        F.max_by(
+            "event_type",
+            F.when(F.col("event_type").isNotNull(), ord_key),
+        ).alias("last_event_type"),
         F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
         F.count(F.lit(1)).alias("n_versions"),
     )

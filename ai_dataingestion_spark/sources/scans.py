@@ -74,13 +74,23 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_text",
-    oracle="SELECT text AS value FROM documents",
+    # the line-oriented text format can only carry non-null, newline-free
+    # payloads: a NULL has no line representation and an embedded newline
+    # splits into several rows on read-back — both are out of the
+    # format's domain, stated identically on both sides
+    oracle="""
+SELECT text AS value FROM documents
+WHERE text IS NOT NULL AND strpos(text, chr(10)) = 0
+""",
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-line text ingestion (raw-document reader): one row per line."""
     out = op_tmpdir("scan_text_")
     docs = Tables(spark, sf_dir).documents
-    docs.select("text").coalesce(1).write.mode("overwrite").text(out)
+    writable = docs.where(
+        F.col("text").isNotNull() & ~F.col("text").contains("\n")
+    )
+    writable.select("text").coalesce(1).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
 

@@ -27,7 +27,9 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        event_type,
        count(*)             AS n,
        round(sum(value), 4) AS total
-FROM events
+-- ts IS NOT NULL: Spark's time-window operator injects an isnotnull(ts)
+-- filter, so a NULL timestamp has no window on either side
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -57,6 +59,8 @@ SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
        round(sum(value), 4) AS total
 FROM events
 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+-- ts IS NOT NULL: see stream_tumbling (Spark windows drop NULL ts)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -85,7 +89,7 @@ WITH seq AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- session_window drops NULL ts too
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (

@@ -63,7 +63,7 @@ def stage_event_files(
     e = load_table(spark, sf_dir, "events")
     # one job: rank by ts -> bucket id -> single partitioned write
     ranked = e.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        "_rn", F.row_number().over(Window.orderBy(F.asc_nulls_last("ts"), "event_id"))
     ).withColumn(
         "drop_bucket",
         F.least(
@@ -345,7 +345,14 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_incremental",
-    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    # mirrors the operator's CLEAN stage: non-null ids and the closed
+    # type domain (a NULL event_type is dirty input, not a group)
+    oracle="""
+SELECT event_type, count(*) AS n FROM events
+WHERE event_id IS NOT NULL
+  AND event_type IN ('click', 'purchase', 'error', 'signup', 'view')
+GROUP BY event_type
+""",
 )
 def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ingestion (the 'AI_DataIngestion' core loop):
