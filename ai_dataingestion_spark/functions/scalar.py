@@ -25,7 +25,12 @@ from ai_dataingestion_spark.registry import Tables
     "fn_string",
     oracle="""
 SELECT c_custkey,
-       upper(c_name)                       AS name_upper,
+       -- case-stable domain only: Java FULL case mapping uppercases
+       -- sharp-s to SS and lowercases dotted-I with a combining mark,
+       -- utf8proc disagrees on both; outside the domain the column is
+       -- NULL on both sides
+       CASE WHEN NOT regexp_matches(c_name, '[ßẞİı]')
+            THEN upper(c_name) END         AS name_upper,
        lower(c_mktsegment)                 AS seg_lower,
        length(c_name)                      AS name_len,
        substring(c_name, 1, 8)             AS name_prefix,
@@ -42,7 +47,10 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Tables(spark, sf_dir).customer
     return c.select(
         "c_custkey",
-        F.upper("c_name").alias("name_upper"),
+        F.when(
+            ~F.col("c_name").rlike("[ßẞİı]"),
+            F.upper("c_name"),
+        ).alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.length("c_name").cast("bigint").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
@@ -293,8 +301,12 @@ FROM events
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON → MapType → map_keys/element_at (flat outputs so the map
     itself never crosses the comparison boundary)."""
+    # map<string,string>, not map<string,int>: JSON object values are
+    # heterogeneous, and one non-integer value makes from_json null the
+    # ENTIRE map (found by the unicode tier's string-valued key) — parse
+    # losslessly, cast the one numeric field at the point of use
     e = Tables(spark, sf_dir).events.withColumn(
-        "m", F.from_json("props", MapType(StringType(), IntegerType()))
+        "m", F.from_json("props", MapType(StringType(), StringType()))
     )
     return e.select(
         "event_id",

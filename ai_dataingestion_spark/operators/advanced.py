@@ -324,10 +324,17 @@ def events_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_suppkey, s_name, n_name AS best_nation, dist FROM (
   SELECT s.s_suppkey, s.s_name, n.n_name,
-         levenshtein(s.s_name, n.n_name) AS dist,
+         -- ASCII operands only: edit distance is an encoding-unit metric
+         -- and the engines count different units outside ASCII
+         CASE WHEN NOT regexp_matches(s.s_name, '[^ -~]')
+               AND NOT regexp_matches(n.n_name, '[^ -~]')
+              THEN levenshtein(s.s_name, n.n_name) END AS dist,
          row_number() OVER (
            PARTITION BY s.s_suppkey
-           ORDER BY levenshtein(s.s_name, n.n_name) ASC, n.n_name ASC) AS rn
+           ORDER BY CASE WHEN NOT regexp_matches(s.s_name, '[^ -~]')
+                          AND NOT regexp_matches(n.n_name, '[^ -~]')
+                         THEN levenshtein(s.s_name, n.n_name) END ASC,
+                    n.n_name ASC) AS rn
   FROM supplier s CROSS JOIN nation n
 ) WHERE rn = 1
 """,
@@ -347,12 +354,19 @@ def fn_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("s_suppkey").orderBy(
         F.asc_nulls_last("dist"), F.asc_nulls_last("n_name")
     )
+    ascii_pair = ~F.col("s_name").rlike("[^ -~]") & ~F.col(
+        "n_name"
+    ).rlike("[^ -~]")
     return (
         pairs.select(
             "s_suppkey",
             "s_name",
             "n_name",
-            F.levenshtein("s_name", "n_name").alias("dist"),
+            # NULL outside the ASCII domain (oracle mirrors): non-ASCII
+            # names never win the argmin under nulls-last ordering
+            F.when(ascii_pair, F.levenshtein("s_name", "n_name")).alias(
+                "dist"
+            ),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1425,13 +1439,19 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
+  -- translate, not upper(): unicode case mapping is library-defined
+  -- (Java's full mapping uppercases sharp-s to SS, utf8proc to capital
+  -- sharp-s) so both the noising and the canonicalizer fold ASCII case
+  -- ONLY; non-ASCII is stripped by the [^a-z0-9 ] class regardless
   SELECT doc_id + 10000000,
-         upper(replace(text, ' ', '  ')) || ' !!'
+         translate(replace(text, ' ', '  '),
+                   'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!'
   FROM documents WHERE doc_id % 4 = 0
 ),
 norm AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(text),
+         md5(trim(regexp_replace(regexp_replace(
+              translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_digest
   FROM corpus
 )
@@ -1454,14 +1474,22 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents.select("doc_id", "text")
     noised = d.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        # translate = portable ASCII-only case fold (see oracle comment)
         F.concat(
-            F.upper(F.regexp_replace("text", " ", "  ")), F.lit(" !!")
+            F.translate(
+                F.regexp_replace("text", " ", "  "), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            ),
+            F.lit(" !!"),
         ).alias("text"),
     )
     corpus = d.unionByName(noised)
     canon = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            F.regexp_replace(
+                F.translate(F.col("text"), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+                "[^a-z0-9 ]",
+                "",
+            ),
             " +",
             " ",
         )

@@ -579,6 +579,11 @@ FROM sized a JOIN sized b
   ON a.len_bucket = b.len_bucket AND a.prefix5 = b.prefix5
  AND a.doc_id < b.doc_id
 WHERE a.block_n <= 100
+  -- ASCII operands only: edit distance is an ENCODING-UNIT metric and
+  -- the engines count different units outside printable ASCII (bytes here, UTF-16
+  -- units there) — real pipelines transliterate before edit distance
+  AND NOT regexp_matches(a.text, '[^ -~]')
+  AND NOT regexp_matches(b.text, '[^ -~]')
   AND levenshtein(a.text, b.text)
       <= 0.2 * greatest(len(a.text), len(b.text))
 """,
@@ -621,6 +626,12 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.prefix5") == F.col("b.prefix5"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # ASCII operands only (oracle mirrors): engines count different
+        # encoding units outside ASCII — bytes vs UTF-16 code units
+        .filter(
+            ~F.col("a.text").rlike("[^ -~]")
+            & ~F.col("b.text").rlike("[^ -~]")
         )
         .filter(len_delta <= 0.2 * max_len)
         .filter(dist <= 0.2 * max_len)
@@ -3190,7 +3201,13 @@ SELECT p_partkey,
        rpad(p_brand, 12, '.') AS brand_padded,
        translate(p_name, 'aeiou', 'AEIOU') AS name_devoweled,
        repeat(substring(p_name, 1, 2), 3) AS name_stutter,
-       reverse(p_name) AS name_reversed,
+       -- reverse is CODEPOINT-wise on the engine side but GRAPHEME-aware
+       -- here: names carrying joiners/combining marks are out of the
+       -- portable domain (NULL on both sides)
+       CASE WHEN NOT regexp_matches(p_name,
+                 '[' || chr(8203) || '-' || chr(8205) || chr(768) || '-'
+                     || chr(879) || ']')
+            THEN reverse(p_name) END AS name_reversed,
        printf('%s-%05d', p_brand, p_size) AS brand_size_code,
        concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS packed
 FROM part
@@ -3212,7 +3229,12 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad("p_brand", 12, ".").alias("brand_padded"),
         F.translate("p_name", "aeiou", "AEIOU").alias("name_devoweled"),
         F.repeat(F.substring("p_name", 1, 2), 3).alias("name_stutter"),
-        F.reverse("p_name").alias("name_reversed"),
+        F.when(
+            ~F.col("p_name").rlike(
+                "[\u200b-\u200d\u0300-\u036f]"
+            ),
+            F.reverse("p_name"),
+        ).alias("name_reversed"),
         # format_string renders a NULL arg as the text "null"; DuckDB's
         # printf NULL-propagates. The guard pins the SQL-idiomatic contract.
         F.when(
