@@ -117,7 +117,11 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 SELECT doc_id,
        'application/octet-stream'       AS mime,
        CAST(strlen(text) AS BIGINT)     AS n_bytes,
-       hex(encode(text[1:8]))           AS head_hex_upper,
+       -- hex-then-substring slices the first 8 BYTES of the payload like
+       -- the engine's b[:8]; text[1:8]-then-encode would slice CHARACTERS
+       -- and emit 9+ bytes when a multibyte char sits in the head (found
+       -- by the combined nulls+unicode tier)
+       substring(hex(encode(text)), 1, 16) AS head_hex_upper,
        sha256(text)                     AS payload_sha
 FROM documents
 """,
