@@ -165,9 +165,14 @@ SELECT o_orderkey,
        abs(0 - o_totalprice)                  AS abs_neg,
        CAST(ceil(o_totalprice) AS BIGINT)     AS price_ceil,
        CAST(floor(o_totalprice) AS BIGINT)    AS price_floor,
-       sqrt(o_totalprice)                     AS price_sqrt,
-       round(ln(o_totalprice), 6)             AS price_ln,
-       round(log10(o_totalprice), 6)          AS price_log10,
+       -- POSITIVE domain: sqrt/ln of a negative price is an error in
+       -- this engine and NULL in the other — the guard pins NULL
+       CASE WHEN o_totalprice > 0 THEN sqrt(o_totalprice) END
+                                              AS price_sqrt,
+       CASE WHEN o_totalprice > 0
+            THEN round(ln(o_totalprice), 6) END AS price_ln,
+       CASE WHEN o_totalprice > 0
+            THEN round(log10(o_totalprice), 6) END AS price_log10,
        o_totalprice * o_totalprice            AS price_sq,
        o_orderkey % 7                         AS key_mod7,
        CAST(sign(o_totalprice - 100000) AS BIGINT) AS above_100k
@@ -185,9 +190,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.lit(0) - p).alias("abs_neg"),
         F.ceil(p).cast("bigint").alias("price_ceil"),
         F.floor(p).cast("bigint").alias("price_floor"),
-        F.sqrt(p).alias("price_sqrt"),
-        F.round(F.log(p), 6).alias("price_ln"),
-        F.round(F.log10(p), 6).alias("price_log10"),
+        # positive-domain guard (oracle mirrors): NULL for credits
+        F.when(p > 0, F.sqrt(p)).alias("price_sqrt"),
+        F.when(p > 0, F.round(F.log(p), 6)).alias("price_ln"),
+        F.when(p > 0, F.round(F.log10(p), 6)).alias("price_log10"),
         (p * p).alias("price_sq"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
         F.signum(p - 100000).cast("bigint").alias("above_100k"),

@@ -9,7 +9,7 @@ of the rotation order and never displace the current driver sweep window
 (catalog._rotation_rank).
 
 Float discipline follows SURVEY.md §5.4: sums of money PRODUCTS go through
-DECIMAL(20,6); quotients (averages, ratios) round at 6 dp; counts and keys
+DECIMAL(38,6); quotients (averages, ratios) round at 6 dp; counts and keys
 are exact.
 """
 
@@ -23,7 +23,7 @@ from ai_dataingestion_spark.registry import Tables
 
 
 def _dec_sum(col):
-    """Engine-exact money-product sum: DECIMAL(20,6) accumulation (summation
+    """Engine-exact money-product sum: DECIMAL(38,6) accumulation (summation
     order can flip a rounded 2-dp digit in plain double — measured).
 
     Returns the DECIMAL sum: callers round in the decimal domain (HALF_UP
@@ -31,13 +31,13 @@ def _dec_sum(col):
     to double — rounding after the double cast diverges between engines
     when the exact sum lands on a half-cent boundary (measured:
     lineitem_abc_pareto at sf0.01, two parts off by a cent each)."""
-    return F.sum(col.cast("decimal(20,6)"))
+    return F.sum(col.cast("decimal(38,6)"))
 
 
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2) AS DOUBLE)
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS revenue,
        count(*) AS n_lines
 FROM lineitem
@@ -106,7 +106,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        year(l.l_shipdate) AS ship_year,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
@@ -1957,7 +1957,7 @@ WITH rfm AS (
   SELECT o_custkey,
          epoch_us(max(o_orderdate)) AS last_us,
          count(*) AS freq,
-         CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
            AS monetary
   FROM orders GROUP BY o_custkey
 ),
@@ -2009,7 +2009,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rev AS (
   SELECT l_partkey,
          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-               AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
@@ -2027,7 +2027,7 @@ classed AS (
   FROM ranked
 )
 SELECT abc_class, count(*) AS n_parts,
-       CAST(round(sum(CAST(revenue AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(revenue AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS class_revenue
 FROM classed
 GROUP BY abc_class

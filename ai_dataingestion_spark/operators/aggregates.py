@@ -23,9 +23,9 @@ SELECT
   round(sum(l_quantity), 2)                                        AS sum_qty,
   round(sum(l_extendedprice), 2)                                   AS sum_base_price,
   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                      AS DECIMAL(20,6))), 2) AS DOUBLE)            AS sum_disc_price,
+                      AS DECIMAL(38,6))), 2) AS DOUBLE)            AS sum_disc_price,
   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                      AS DECIMAL(20,6))), 2) AS DOUBLE)            AS sum_charge,
+                      AS DECIMAL(38,6))), 2) AS DOUBLE)            AS sum_charge,
   round(avg(l_quantity), 4)                                        AS avg_qty,
   round(avg(l_extendedprice), 4)                                   AS avg_price,
   round(avg(l_discount), 6)                                        AS avg_disc,
@@ -51,9 +51,9 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(disc_price.cast("decimal(20,6)")), 2).cast("double").alias("sum_disc_price"),
+                F.sum(disc_price.cast("decimal(38,6)")), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(
-                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(20,6)")
+                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(38,6)")
                 ), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -273,24 +273,44 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 4) AS sd_price,
-       round(var_samp(l_extendedprice), 2)    AS var_price,
+       CASE WHEN var_samp(l_extendedprice) = 0 THEN 0.0
+            ELSE round(var_samp(l_extendedprice)
+                   / pow(10, floor(log10(abs(var_samp(l_extendedprice))))), 6)
+       END AS var_price_mant,
+       CAST(CASE WHEN var_samp(l_extendedprice) = 0 THEN 0
+                 ELSE floor(log10(abs(var_samp(l_extendedprice)))) END
+            AS INT) AS var_price_exp10,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+       CASE WHEN covar_samp(l_quantity, l_extendedprice) = 0 THEN 0.0
+            ELSE round(covar_samp(l_quantity, l_extendedprice)
+                   / pow(10, floor(log10(abs(
+                       covar_samp(l_quantity, l_extendedprice))))), 6)
+       END AS covar_mant,
+       CAST(CASE WHEN covar_samp(l_quantity, l_extendedprice) = 0 THEN 0
+                 ELSE floor(log10(abs(
+                     covar_samp(l_quantity, l_extendedprice)))) END
+            AS INT) AS covar_exp10
 FROM lineitem
 GROUP BY l_returnflag
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate battery (sample stddev/variance/corr/covar).
-    Variance-scale quantities are rounded to 2 dp because their absolute
-    float-order noise (~1e-6 at var≈1e9) exceeds 6-dp rounding."""
+
+    Variance and covariance GROW with the value domain (var of 5e9-scale
+    prices is ~1e15, where fixed-decimal rounding sits below the double
+    ulp), so they are emitted as 6-significant-digit mantissa/exponent
+    pairs — the scale-invariant emission functions/portable.py pins.
+    stddev (the root) and corr (scale-free) stay fixed-dp."""
+    from ai_dataingestion_spark.functions.portable import mant_exp_cols
+
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        *mant_exp_cols(F.var_samp("l_extendedprice"), "var_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "covar_qty_price"
+        *mant_exp_cols(
+            F.covar_samp("l_quantity", "l_extendedprice"), "covar"
         ),
     )
 

@@ -17,7 +17,7 @@ from ai_dataingestion_spark.registry import Tables
     "tpch_q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)          AS orderdate,
        o.o_orderpriority
 FROM customer c
@@ -48,7 +48,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(20,6)"
+                        "decimal(38,6)"
                     )
                 ), 2).cast("double").alias("revenue")
         )
@@ -67,7 +67,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     oracle="""
 SELECT n.n_name,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -104,7 +104,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(20,6)"
+                        "decimal(38,6)"
                     )
                 ), 2).cast("double").alias("revenue")
         )
@@ -116,7 +116,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        round(c.c_acctbal, 2) AS acctbal,
        n.n_name
 FROM customer c
@@ -150,7 +150,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(20,6)"
+                        "decimal(38,6)"
                     )
                 ), 2).cast("double").alias("revenue")
         )
@@ -365,7 +365,7 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_revenue
+                             AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -397,7 +397,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(20,6)"
+                        "decimal(38,6)"
                     )
                 ),
                 2,
@@ -420,7 +420,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q19_disjunctive",
     oracle="""
 SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+                           AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -458,7 +458,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(20,6)"
+                        "decimal(38,6)"
                     )
                 ),
                 2,

@@ -58,7 +58,7 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   CAST(o_orderkey AS VARCHAR)                             AS key_str,
   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)              AS order_date,
-  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)     AS price_dec2,
+  CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS DOUBLE)     AS price_dec2,
   CAST(floor(o_totalprice) AS BIGINT)                     AS price_floor,
   CAST(o_orderstatus = 'O' AS VARCHAR)                    AS is_open_str
 FROM orders
@@ -76,7 +76,7 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec2"),
+        F.col("o_totalprice").cast("decimal(38,2)").cast("double").alias("price_dec2"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         (F.col("o_orderstatus") == "O").cast("string").alias("is_open_str"),
     )

@@ -10,7 +10,7 @@ of the rotation order and never displace the current driver sweep window
 remaining slots.
 
 Float discipline follows SURVEY.md §5.4: sums of money PRODUCTS go through
-DECIMAL(20,6) and are rounded in the decimal domain before the double
+DECIMAL(38,6) and are rounded in the decimal domain before the double
 cast; quotients round at 6 dp on both sides; counts and keys are exact.
 """
 
@@ -25,7 +25,7 @@ from ai_dataingestion_spark.registry import Tables
 
 def _dec_sum(col):
     """Engine-exact money-product sum (see operators/advanced.py)."""
-    return F.sum(col.cast("decimal(20,6)"))
+    return F.sum(col.cast("decimal(38,6)"))
 
 
 _NET = "(l_extendedprice * (1 - l_discount))"
@@ -41,7 +41,7 @@ _NET = "(l_extendedprice * (1 - l_discount))"
     oracle=f"""
 WITH all_sales AS (
   SELECT year(o_orderdate) AS o_year,
-         CAST({_NET} AS DECIMAL(20,6)) AS volume,
+         CAST({_NET} AS DECIMAL(38,6)) AS volume,
          sn.n_name AS supp_nation
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -55,11 +55,11 @@ WITH all_sales AS (
 )
 SELECT o_year,
        CAST(round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                           ELSE CAST(0 AS DECIMAL(20,6)) END), 2) AS DOUBLE)
+                           ELSE CAST(0 AS DECIMAL(38,6)) END), 2) AS DOUBLE)
          AS nation_volume,
        CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume,
        round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                           ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
              / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
 FROM all_sales GROUP BY o_year
 """,
@@ -92,12 +92,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.year("o_orderdate").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("decimal(20,6)")
+            .cast("decimal(38,6)")
             .alias("volume"),
             "supp_nation",
         )
     )
-    zero = F.lit(0).cast("decimal(20,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
     nation_vol = F.sum(
         F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
     )
@@ -116,7 +116,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        CAST(round(sum(CAST({_NET} - p_retailprice * l_quantity * 0.1
-                           AS DECIMAL(20,6))), 2) AS DOUBLE) AS profit
+                           AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -136,7 +136,7 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     profit_amt = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
-    ).cast("decimal(20,6)")
+    ).cast("decimal(38,6)")
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -158,7 +158,7 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
 WITH part_value AS (
   SELECT l_partkey AS partkey,
-         sum(CAST({_NET} AS DECIMAL(20,6))) AS value
+         sum(CAST({_NET} AS DECIMAL(38,6))) AS value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -186,7 +186,7 @@ def tpch_q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataF
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(20,6)"
+                    "decimal(38,6)"
                 )
             ).alias("value")
         )
@@ -239,7 +239,7 @@ WITH part_avg AS (
   SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))) / 7.0, 2)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))) / 7.0, 2)
             AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -266,8 +266,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(pa, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) / 7.0)
-            .cast("decimal(26,12)")
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")) / 7.0)
+            .cast("decimal(38,12)")
             .alias("s")
         )
         .select(F.round("s", 2).cast("double").alias("avg_yearly"))
@@ -283,7 +283,7 @@ WITH pos_avg AS (
 last_year AS (SELECT max(year(o_orderdate)) AS yr FROM orders)
 SELECT c_nationkey AS nationkey,
        count(*) AS numcust,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS totacctbal
 FROM customer, pos_avg
 WHERE c_acctbal > threshold
@@ -320,7 +320,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(20,6)")), 2)
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 2)
             .cast("double")
             .alias("totacctbal"),
         )
@@ -337,7 +337,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH yearly AS (
   SELECT year(o_orderdate) AS o_year,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
   FROM orders GROUP BY year(o_orderdate)
 )
 SELECT o_year,
@@ -355,7 +355,7 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (aggregate first, window over the small result)."""
     t = Tables(spark, sf_dir)
     yearly = t.orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue")
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue")
     )
     # asc_nulls_last: the NULL-date year sequences last (oracle default)
     w = Window.orderBy(F.asc_nulls_last("o_year"))
@@ -517,7 +517,7 @@ def events_hourly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_value_deciles",
     oracle="""
 WITH clv AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS lifetime
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS lifetime
   FROM orders GROUP BY o_custkey
 ),
 bucketed AS (
@@ -542,7 +542,7 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece of this query."""
     t = Tables(spark, sf_dir)
     clv = t.orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("lifetime")
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("lifetime")
     )
     w = Window.orderBy(F.desc("lifetime"), F.asc("o_custkey"))
     return (
@@ -600,7 +600,7 @@ def orders_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH brand_rev AS (
   SELECT p_type, p_brand,
-         sum(CAST({_NET} AS DECIMAL(20,6))) AS revenue
+         sum(CAST({_NET} AS DECIMAL(38,6))) AS revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_type, p_brand
 )
@@ -626,7 +626,7 @@ def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(20,6)"
+                    "decimal(38,6)"
                 )
             ).alias("revenue")
         )
@@ -1164,7 +1164,7 @@ def pipeline_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH line_sums AS (
   SELECT l_orderkey,
          sum(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
-                  AS DECIMAL(20,6))) AS computed_total
+                  AS DECIMAL(38,6))) AS computed_total
   FROM lineitem GROUP BY l_orderkey
 ),
 joined AS (
@@ -1194,7 +1194,7 @@ def pipeline_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice")
                 * (1 + F.col("l_tax"))
                 * (1 - F.col("l_discount"))
-            ).cast("decimal(20,6)")
+            ).cast("decimal(38,6)")
         ).alias("computed_total")
     )
     joined = t.orders.join(
@@ -1228,7 +1228,7 @@ WITH monthly AS (
   -- month from a GROUP BY date_trunc is broken even under an explicit
   -- NULLS LAST (it seats the NULL first; verified on this corpus)
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
   FROM orders WHERE o_orderdate IS NOT NULL
   GROUP BY date_trunc('month', o_orderdate)
 )
@@ -1249,7 +1249,7 @@ def orders_cumulative_share_monthly(spark: SparkSession, sf_dir: str) -> DataFra
     monthly = (
         t.orders.where(F.col("o_orderdate").isNotNull())  # oracle mirrors
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"))
     )
     # asc_nulls_last: the NULL-date month accrues at the END of the
     # cumulative curve, as in the oracle's ORDER BY month default
@@ -1305,7 +1305,7 @@ def lineitem_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     "supplier_revenue_gini",
     oracle=f"""
 WITH srev AS (
-  SELECT l_suppkey, sum(CAST({_NET} AS DECIMAL(20,6))) AS revenue
+  SELECT l_suppkey, sum(CAST({_NET} AS DECIMAL(38,6))) AS revenue
   FROM lineitem GROUP BY l_suppkey
 ),
 ranked AS (
@@ -1315,7 +1315,7 @@ ranked AS (
   FROM srev
 )
 SELECT CAST(max(n) AS BIGINT) AS n_suppliers,
-       round(2.0 * CAST(sum(CAST(rn AS DECIMAL(20,6)) * revenue) AS DOUBLE)
+       round(2.0 * CAST(sum(CAST(rn AS DECIMAL(38,6)) * revenue) AS DOUBLE)
              / (max(n) * CAST(sum(revenue) AS DOUBLE))
              - (max(n) + 1.0) / max(n), 6) AS gini
 FROM ranked
@@ -1331,7 +1331,7 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     srev = t.lineitem.groupBy("l_suppkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(20,6)"
+                "decimal(38,6)"
             )
         ).alias("revenue")
     )
@@ -1345,7 +1345,7 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_suppliers"),
         F.round(
             2.0
-            * F.sum(F.col("rn").cast("decimal(20,6)") * F.col("revenue")).cast(
+            * F.sum(F.col("rn").cast("decimal(38,6)") * F.col("revenue")).cast(
                 "double"
             )
             / (F.max("n") * F.sum("revenue").cast("double"))

@@ -65,7 +65,7 @@ import os
 # every registered oracle automatically).
 #
 # Float discipline follows SURVEY.md §5.4: money-product sums in
-# DECIMAL(20,6) rounded in the decimal domain; ratios/doubles rounded at
+# DECIMAL(38,6) rounded in the decimal domain; ratios/doubles rounded at
 # 6 dp on BOTH sides; counts, keys, and day deltas exact.
 # ===========================================================================
 
@@ -82,8 +82,8 @@ _NET = "(l_extendedprice * (1 - l_discount))"
     oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
-               / CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                * 1000000 + 0.5) / 1000000
            AS unit_cost
   FROM lineitem
@@ -139,11 +139,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
+                # try_divide: a supplier observed only at zero quantity
+                # has no unit cost (NULL; loses the nulls-last argmin)
                 F.floor(
-                    F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
-                    .cast("double")
-                    / F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast(
-                        "double"
+                    F.try_divide(
+                        F.sum(
+                            F.col("l_extendedprice").cast("decimal(38,6)")
+                        ).cast("double"),
+                        F.sum(
+                            F.col("l_quantity").cast("decimal(38,6)")
+                        ).cast("double"),
                     )
                     * 1_000_000
                     + 0.5
@@ -655,7 +660,9 @@ SELECT l_returnflag, count(*) AS n,
        round(avg(l_quantity), 6) AS arith_mean,
        round(exp(avg(ln(l_quantity))), 6) AS geo_mean,
        round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
-FROM lineitem GROUP BY l_returnflag
+-- POSITIVE domain only: the geometric and harmonic means are undefined
+-- at zero (ln(0), 1/0), and the engines disagree on the failure mode
+FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
 """,
 )
 def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,7 +673,9 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     t = Tables(spark, sf_dir)
     q = F.col("l_quantity")
-    return t.lineitem.groupBy("l_returnflag").agg(
+    # q > 0 both sides: ln(0) and 1/0 leave the means' domain (ANSI
+    # crash here, NULL/inf there) — the classical definitions assume it
+    return t.lineitem.where(q > 0).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(q), 6).alias("arith_mean"),
         F.round(F.exp(F.avg(F.log(q))), 6).alias("geo_mean"),
@@ -809,7 +818,7 @@ def embed_label_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_pruned",
     oracle="""
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS revenue
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -837,7 +846,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
             .cast("double")
             .alias("revenue"),
         )
@@ -911,7 +920,7 @@ WITH seq AS (
 SELECT cohort,
        datediff('month', cohort, month) AS month_index,
        count(DISTINCT o_custkey) AS n_customers,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS revenue
 FROM seq
 GROUP BY cohort, datediff('month', cohort, month)
@@ -936,7 +945,7 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.groupBy("cohort", month_index.alias("month_index")).agg(
         F.count_distinct("o_custkey").alias("n_customers"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
         .cast("double")
         .alias("revenue"),
     )
@@ -1117,7 +1126,10 @@ def events_hour_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         (
-            F.col("hour").cast("long") - F.row_number().over(w) * 3600
+            # rn cast to LONG before the multiply: a multi-century gap
+            # calendar puts rn in the millions and rn*3600 past int32
+            F.col("hour").cast("long")
+            - F.row_number().over(w).cast("long") * 3600
         ).alias("island"),
     )
     return keyed.groupBy("event_type", "island").agg(
@@ -1532,7 +1544,7 @@ def lineitem_discount_quantity_regr(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS rev
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
   FROM orders GROUP BY date_trunc('month', o_orderdate)
 ),
 idx AS (
@@ -1565,7 +1577,7 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = t.orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
         .cast("double")
         .alias("rev")
     )
@@ -3703,7 +3715,7 @@ UNION ALL
 -- v2 null count is the SOURCE's own null acctbals (not a pinned 0): the
 -- evolved file carries the column, nullable like any other
 SELECT 'v2', count(*), CAST(count(*) - count(c_acctbal) AS BIGINT),
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(20, 2))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38, 2))), 2) AS DOUBLE)
 FROM customer WHERE c_custkey % 2 = 1
 """,
 )
@@ -3732,7 +3744,7 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_acctbal"),
         F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(20,2)")), 2
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 2
         )
         .cast("double")
         .alias("acctbal_sum"),
@@ -4328,7 +4340,7 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT p_brand, l_partkey,
-         sum(CAST(l_extendedprice AS DECIMAL(20, 2))) AS r
+         sum(CAST(l_extendedprice AS DECIMAL(38, 2))) AS r
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, l_partkey
 ),
@@ -4369,7 +4381,7 @@ def brand_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("r")
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("r")
         )
     )
     ws = Window.partitionBy("p_brand").orderBy(F.desc("r"), F.asc("l_partkey"))
@@ -4572,8 +4584,8 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT n_name, l_suppkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19, 2)))
-              AS DECIMAL(19, 2)) AS r
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38, 2)))
+              AS DECIMAL(38, 2)) AS r
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -4582,8 +4594,8 @@ WITH rev AS (
 SELECT n_name,
        count(*) AS n_suppliers,
        floor(CAST(sum(r * r) AS DOUBLE)
-             / CAST(CAST(sum(r) AS DECIMAL(19, 2))
-                    * CAST(sum(r) AS DECIMAL(19, 2)) AS DOUBLE)
+             / CAST(CAST(sum(r) AS DECIMAL(38, 2))
+                    * CAST(sum(r) AS DECIMAL(38, 2)) AS DOUBLE)
              * 1000000 + 0.5) / 1000000 AS hhi
 FROM rev GROUP BY n_name
 """,
@@ -4595,7 +4607,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier_revenue_gini. Float discipline: revenues and BOTH
     quadratic forms (Σr², T²) accumulate in DECIMAL — exact, order-
     independent — so the only IEEE operation is one final division,
-    portable-6dp-rounded. DECIMAL(19,2) is the portable width window:
+    portable-6dp-rounded. DECIMAL(38,2) is the portable width window:
     at 18 digits DuckDB multiplies in int64 and OVERFLOWS on real
     revenue totals (measured), while ≥19 digits are hugeint-backed;
     on the Spark side the declared (39,4) product narrows to the
@@ -4616,12 +4628,12 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name", "l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(19,2)"))
-            .cast("decimal(19,2)")
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
             .alias("r")
         )
     )
-    tot = F.sum("r").cast("decimal(19,2)")
+    tot = F.sum("r").cast("decimal(38,2)")
     return rev.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         _pround(
@@ -4708,10 +4720,10 @@ WITH cuts AS (
 )
 SELECT e.event_type,
        count(*) AS n,
-       floor(CAST(sum(CAST(e.value AS DECIMAL(20, 6))) AS DOUBLE)
+       floor(CAST(sum(CAST(e.value AS DECIMAL(38, 6))) AS DOUBLE)
              / count(*) * 1000000 + 0.5) / 1000000 AS mean_raw,
        floor(CAST(sum(CAST(least(greatest(e.value, c.p05), c.p95)
-                           AS DECIMAL(20, 6))) AS DOUBLE)
+                           AS DECIMAL(38, 6))) AS DOUBLE)
              / count(*) * 1000000 + 0.5) / 1000000 AS mean_winsorized,
        CAST(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
@@ -4727,7 +4739,7 @@ def events_value_winsorized_stats(
     tie-stable cross-engine at any scale) before averaging — the robust-stats answer to 'one whale event
     wrecked the average' that a trimmed count can't give (n is
     preserved). The corpus value column carries exactly 2 decimals, so
-    the DECIMAL(20,6) accumulation is EXACT (order-independent) and
+    the DECIMAL(38,6) accumulation is EXACT (order-independent) and
     each mean is one portable-rounded IEEE division; the percentile
     cut relation is types-sized and broadcasts back. Two aggregate
     passes over events, no window."""
@@ -4748,10 +4760,10 @@ def events_value_winsorized_stats(
         .agg(
             n.alias("n"),
             _pround(
-                F.sum(F.col("value").cast("decimal(20,6)")).cast("double") / n
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / n
             ).alias("mean_raw"),
             _pround(
-                F.sum(clamped.cast("decimal(20,6)")).cast("double") / n
+                F.sum(clamped.cast("decimal(38,6)")).cast("double") / n
             ).alias("mean_winsorized"),
             F.sum(
                 F.when(
@@ -5065,7 +5077,7 @@ WITH sides AS (
   SELECT event_type,
          CASE WHEN ts < TIMESTAMP '{_CUTOVER}' THEN 'pre' ELSE 'post' END
            AS side,
-         CAST(value AS DECIMAL(10, 2)) AS v
+         CAST(value AS DECIMAL(38, 2)) AS v
   FROM events
 ),
 mo AS (
@@ -5105,7 +5117,7 @@ def events_pre_post_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL IEEE operation order in both engines and portable-
     rounded. One partial-aggregable pass; output is types-sized."""
     e = Tables(spark, sf_dir).events
-    v = F.col("value").cast("decimal(10,2)")
+    v = F.col("value").cast("decimal(38,2)")
     sides = e.select(
         "event_type",
         F.when(
@@ -5289,7 +5301,7 @@ SELECT batch_id,
        CAST((SELECT count(*) FROM delivery d
              WHERE d.batch_id = a.batch_id AND d.attempt > 1) AS BIGINT)
          AS n_deduped_replays,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(19, 2))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38, 2))), 2) AS DOUBLE)
          AS applied_total
 FROM applied a
 GROUP BY batch_id
@@ -5325,7 +5337,7 @@ def pipeline_idempotent_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_applied"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(19,2)")), 2
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2
             )
             .cast("double")
             .alias("applied_total"),
@@ -5708,7 +5720,7 @@ def events_seasonal_naive_backtest(
     oracle="""
 WITH rev AS (
   SELECT p_brand, l_partkey,
-         sum(CAST(l_extendedprice AS DECIMAL(19, 2))) AS r
+         sum(CAST(l_extendedprice AS DECIMAL(38, 2))) AS r
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, l_partkey
 ),
@@ -5745,7 +5757,7 @@ def topk_per_group_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(19,2)")).alias("r")
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("r")
         )
         .transform(op_cache)  # feeds both strategies
     )
@@ -5931,7 +5943,7 @@ touches AS (
 credited AS (
   SELECT touch_type,
          CAST(floor(1.0 / k * 1000000000 + 0.5) / 1000000000
-              AS DECIMAL(28, 9)) AS credit
+              AS DECIMAL(38, 9)) AS credit
   FROM touches
 )
 SELECT touch_type,
@@ -5946,7 +5958,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-weight sibling of events_attribution_last_touch, the model
     marketing uses when no single touch deserves the win. Determinism
     trick: each 1/k credit is portable-rounded to 9dp FIRST and then
-    accumulated as DECIMAL(28,9) — rounded terms sum exactly and
+    accumulated as DECIMAL(38,9) — rounded terms sum exactly and
     order-independently, where a raw double Σ(1/k) would differ by
     summation order across engines/partitionings. The purchase⇄touch
     join is keyed (user, day): fan-out bounded by a user's daily
@@ -5978,7 +5990,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
     credited = touches.select(
         "touch_type",
-        _pround(F.lit(1.0) / k, 9).cast("decimal(28,9)").alias("credit"),
+        _pround(F.lit(1.0) / k, 9).cast("decimal(38,9)").alias("credit"),
     )
     return credited.groupBy("touch_type").agg(
         F.count(F.lit(1)).alias("n_touches"),
@@ -6472,11 +6484,11 @@ def agg_empty_relation_semantics(
     oracle="""
 SELECT c_mktsegment, c_custkey,
        CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(19, 2))) OVER (
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38, 2))) OVER (
               PARTITION BY c_mktsegment
               ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT)), 2)
             AS DOUBLE) AS running_default_frame,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(19, 2))) OVER (
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38, 2))) OVER (
               PARTITION BY c_mktsegment
               ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT), c_custkey
               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
@@ -6500,7 +6512,7 @@ def win_default_frame_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineered via the coarse floor(bal/1000) band."""
     c = Tables(spark, sf_dir).customer
     band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
-    dec = F.col("c_acctbal").cast("decimal(19,2)")
+    dec = F.col("c_acctbal").cast("decimal(38,2)")
     # asc_nulls_last: NULL band (NULL acctbal) must sit at the partition
     # END as in the oracle engine, so its RANGE frame spans the whole
     # partition rather than opening it with a NULL-sum prefix
@@ -6928,16 +6940,16 @@ def events_rolling_7d_active_users(
     oracle="""
 WITH monthly AS (
   SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
-         CAST(sum(CAST(l_quantity AS DECIMAL(10, 2))) AS DOUBLE) AS q
+         CAST(sum(CAST(l_quantity AS DECIMAL(38, 2))) AS DOUBLE) AS q
   FROM lineitem GROUP BY 1, 2
 ),
 per_part AS (
   SELECT l_partkey,
          count(*) AS n_months,
-         CAST(sum(CAST(q AS DECIMAL(19, 2))) AS DOUBLE) AS sq,
-         CAST(sum(CAST(q AS DECIMAL(19, 2)) * CAST(q AS DECIMAL(19, 2)))
+         CAST(sum(CAST(q AS DECIMAL(38, 2))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(q AS DECIMAL(38, 2)) * CAST(q AS DECIMAL(38, 2)))
               AS DOUBLE) AS sq2,
-         CAST(sum(CAST(q AS DECIMAL(19, 2))) AS DECIMAL(19, 2)) AS total_q
+         CAST(sum(CAST(q AS DECIMAL(38, 2))) AS DECIMAL(38, 2)) AS total_q
   FROM monthly GROUP BY l_partkey
 ),
 ranked AS (
@@ -6980,17 +6992,17 @@ def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(10,2)"))
+            F.sum(F.col("l_quantity").cast("decimal(38,2)"))
             .cast("double")
             .alias("q")
         )
     )
-    qd = F.col("q").cast("decimal(19,2)")
+    qd = F.col("q").cast("decimal(38,2)")
     per_part = monthly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_months"),
         F.sum(qd).cast("double").alias("sq"),
         F.sum(qd * qd).cast("double").alias("sq2"),
-        F.sum(qd).cast("decimal(19,2)").alias("total_q"),
+        F.sum(qd).cast("decimal(38,2)").alias("total_q"),
     )
     w_cum = Window.orderBy(F.desc("total_q"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -7279,23 +7291,23 @@ def dedup_partition_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH whole AS (
   SELECT count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS s,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))
-             * CAST(o_totalprice AS DECIMAL(19, 2))) AS s2
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))) AS s,
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))
+             * CAST(o_totalprice AS DECIMAL(38, 2))) AS s2
   FROM orders
 ),
 h1 AS (
   SELECT count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS s,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))
-             * CAST(o_totalprice AS DECIMAL(19, 2))) AS s2
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))) AS s,
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))
+             * CAST(o_totalprice AS DECIMAL(38, 2))) AS s2
   FROM orders WHERE o_orderkey % 2 = 0
 ),
 h2 AS (
   SELECT count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS s,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))
-             * CAST(o_totalprice AS DECIMAL(19, 2))) AS s2
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))) AS s,
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))
+             * CAST(o_totalprice AS DECIMAL(38, 2))) AS s2
   FROM orders WHERE o_orderkey % 2 = 1
 )
 , vars AS (
@@ -7337,7 +7349,7 @@ def agg_partial_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the engine-correctness invariant behind every partial-aggregable
     claim in SCALE.md, made hash-checkable."""
     o = Tables(spark, sf_dir).orders
-    dec = F.col("o_totalprice").cast("decimal(19,2)")
+    dec = F.col("o_totalprice").cast("decimal(38,2)")
 
     def state(df: DataFrame, prefix: str) -> DataFrame:
         return df.agg(
@@ -7500,7 +7512,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH vol AS (
   SELECT s_suppkey, s_acctbal,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19, 2))) AS DOUBLE)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38, 2))) AS DOUBLE)
            AS volume
   FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
   GROUP BY s_suppkey, s_acctbal
@@ -7537,7 +7549,7 @@ def supplier_quadrant_classification(
         )
         .groupBy("s_suppkey", "s_acctbal")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(19,2)"))
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
             .cast("double")
             .alias("volume")
         )
@@ -7837,7 +7849,7 @@ WITH tagged AS (
   SELECT year(o_orderdate - INTERVAL 1 MONTH) AS fiscal_year,
          CAST((month(o_orderdate - INTERVAL 1 MONTH) - 1) // 3 + 1 AS INT)
            AS fiscal_quarter,
-         CAST(o_totalprice AS DECIMAL(19, 2)) AS p
+         CAST(o_totalprice AS DECIMAL(38, 2)) AS p
   FROM orders
 )
 SELECT fiscal_year, fiscal_quarter,
@@ -7863,7 +7875,7 @@ def orders_fiscal_calendar_rollup(
             (((F.month(shifted) - 1) / 3).cast("int") + 1).alias(
                 "fiscal_quarter"
             ),
-            F.col("o_totalprice").cast("decimal(19,2)").alias("p"),
+            F.col("o_totalprice").cast("decimal(38,2)").alias("p"),
         )
         .groupBy("fiscal_year", "fiscal_quarter")
         .agg(
@@ -7977,7 +7989,7 @@ SELECT event_type,
        floor(min(s) * 1000000 + 0.5) / 1000000 AS scaled_min,
        floor(max(s) * 1000000 + 0.5) / 1000000 AS scaled_max,
        floor(CAST(sum(CAST(floor(s * 1000000000 + 0.5) / 1000000000
-                           AS DECIMAL(28, 9))) AS DOUBLE) / count(*)
+                           AS DECIMAL(38, 9))) AS DOUBLE) / count(*)
              * 1000000 + 0.5) / 1000000 AS scaled_mean
 FROM scaled GROUP BY event_type
 """,
@@ -8008,7 +8020,7 @@ def fn_minmax_scale_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pround(F.min("s")).alias("scaled_min"),
         _pround(F.max("s")).alias("scaled_max"),
         _pround(
-            F.sum(_pround(F.col("s"), 9).cast("decimal(28,9)")).cast("double")
+            F.sum(_pround(F.col("s"), 9).cast("decimal(38,9)")).cast("double")
             / n
         ).alias("scaled_mean"),
     )
@@ -8035,7 +8047,7 @@ fk AS (
 SELECT source,
        count(*) AS n_docs,
        CAST(quantile_cont(grade, 0.5) AS DOUBLE) AS p50_grade,
-       floor(CAST(sum(CAST(grade AS DECIMAL(28, 6))) AS DOUBLE) / count(*)
+       floor(CAST(sum(CAST(grade AS DECIMAL(38, 6))) AS DOUBLE) / count(*)
              * 1000000 + 0.5) / 1000000 AS mean_grade
 FROM fk GROUP BY source
 """,
@@ -8072,7 +8084,7 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_grade"
         ),
         _pround(
-            F.sum(F.col("grade").cast("decimal(28,6)")).cast("double") / n
+            F.sum(F.col("grade").cast("decimal(38,6)")).cast("double") / n
         ).alias("mean_grade"),
     )
 
@@ -8082,7 +8094,7 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT year(o_orderdate) AS y, dayofyear(o_orderdate) AS doy,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))) AS rev
   FROM orders GROUP BY 1, 2
 ),
 ytd AS (
@@ -8120,7 +8132,7 @@ def orders_ytd_vs_prior_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.year("o_orderdate").alias("y"),
         F.dayofyear("o_orderdate").alias("doy"),
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev"))
     w = Window.partitionBy("y").orderBy("doy").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

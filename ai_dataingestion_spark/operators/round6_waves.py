@@ -60,7 +60,7 @@ WITH tagged AS (
               THEN 'treated' ELSE 'control' END AS grp,
          CASE WHEN ts < TIMESTAMP '{_DID_CUT}' THEN 'pre' ELSE 'post' END
            AS period,
-         CAST(value AS DECIMAL(10, 2)) AS v
+         CAST(value AS DECIMAL(38, 2)) AS v
   FROM events
 ),
 cells AS (
@@ -111,7 +111,7 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         grp.alias("grp"),
         period.alias("period"),
-        F.col("value").cast("decimal(10,2)").alias("v"),
+        F.col("value").cast("decimal(38,2)").alias("v"),
     ).groupBy("grp", "period").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").cast("double").alias("s")
     )
@@ -148,8 +148,8 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH yearly AS (
   SELECT l_partkey, year(l_shipdate) AS y,
-         sum(CAST(l_quantity AS DECIMAL(19, 2))) AS q,
-         sum(CAST(l_extendedprice AS DECIMAL(19, 2))) AS spend
+         sum(CAST(l_quantity AS DECIMAL(38, 2))) AS q,
+         sum(CAST(l_extendedprice AS DECIMAL(38, 2))) AS spend
   FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
   GROUP BY 1, 2
 ),
@@ -163,9 +163,9 @@ paired AS (
 )
 SELECT count(*) AS n_parts_priced,
        floor(CAST(sum(CAST(floor(p1 * q0 * 1000000 + 0.5) / 1000000
-                           AS DECIMAL(28, 6))) AS DOUBLE)
+                           AS DECIMAL(38, 6))) AS DOUBLE)
              / CAST(sum(CAST(floor(p0 * q0 * 1000000 + 0.5) / 1000000
-                             AS DECIMAL(28, 6))) AS DOUBLE)
+                             AS DECIMAL(38, 6))) AS DOUBLE)
              * 1000000 + 0.5) / 1000000 AS laspeyres_index
 FROM paired
 """,
@@ -183,31 +183,34 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.year("l_shipdate").isin(1995, 1996))
         .groupBy("l_partkey", F.year("l_shipdate").alias("y"))
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(19,2)")).alias("q"),
-            F.sum(F.col("l_extendedprice").cast("decimal(19,2)")).alias(
+            F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias(
                 "spend"
             ),
         )
     )
+    # try_divide: an all-zero-quantity (part, year) cell has no unit
+    # price — NULL propagates through the index exactly like the
+    # oracle's x/0 -> NULL
     base = yearly.filter(F.col("y") == 1995).select(
         "l_partkey",
-        (F.col("spend").cast("double") / F.col("q").cast("double")).alias(
-            "p0"
-        ),
+        F.try_divide(
+            F.col("spend").cast("double"), F.col("q").cast("double")
+        ).alias("p0"),
         F.col("q").cast("double").alias("q0"),
     )
     cur = yearly.filter(F.col("y") == 1996).select(
         "l_partkey",
-        (F.col("spend").cast("double") / F.col("q").cast("double")).alias(
-            "p1"
-        ),
+        F.try_divide(
+            F.col("spend").cast("double"), F.col("q").cast("double")
+        ).alias("p1"),
     )
     paired = base.join(cur, "l_partkey")
     num = F.sum(
-        _pround(F.col("p1") * F.col("q0")).cast("decimal(28,6)")
+        _pround(F.col("p1") * F.col("q0")).cast("decimal(38,6)")
     ).cast("double")
     den = F.sum(
-        _pround(F.col("p0") * F.col("q0")).cast("decimal(28,6)")
+        _pround(F.col("p0") * F.col("q0")).cast("decimal(38,6)")
     ).cast("double")
     return paired.agg(
         F.count(F.lit(1)).alias("n_parts_priced"),
@@ -351,42 +354,60 @@ _CUPED_CUT = "2024-01-15"
 WITH per_user AS (
   SELECT user_id,
          CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
-                       THEN CAST(value AS DECIMAL(19, 2)) ELSE 0 END)
+                       THEN CAST(value AS DECIMAL(38, 2)) ELSE 0 END)
               AS DOUBLE) AS x,
          CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
-                       THEN CAST(value AS DECIMAL(19, 2)) ELSE 0 END)
+                       THEN CAST(value AS DECIMAL(38, 2)) ELSE 0 END)
               AS DOUBLE) AS y
   FROM events GROUP BY user_id
 ),
 mo AS (
+  -- first moments through the 6dp-round-then-DECIMAL idiom (its domain,
+  -- |x| < ~9e12, covers any per-user total); SECOND moments are raw
+  -- double sums: x*y at lake magnitudes (~1e20) is past both the idiom's
+  -- floor-grid exactness and the engine's integer floor range, and the
+  -- downstream ratios are scale-free while the variances are emitted as
+  -- mantissa/exponent pairs (functions/portable.py)
   SELECT count(*) AS n,
          CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(28, 6))) AS DOUBLE) AS sx,
+                       AS DECIMAL(38, 6))) AS DOUBLE) AS sx,
          CAST(sum(CAST(floor(y * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(28, 6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(floor(x * y * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(38, 6))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(floor(x * x * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(38, 6))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(floor(y * y * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(38, 6))) AS DOUBLE) AS syy
+                       AS DECIMAL(38, 6))) AS DOUBLE) AS sy,
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx,
+         sum(y * y) AS syy
   FROM per_user
+),
+derived AS (
+  SELECT n,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta_raw,
+         (syy - sy * sy / n) / (n - 1) AS var_y_raw,
+         ((syy - sy * sy / n)
+          - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+            / (sxx - sx * sx / n)) / (n - 1) AS var_cuped_raw,
+         1 - ((syy - sy * sy / n)
+              - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                / (sxx - sx * sx / n))
+             / (syy - sy * sy / n) AS vr_raw
+  FROM mo
 )
 SELECT n,
-       floor((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1000000 + 0.5)
-         / 1000000 AS theta,
-       floor((syy - sy * sy / n) / (n - 1) * 1000000 + 0.5) / 1000000
-         AS var_y,
-       floor(((syy - sy * sy / n)
-              - (sxy - sx * sy / n) * (sxy - sx * sy / n)
-                / (sxx - sx * sx / n)) / (n - 1) * 1000000 + 0.5) / 1000000
-         AS var_y_cuped,
-       floor((1 - ((syy - sy * sy / n)
-                   - (sxy - sx * sy / n) * (sxy - sx * sy / n)
-                     / (sxx - sx * sx / n))
-                  / (syy - sy * sy / n)) * 1000000 + 0.5) / 1000000
-         AS variance_reduction
-FROM mo
+       floor(theta_raw * 1000000 + 0.5) / 1000000 AS theta,
+       CASE WHEN var_y_raw = 0 THEN 0.0
+            ELSE round(var_y_raw / pow(10, floor(log10(abs(var_y_raw)))), 6)
+       END AS var_y_mant,
+       CAST(CASE WHEN var_y_raw = 0 THEN 0
+                 ELSE floor(log10(abs(var_y_raw))) END AS INT)
+         AS var_y_exp10,
+       CASE WHEN var_cuped_raw = 0 THEN 0.0
+            ELSE round(var_cuped_raw
+                   / pow(10, floor(log10(abs(var_cuped_raw)))), 6)
+       END AS var_y_cuped_mant,
+       CAST(CASE WHEN var_cuped_raw = 0 THEN 0
+                 ELSE floor(log10(abs(var_cuped_raw))) END AS INT)
+         AS var_y_cuped_exp10,
+       floor(vr_raw * 1000000 + 0.5) / 1000000 AS variance_reduction
+FROM derived
 """,
 )
 def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +420,7 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent; θ and both variances derive with identical IEEE
     order. One per-user reduce, then a single moment row."""
     e = Tables(spark, sf_dir).events
-    dec = F.col("value").cast("decimal(19,2)")
+    dec = F.col("value").cast("decimal(38,2)")
     pre = F.col("ts") < F.lit(_CUPED_CUT).cast("timestamp")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.when(pre, dec).otherwise(F.lit(0))).cast("double").alias("x"),
@@ -407,23 +428,23 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    # second moments are RAW double sums (the 6dp-round idiom's floor
+    # grid is exact only below ~9e12; x*y reaches ~1e20 at lake
+    # magnitudes); the scale-free ratios stay 6dp, the variances emit as
+    # mantissa/exponent pairs (oracle mirrors both shapes)
+    from ai_dataingestion_spark.functions.portable import mant_exp_cols
+
     mo = per_user.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_pround(F.col("x")).cast("decimal(28,6)"))
+        F.sum(_pround(F.col("x")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sx"),
-        F.sum(_pround(F.col("y")).cast("decimal(28,6)"))
+        F.sum(_pround(F.col("y")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sy"),
-        F.sum(_pround(F.col("x") * F.col("y")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(_pround(F.col("x") * F.col("x")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(_pround(F.col("y") * F.col("y")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
@@ -433,8 +454,8 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "n",
         _pround(cxy / cxx).alias("theta"),
-        _pround(var_y).alias("var_y"),
-        _pround(var_cuped).alias("var_y_cuped"),
+        *mant_exp_cols(var_y, "var_y"),
+        *mant_exp_cols(var_cuped, "var_y_cuped"),
         _pround(1 - (cyy - cxy * cxy / cxx) / cyy).alias(
             "variance_reduction"
         ),
@@ -478,7 +499,7 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH metrics AS (
   SELECT l_suppkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19, 2))) AS DOUBLE)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38, 2))) AS DOUBLE)
            AS volume,
          CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
                             CAST(l_shipdate AS DATE))) AS DOUBLE)
@@ -522,7 +543,7 @@ def supplier_scorecard_composite(
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(19,2)"))
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
             .cast("double")
             .alias("volume"),
             (
@@ -568,31 +589,37 @@ def supplier_scorecard_composite(
     oracle="""
 WITH per_user AS (
   SELECT user_id,
-         CAST(sum(CAST(value AS DECIMAL(19, 2))) AS DOUBLE) AS y
+         CAST(sum(CAST(value AS DECIMAL(38, 2))) AS DOUBLE) AS y
   FROM events GROUP BY user_id
 ),
 mo AS (
+  -- syy is a RAW double sum: y*y at lake magnitudes exceeds the 6dp
+  -- floor-grid's exact domain; the variance is emitted as a mantissa/
+  -- exponent pair and n-per-arm is a scale-free ratio (sigma^2/mean^2)
   SELECT count(*) AS n,
          CAST(sum(CAST(floor(y * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(28, 6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(floor(y * y * 1000000 + 0.5) / 1000000
-                       AS DECIMAL(38, 6))) AS DOUBLE) AS syy
+                       AS DECIMAL(38, 6))) AS DOUBLE) AS sy,
+         sum(y * y) AS syy
   FROM per_user
+),
+derived AS (
+  SELECT n, (syy - sy * sy / n) / (n - 1) AS var_raw,
+         ceil(2 * ((syy - sy * sy / n) / (n - 1))
+              * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+              / ((0.05 * (sy / n)) * (0.05 * (sy / n)))) AS n_req
+  FROM mo
 )
 SELECT n AS n_users_observed,
-       floor((syy - sy * sy / n) / (n - 1) * 1000000 + 0.5) / 1000000
-         AS metric_variance,
-       -- n per arm = 2 sigma^2 (z_{a/2} + z_b)^2 / delta^2,
-       -- alpha=.05 (1.959964), power=.8 (0.841621), delta = 5% of mean
-       CAST(ceil(2 * ((syy - sy * sy / n) / (n - 1))
-                 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
-                 / ((0.05 * (sy / n)) * (0.05 * (sy / n))))
-            AS BIGINT) AS n_per_arm_required,
-       CAST(CASE WHEN n >= 2 * ceil(2 * ((syy - sy * sy / n) / (n - 1))
-                      * (1.959964 + 0.841621) * (1.959964 + 0.841621)
-                      / ((0.05 * (sy / n)) * (0.05 * (sy / n))))
-                 THEN 1 ELSE 0 END AS INT) AS currently_powered
-FROM mo
+       CASE WHEN var_raw = 0 THEN 0.0
+            ELSE round(var_raw / pow(10, floor(log10(abs(var_raw)))), 6)
+       END AS metric_variance_mant,
+       CAST(CASE WHEN var_raw = 0 THEN 0
+                 ELSE floor(log10(abs(var_raw))) END AS INT)
+         AS metric_variance_exp10,
+       CAST(n_req AS BIGINT) AS n_per_arm_required,
+       CAST(CASE WHEN n >= 2 * n_req THEN 1 ELSE 0 END AS INT)
+         AS currently_powered
+FROM derived
 """,
 )
 def events_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,16 +634,19 @@ def events_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     go/no-go flag."""
     e = Tables(spark, sf_dir).events
     per_user = e.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(19,2)")).cast("double").alias("y")
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("y")
     )
+    # syy raw double (the 6dp idiom's floor grid stops being exact at
+    # lake magnitudes); variance emits as mantissa/exponent, n-per-arm
+    # is scale-free (sigma^2/mean^2) — oracle mirrors both shapes
+    from ai_dataingestion_spark.functions.portable import mant_exp_cols
+
     mo = per_user.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_pround(F.col("y")).cast("decimal(28,6)"))
+        F.sum(_pround(F.col("y")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sy"),
-        F.sum(_pround(F.col("y") * F.col("y")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("syy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     var = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
         F.col("n") - 1
@@ -626,7 +656,7 @@ def events_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_req = F.ceil(2 * var * z * z / (delta * delta))
     return mo.select(
         F.col("n").alias("n_users_observed"),
-        _pround(var).alias("metric_variance"),
+        *mant_exp_cols(var, "metric_variance"),
         n_req.cast("bigint").alias("n_per_arm_required"),
         F.when(F.col("n") >= 2 * n_req, 1)
         .otherwise(0)
@@ -691,7 +721,7 @@ shares AS (
 terms AS (
   SELECT bin,
          CAST(floor((p - q) * ln(p / q) * 1000000000 + 0.5) / 1000000000
-              AS DECIMAL(28, 9)) AS term
+              AS DECIMAL(38, 9)) AS term
   FROM shares
 )
 SELECT count(*) AS n_bins,
@@ -749,7 +779,7 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = _pround(
         (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
-    ).cast("decimal(28,9)")
+    ).cast("decimal(38,9)")
     agg = shares.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum(term).cast("double").alias("psi_raw"),
@@ -773,7 +803,7 @@ _MOM_BUCKETS = 10
 WITH bucketed AS (
   SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
               AS BIGINT) % {_MOM_BUCKETS} AS bkt,
-         CAST(o_totalprice AS DECIMAL(19, 2)) AS v
+         CAST(o_totalprice AS DECIMAL(38, 2)) AS v
   FROM orders
 ),
 bucket_means AS (
@@ -812,7 +842,7 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % _MOM_BUCKETS
     )
-    dec = F.col("o_totalprice").cast("decimal(19,2)")
+    dec = F.col("o_totalprice").cast("decimal(38,2)")
     bucketed = o.select(bkt.alias("bkt"), dec.alias("v"))
     bucket_means = bucketed.groupBy("bkt").agg(
         _pround(F.sum("v").cast("double") / F.count(F.lit(1))).alias("m")
@@ -946,7 +976,7 @@ WITH monthly AS (
   -- o_orderdate IS NOT NULL: a NULL month has no seat in a trailing
   -- 12-month frame (see orders_cumulative_share_monthly)
   SELECT date_trunc('month', o_orderdate) AS m,
-         sum(CAST(o_totalprice AS DECIMAL(19, 2))) AS rev,
+         sum(CAST(o_totalprice AS DECIMAL(38, 2))) AS rev,
          count(*) AS n
   FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
@@ -981,7 +1011,7 @@ def orders_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("rev"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev"),
         F.count(F.lit(1)).alias("n"),
     )
     w_idx = Window.orderBy("m")
@@ -1433,7 +1463,7 @@ def embed_dim_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(*) AS n_rows,
        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(19, 2))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38, 2))), 2) AS DOUBLE)
          AS price_sum
 FROM orders
 """,
@@ -1474,7 +1504,7 @@ def scan_csv_column_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(19,2)")), 2
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2
         )
         .cast("double")
         .alias("price_sum"),
@@ -1561,7 +1591,7 @@ def events_wow_change_contributions(
     oracle="""
 SELECT sn.n_name AS supplier_nation, cn.n_name AS customer_nation,
        count(*) AS n_lines,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19, 2))), 2)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38, 2))), 2)
             AS DOUBLE) AS flow_value
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1607,7 +1637,7 @@ def trade_flow_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(19,2)")), 2
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")), 2
             )
             .cast("double")
             .alias("flow_value"),
@@ -1903,7 +1933,7 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH grouped AS (
   SELECT l_returnflag, l_extendedprice AS v,
-         sum(CAST(l_quantity AS DECIMAL(19, 2))) AS w
+         sum(CAST(l_quantity AS DECIMAL(38, 2))) AS w
   FROM lineitem GROUP BY l_returnflag, l_extendedprice
 ),
 cum AS (
@@ -1931,7 +1961,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not raw lines."""
     li = Tables(spark, sf_dir).lineitem
     grouped = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(19,2)")).alias("w")
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("w")
     )
     # asc_nulls_last: the NULL-price cell must accumulate at the END of the
     # cumulative weight (oracle ORDER BY v default) — at the front it
@@ -2055,7 +2085,7 @@ od AS (
   -- both months NOT NULL: an order with an unknown start or completion
   -- month cannot be swept onto the calendar line
   SELECT date_trunc('month', o_orderdate) AS start_m, done_m,
-         CAST(o_totalprice AS DECIMAL(20,2)) AS v
+         CAST(o_totalprice AS DECIMAL(38,2)) AS v
   FROM orders JOIN comp ON o_orderkey = ok
   WHERE o_orderdate IS NOT NULL AND done_m IS NOT NULL
 ),
@@ -2087,7 +2117,7 @@ def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame
     comp = t.lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.date_trunc("month", F.max("l_shipdate")).alias("done_m")
     )
-    price = F.col("o_totalprice").cast("decimal(20,2)")
+    price = F.col("o_totalprice").cast("decimal(38,2)")
     od = (
         t.orders.join(comp, F.col("o_orderkey") == F.col("ok"))
         .select(
@@ -2478,7 +2508,7 @@ def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT l_suppkey AS sk,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS x
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS x
   FROM lineitem GROUP BY l_suppkey
 ),
 sup AS (
@@ -2524,7 +2554,7 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the l_suppkey revenue groupBy."""
     t = Tables(spark, sf_dir)
     rev = t.lineitem.groupBy(F.col("l_suppkey").alias("sk")).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(19,2)"))
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
         .cast("double")
         .alias("x")
     )
@@ -2976,7 +3006,7 @@ WITH rev AS (
   SELECT o_custkey AS ck,
          CASE WHEN o_orderdate < DATE '{_SPLIT_DATE}' THEN 'A' ELSE 'B' END
            AS period,
-         sum(CAST(o_totalprice AS DECIMAL(19,2))) AS r
+         sum(CAST(o_totalprice AS DECIMAL(38,2))) AS r
   FROM orders GROUP BY 1, 2
 ),
 seg AS (
@@ -3013,7 +3043,7 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("B")
         .alias("period"),
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("r"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("r"))
     seg = rev.select(
         "ck",
         "period",
@@ -3146,7 +3176,7 @@ _HASH_SCALE = float(1 << 60)
 WITH reps AS (SELECT unnest(range(0, {_B_REPS})) AS b),
 wts AS (
   SELECT b,
-         CAST(o_totalprice AS DECIMAL(19,2)) AS x,
+         CAST(o_totalprice AS DECIMAL(38,2)) AS x,
          CASE
            WHEN u < {_P0} THEN 0
            WHEN u < {_P1} THEN 1
@@ -3172,7 +3202,7 @@ ranked AS (
 SELECT CAST(max(nb) AS BIGINT) AS n_replicas,
        round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
        round(max(CASE WHEN rn = nb - 1 THEN m END), 6) AS ci_hi,
-       (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(19,2)))
+       (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
                           AS DOUBLE) / count(*), 6)
         FROM orders) AS grand_mean
 FROM ranked
@@ -3196,7 +3226,7 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("b")
     ex = o.select(
         F.col("o_orderkey"),
-        F.col("o_totalprice").cast("decimal(19,2)").alias("x"),
+        F.col("o_totalprice").cast("decimal(38,2)").alias("x"),
         b,
     )
     u = (
@@ -3232,7 +3262,7 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grand = o.agg(
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(19,2)")).cast(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast(
                 "double"
             )
             / F.count(F.lit(1)),
@@ -3418,7 +3448,7 @@ def _strategy_oracle() -> str:
     one = """
 SELECT '{s}' AS strategy,
        count(DISTINCT c_mktsegment) AS n_segments,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(19,2))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE)
          AS total_revenue
 FROM orders JOIN customer ON o_custkey = c_custkey"""
     return "\nUNION ALL\n".join(
@@ -3448,7 +3478,7 @@ def join_strategy_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.agg(
                 F.countDistinct("c_mktsegment").alias("n_segments"),
                 F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(19,2)")), 2
+                    F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2
                 )
                 .cast("double")
                 .alias("total_revenue"),
@@ -3689,7 +3719,7 @@ WITH ranked AS (
 SELECT user_id,
        (SELECT count(*) FROM events e WHERE e.user_id = ranked.user_id)
          AS n_events,
-       (SELECT CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE)
+       (SELECT CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
         FROM events e WHERE e.user_id = ranked.user_id) AS total_value,
        event_type AS last_type
 FROM ranked WHERE rn = 1
@@ -3740,7 +3770,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df = batch_df.where(F.col("user_id").isNotNull())
         batch_state = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
+            F.sum(F.col("value").cast("decimal(38,6)"))
             .cast("decimal(38,6)")
             .alias("sum_value"),
             F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
@@ -4125,7 +4155,7 @@ def embed_sign_hamming_separation(
     oracle="""
 WITH base AS (
   SELECT r_name, n_name, c_mktsegment AS seg,
-         sum(CAST(o_totalprice AS DECIMAL(19,2))) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
@@ -4200,7 +4230,7 @@ def orders_hierarchy_share_of_parent(
         )
         .groupBy("r_name", "n_name", F.col("c_mktsegment").alias("seg"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("rev")
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
         )
     )
     seg_lvl = base.select(
@@ -4664,7 +4694,7 @@ WITH monthly AS (
   -- o_orderdate IS NOT NULL: a NULL month has no seat in a centered
   -- 12-month moving window (see orders_cumulative_share_monthly)
   SELECT date_trunc('month', o_orderdate) AS m,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))) AS DOUBLE) AS rev
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
   FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 tr AS (
@@ -4719,7 +4749,7 @@ def orders_seasonal_decomposition_additive(
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(19,2)"))
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
         .cast("double")
         .alias("rev")
     )
@@ -5077,12 +5107,12 @@ def events_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT l_returnflag AS flag,
-         CAST(CAST(l_extendedprice AS DECIMAL(19,2)) AS DOUBLE) AS xd,
+         CAST(CAST(l_extendedprice AS DECIMAL(38,2)) AS DOUBLE) AS xd,
          count(*) OVER w AS n,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))) OVER w
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w
               AS DOUBLE) AS s1,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))
-                  * CAST(l_extendedprice AS DECIMAL(19,2))) OVER w
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))
+                  * CAST(l_extendedprice AS DECIMAL(38,2))) OVER w
               AS DOUBLE) AS s2
   FROM lineitem
   WINDOW w AS (PARTITION BY l_returnflag)
@@ -5114,11 +5144,11 @@ def win_loo_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the moment-sum portability rule) and floats appear only in the
     final ratio; output rolls up to 3 rows at any scale."""
     li = Tables(spark, sf_dir).lineitem
-    xdec = F.col("l_extendedprice").cast("decimal(19,2)")
+    xdec = F.col("l_extendedprice").cast("decimal(38,2)")
     w = Window.partitionBy("l_returnflag")
     # Exact DECIMAL window sums, converted ONCE to double: both engines
     # then run identical IEEE arithmetic (the burstiness rule applied to
-    # per-row frame math; DECIMAL(19,2) operands per the 5.4 HHI rule).
+    # per-row frame math; DECIMAL(38,2) operands per the 5.4 HHI rule).
     m = li.select(
         "l_returnflag",
         xdec.cast("double").alias("xd"),
@@ -5159,7 +5189,7 @@ WITH cells AS (
          rev
   FROM (
     SELECT o_orderstatus, o_orderpriority,
-           sum(CAST(o_totalprice AS DECIMAL(19,2))) AS rev
+           sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
   )
@@ -5182,7 +5212,7 @@ def agg_cube_margin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the NULL pattern identically on both engines, 4 rows out."""
     o = Tables(spark, sf_dir).orders
     cube = o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("rev")
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
     )
     gid = (
         F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0) * 2
@@ -5429,7 +5459,7 @@ _SEG_B = "MACHINERY"
     oracle=f"""
 WITH base AS (
   SELECT c_nationkey AS nk, c_mktsegment AS seg,
-         CAST(o_totalprice AS DECIMAL(19,2)) AS v
+         CAST(o_totalprice AS DECIMAL(38,2)) AS v
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
 ),
@@ -5474,7 +5504,7 @@ def orders_simpsons_reversal_check(
     identical doubles, and the stratum relation is nations-sized after
     one broadcast-dim join + groupBy."""
     t = Tables(spark, sf_dir)
-    v = F.col("o_totalprice").cast("decimal(19,2)")
+    v = F.col("o_totalprice").cast("decimal(38,2)")
     base = (
         t.orders.join(
             broadcast_if_small(
@@ -5619,20 +5649,20 @@ def pipeline_cdc_column_breakdown(
 # ===========================================================================
 
 # Canonical row text per table: every column rendered through a type
-# whose string form is engine-identical (ints, strings, DECIMAL(19,2),
+# whose string form is engine-identical (ints, strings, DECIMAL(38,2),
 # DATE) — raw doubles are excluded because CAST(double AS STRING)
 # formatting diverges across engines.
 _ORDERS_CANON_SQL = (
     "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
     " || '|' || o_orderstatus || '|' ||"
-    " CAST(CAST(o_totalprice AS DECIMAL(19,2)) AS VARCHAR) || '|' ||"
+    " CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) || '|' ||"
     " CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||"
     " o_orderpriority"
 )
 _CUSTOMER_CANON_SQL = (
     "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||"
     " CAST(c_nationkey AS VARCHAR) || '|' ||"
-    " CAST(CAST(c_acctbal AS DECIMAL(19,2)) AS VARCHAR) || '|' ||"
+    " CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) || '|' ||"
     " c_mktsegment"
 )
 
@@ -5659,7 +5689,7 @@ def quality_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (the replication/migration audit that row counts alone
     can't give; pipeline_shard_manifest fingerprints FILES, this
     fingerprints CONTENT). The canonical rendering casts every column
-    through engine-identical string forms — ints, DECIMAL(19,2), DATE
+    through engine-identical string forms — ints, DECIMAL(38,2), DATE
     — because raw double formatting diverges across engines. Sum (not
     xor) keeps the aggregate partial-aggregable AND sensitive to
     duplicate-row multiplicity; DECIMAL(38,0) absorbs the 60-bit ×
@@ -5669,14 +5699,14 @@ def quality_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_orders_canon = (
         "CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)"
         " || '|' || o_orderstatus || '|' ||"
-        " CAST(CAST(o_totalprice AS DECIMAL(19,2)) AS STRING) || '|' ||"
+        " CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS STRING) || '|' ||"
         " CAST(CAST(o_orderdate AS DATE) AS STRING) || '|' ||"
         " o_orderpriority"
     )
     spark_customer_canon = (
         "CAST(c_custkey AS STRING) || '|' || c_name || '|' ||"
         " CAST(c_nationkey AS STRING) || '|' ||"
-        " CAST(CAST(c_acctbal AS DECIMAL(19,2)) AS STRING) || '|' ||"
+        " CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS STRING) || '|' ||"
         " c_mktsegment"
     )
 
@@ -5766,7 +5796,7 @@ WITH RECURSIVE bom(root, node) AS (
   WHERE b.node >= 1
 )
 SELECT root, count(*) AS n_nodes,
-       CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(19,2))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(38,2))), 2) AS DOUBLE)
          AS subtree_cost
 FROM bom JOIN part p ON p.p_partkey = bom.node
 GROUP BY root
@@ -5841,7 +5871,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LATERAL_SQL = """
 SELECT n.n_name, l.c_name,
-       CAST(round(CAST(l.c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS bal
+       CAST(round(CAST(l.c_acctbal AS DECIMAL(38,2)), 2) AS DOUBLE) AS bal
 FROM nation n, LATERAL (
   SELECT c_name, c_acctbal FROM customer c
   WHERE c.c_nationkey = n.n_nationkey
@@ -6678,7 +6708,7 @@ def fn_utf8_multibyte_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GBA_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS rev
 FROM orders GROUP BY ALL
 """
@@ -6698,7 +6728,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFRAME_SQL = """
 SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS {STR}) AS od,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER (
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
          PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
          RANGE BETWEEN {IV} PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
          AS spend_7d

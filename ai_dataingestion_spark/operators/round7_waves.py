@@ -47,16 +47,16 @@ silver AS (
 gold AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
          count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
   FROM silver GROUP BY 1, 2)
 SELECT (SELECT count(*) FROM bronze) AS bronze_rows,
        (SELECT count(*) FROM silver) AS silver_rows,
        (SELECT count(*) FROM bronze) - (SELECT count(*) FROM silver)
          AS quarantined_rows,
        (SELECT count(*) FROM gold) AS gold_cells,
-       CAST((SELECT round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)
+       CAST((SELECT round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
              FROM silver) AS DOUBLE) AS silver_rev,
-       (SELECT round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)
+       (SELECT round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
           FROM silver)
          = (SELECT round(sum(rev), 2) FROM gold) AS rev_reconciles
 """,
@@ -118,13 +118,13 @@ def pipeline_medallion_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("rev"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"),
     )
 
     b_n = bronze_r.agg(F.count(F.lit(1)).alias("bronze_rows"))
     s_agg = silver_r.agg(
         F.count(F.lit(1)).alias("silver_rows"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2).alias(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2).alias(
             "srev"
         ),
     )
@@ -200,7 +200,7 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_csv_multichar_delim",
     oracle="""
 SELECT o_orderstatus AS status, count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS rev
 FROM orders GROUP BY 1
 """,
@@ -238,7 +238,7 @@ def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("status").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("price").cast("decimal(20,6)")), 2)
+        F.round(F.sum(F.col("price").cast("decimal(38,6)")), 2)
         .cast("double")
         .alias("rev"),
     )
@@ -366,12 +366,12 @@ def embed_logistic_regression_step(
 _PF_CANON_SPARK = (
     "CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)"
     " || '|' || o_orderstatus || '|' ||"
-    " CAST(CAST(o_totalprice AS DECIMAL(19,2)) AS STRING)"
+    " CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS STRING)"
 )
 _PF_CANON_DUCK = (
     "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
     " || '|' || o_orderstatus || '|' ||"
-    " CAST(CAST(o_totalprice AS DECIMAL(19,2)) AS VARCHAR)"
+    " CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR)"
 )
 
 
@@ -460,7 +460,7 @@ def pipeline_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS year,
        count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS rev
 FROM orders
 WHERE strftime(o_orderdate, '%Y') IN ('1995', '1996')
@@ -498,7 +498,7 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy(F.year("o_orderdate").alias("year")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
         .cast("double")
         .alias("rev"),
     )
@@ -571,20 +571,20 @@ SELECT * FROM (
   SELECT c_mktsegment AS seg, o_orderstatus AS st, o_totalprice AS p
   FROM orders JOIN customer ON o_custkey = c_custkey)
 PIVOT (count(*) AS n,
-       CAST(round(sum(CAST(p AS DECIMAL(20,6))), 2) AS DOUBLE) AS rev
+       CAST(round(sum(CAST(p AS DECIMAL(38,6))), 2) AS DOUBLE) AS rev
        FOR st IN ('F' AS f, 'O' AS o, 'P' AS pp))
 """
 
 _PIVOT_DUCK = """
 SELECT seg,
   count(*) FILTER (st='F') AS f_n,
-  CAST(round(sum(CAST(p AS DECIMAL(20,6))) FILTER (st='F'), 2) AS DOUBLE)
+  CAST(round(sum(CAST(p AS DECIMAL(38,6))) FILTER (st='F'), 2) AS DOUBLE)
     AS f_rev,
   count(*) FILTER (st='O') AS o_n,
-  CAST(round(sum(CAST(p AS DECIMAL(20,6))) FILTER (st='O'), 2) AS DOUBLE)
+  CAST(round(sum(CAST(p AS DECIMAL(38,6))) FILTER (st='O'), 2) AS DOUBLE)
     AS o_rev,
   count(*) FILTER (st='P') AS pp_n,
-  CAST(round(sum(CAST(p AS DECIMAL(20,6))) FILTER (st='P'), 2) AS DOUBLE)
+  CAST(round(sum(CAST(p AS DECIMAL(38,6))) FILTER (st='P'), 2) AS DOUBLE)
     AS pp_rev
 FROM (SELECT c_mktsegment AS seg, o_orderstatus AS st, o_totalprice AS p
       FROM orders JOIN customer ON o_custkey = c_custkey) t
@@ -612,7 +612,7 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey,
        row_number() OVER w AS rn,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w, 2)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 2)
             AS DOUBLE) AS run_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
@@ -716,7 +716,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_xml_roundtrip",
     oracle="""
 SELECT o_orderstatus AS status, count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
          AS rev
 FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1
 """,
@@ -747,7 +747,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
         .cast("double")
         .alias("rev"),
     )
@@ -1108,18 +1108,18 @@ def fn_global_row_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT o_orderkey, o_orderstatus,
-         CAST(o_totalprice AS DECIMAL(19,2)) AS price
+         CAST(o_totalprice AS DECIMAL(38,2)) AS price
   FROM orders WHERE o_orderkey % 7 <> 0),
 feed AS (
   SELECT o_orderkey, 'D' AS op, 1 AS seq, o_orderstatus,
-         CAST(NULL AS DECIMAL(19,2)) AS price
+         CAST(NULL AS DECIMAL(38,2)) AS price
   FROM base WHERE o_orderkey % 3 = 0
   UNION ALL
   SELECT o_orderkey, 'U', 2, o_orderstatus, round(price * 1.1, 2)
   FROM base WHERE o_orderkey % 5 = 0
   UNION ALL
   SELECT o_orderkey, 'I', 3, o_orderstatus,
-         CAST(o_totalprice AS DECIMAL(19,2))
+         CAST(o_totalprice AS DECIMAL(38,2))
   FROM orders WHERE o_orderkey % 7 = 0),
 latest AS (
   SELECT * FROM (
@@ -1155,7 +1155,7 @@ def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t.orders.filter(key % 7 != 0).select(
         "o_orderkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(19,2)").alias("price"),
+        F.col("o_totalprice").cast("decimal(38,2)").alias("price"),
     )
     feed = (
         base.filter(key % 3 == 0)
@@ -1164,7 +1164,7 @@ def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("D").alias("op"),
             F.lit(1).alias("seq"),
             "o_orderstatus",
-            F.lit(None).cast("decimal(19,2)").alias("price"),
+            F.lit(None).cast("decimal(38,2)").alias("price"),
         )
         .unionByName(
             base.filter(key % 5 == 0).select(
@@ -1177,7 +1177,7 @@ def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # expression to DOUBLE before the round — ADVICE r7); the
                 # DuckDB oracle's 1.1 literal is likewise exact decimal.
                 F.round(F.col("price") * F.expr("1.1BD"), 2)
-                .cast("decimal(19,2)")
+                .cast("decimal(38,2)")
                 .alias("price"),
             )
         )
@@ -1187,7 +1187,7 @@ def pipeline_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("I").alias("op"),
                 F.lit(3).alias("seq"),
                 "o_orderstatus",
-                F.col("o_totalprice").cast("decimal(19,2)").alias("price"),
+                F.col("o_totalprice").cast("decimal(38,2)").alias("price"),
             )
         )
     )

@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.registry import Tables
 
+# double columns render through DECIMAL(38,2): Spark's double->string
+# switches to scientific notation above ~1e7 while the oracle engine
+# prints plain digits — decimal->string is identical on both
+_PROFILE_DOUBLE_COLS = {"o_totalprice"}
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
@@ -29,8 +34,8 @@ _PROFILE_COLS = (
 SELECT '{c}' AS col_name,
        count(*) - count({c})              AS n_null,
        count(DISTINCT {c})                AS n_distinct,
-       CAST(min({c}) AS VARCHAR)          AS min_str,
-       CAST(max({c}) AS VARCHAR)          AS max_str
+       {f"CAST(CAST(min({c}) AS DECIMAL(38,2)) AS VARCHAR)" if c in _PROFILE_DOUBLE_COLS else f"CAST(min({c}) AS VARCHAR)"} AS min_str,
+       {f"CAST(CAST(max({c}) AS DECIMAL(38,2)) AS VARCHAR)" if c in _PROFILE_DOUBLE_COLS else f"CAST(max({c}) AS VARCHAR)"} AS max_str
 FROM orders"""
         for c in _PROFILE_COLS
     ),
@@ -45,8 +50,16 @@ def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            (
+                F.min(c).cast("decimal(38,2)").cast("string")
+                if c in _PROFILE_DOUBLE_COLS
+                else F.min(c).cast("string")
+            ).alias(f"{c}__min"),
+            (
+                F.max(c).cast("decimal(38,2)").cast("string")
+                if c in _PROFILE_DOUBLE_COLS
+                else F.max(c).cast("string")
+            ).alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(
@@ -82,7 +95,9 @@ fk_violations AS (
 ),
 range_violations AS (
   SELECT 'negative_acctbal' AS violation, CAST(c_custkey AS VARCHAR) AS key,
-         CAST(round(c_acctbal, 2) AS VARCHAR) AS detail
+         -- decimal render: double->string goes scientific above 1e7
+         CAST(CAST(round(c_acctbal, 2) AS DECIMAL(38,2)) AS VARCHAR)
+           AS detail
   FROM customer WHERE c_acctbal < 0
 )
 SELECT * FROM pk_violations
@@ -130,7 +145,10 @@ def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = t.customer.filter(F.col("c_acctbal") < 0).select(
         F.lit("negative_acctbal").alias("violation"),
         F.col("c_custkey").cast("string").alias("key"),
-        F.round("c_acctbal", 2).cast("string").alias("detail"),
+        F.round("c_acctbal", 2)
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("detail"),
     )
     return pk.unionByName(fk).unionByName(rng)
 
