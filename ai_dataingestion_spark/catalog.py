@@ -217,6 +217,33 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "text_js_divergence_pairwise", "topk_per_group_strategies",
         "udf_python_arrow", "win_default_frame_ties",
         "win_range_numeric_frame", "win_running_distinct",
+        # --- round 8 green (all 50 rows of CORRECTNESS_r08: clean sweep,
+        # 0 fail / 0 err) ---
+        "agg_log2_histogram", "agg_median_of_means",
+        "agg_partial_merge_proof", "agg_weighted_median",
+        "dedup_eval_precision_recall", "dedup_partition_invariance",
+        "dedup_representative_selection", "embed_dim_corr_pairs",
+        "embed_index_upsert_refresh", "embed_mmr_select",
+        "events_cuped_adjustment", "events_diff_in_differences",
+        "events_longest_same_type_run", "events_sample_size_calc",
+        "events_session_depth_survival", "events_session_gap_sensitivity",
+        "events_transition_dwell_stats", "events_wow_change_contributions",
+        "fn_business_days_diff", "fn_minmax_scale_check",
+        "graph_pagerank_trade", "join_asof_directions",
+        "lineitem_price_index", "multimodal_image_resize_pool",
+        "orders_fiscal_calendar_rollup", "orders_moving_annual_total",
+        "orders_open_backlog_sweepline", "orders_priority_mix_shift",
+        "orders_ytd_vs_prior_year", "part_single_source_risk",
+        "pipeline_resume_watermark", "pipeline_retention_gc_plan",
+        "pipeline_shard_manifest", "quality_contingency_residuals",
+        "quality_key_sequence_gaps", "quality_ks_two_sample",
+        "quality_psi_drift", "scan_csv_column_reorder",
+        "sink_file_layout_audit", "sort_keyset_pagination",
+        "sort_null_ordering", "supplier_quadrant_classification",
+        "supplier_scorecard_composite", "text_batch_novelty_rate",
+        "text_rank_stability_spearman", "text_readability_score",
+        "text_token_length_histogram", "text_topk_coverage_curve",
+        "text_vocab_oov_rate", "trade_flow_nation_matrix",
     }
 )
 
@@ -230,10 +257,11 @@ _EVENTS_RECHECK: frozenset[str] = frozenset()
 # behind the rows-only tier so they can't displace the planned window
 # mid-round. EACH ROUND: empty this set (the IDs then rank 0 in
 # registration order and queue for the next windows) and move the new
-# CORRECTNESS greens into _DRIVER_CHECKED above. Backlog state after r8's
-# window plan: 127 rank-0 IDs queued (the wave-58 five now rank 0 with
-# everyone else; ~2.5 windows to clear at 50/round). The backlog count is
-# asserted in tests/test_oracle_parity.py alongside TOTAL_OPERATORS.
+# CORRECTNESS greens into _DRIVER_CHECKED above. The current backlog /
+# window plan is COMPUTED, never narrated here: run
+# `python scripts/rotation_plan.py` for the live numbers (it derives them
+# from this registry plus the CORRECTNESS_r*.json files, and
+# tests/test_oracle_parity.py asserts the same figure).
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 # Rows-only IDs promoted into the current driver window: normally rows-only

@@ -21,15 +21,35 @@ from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.registry import Tables
 
 
+# Codepoints where Java's FULL case mapping (Spark upper/lower) diverges
+# from utf8proc's simple mapping (DuckDB): the unconditional multi-char
+# entries of Unicode SpecialCasing.txt (ADVICE r8 — the old [ßẞİı] guard
+# missed the Latin/Armenian ligatures, ŉ, ǰ, և, the combining-mark Latins,
+# and the Greek iota-subscript/breathing composites) plus the dotted/dotless
+# I pair, whose SIMPLE mappings already disagree between the two libraries.
+# \x{...} escapes parse identically in Java regex (Spark rlike) and RE2
+# (DuckDB regexp_matches). Rows containing any of these yield NULL on BOTH
+# sides — the case-stable-domain contract.
+CASE_UNSTABLE_CLASS = (
+    "[\\x{00DF}\\x{0130}\\x{0131}\\x{0149}\\x{01F0}\\x{0390}\\x{03B0}"
+    "\\x{0587}\\x{1E96}-\\x{1E9A}\\x{1E9E}\\x{1F50}\\x{1F52}\\x{1F54}"
+    "\\x{1F56}\\x{1F80}-\\x{1FAF}\\x{1FB2}-\\x{1FB4}\\x{1FB6}\\x{1FB7}"
+    "\\x{1FBC}\\x{1FC2}-\\x{1FC4}\\x{1FC6}\\x{1FC7}\\x{1FCC}\\x{1FD2}"
+    "\\x{1FD3}\\x{1FD6}\\x{1FD7}\\x{1FE2}-\\x{1FE4}\\x{1FE6}\\x{1FE7}"
+    "\\x{1FF2}-\\x{1FF4}\\x{1FF6}\\x{1FF7}\\x{1FFC}"
+    "\\x{FB00}-\\x{FB06}\\x{FB13}-\\x{FB17}]"
+)
+
+
 @register(
     "fn_string",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey,
        -- case-stable domain only: Java FULL case mapping uppercases
-       -- sharp-s to SS and lowercases dotted-I with a combining mark,
-       -- utf8proc disagrees on both; outside the domain the column is
-       -- NULL on both sides
-       CASE WHEN NOT regexp_matches(c_name, '[ßẞİı]')
+       -- sharp-s to SS, ligatures to FF/FI/FL/ST, Greek iota subscripts
+       -- to multi-char sequences; utf8proc maps 1:1. Outside the domain
+       -- the column is NULL on both sides (CASE_UNSTABLE_CLASS above).
+       CASE WHEN NOT regexp_matches(c_name, '{CASE_UNSTABLE_CLASS}')
             THEN upper(c_name) END         AS name_upper,
        lower(c_mktsegment)                 AS seg_lower,
        length(c_name)                      AS name_len,
@@ -48,7 +68,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.when(
-            ~F.col("c_name").rlike("[ßẞİı]"),
+            ~F.col("c_name").rlike(CASE_UNSTABLE_CLASS),
             F.upper("c_name"),
         ).alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),

@@ -75,12 +75,17 @@ def wide_exchange_partitions(
     """Partition count for an explicit pair-explosion exchange (candidate
     self-joins whose output is quadratic in hot-key bucket sizes). AQE
     cannot coalesce an explicit ``repartition()``, so a fixed wide count is
-    a cliff just above the gate (ADVICE r7): instead, start at the session
-    shuffle width and DOUBLE it per doubling of table bytes above ``gate``,
-    capped at 2048. Returns 0 when the table is under ``gate`` — the caller
-    skips the explicit exchange entirely and lets AQE shape the small case.
-    (Calibration: documents at the sfx1.0 sweep = 5.3 MB over a 1 MiB gate
-    -> 8x the 32-wide session default = the measured-stable 256.)"""
+    a cliff just above the gate (ADVICE r7): instead, width scales with the
+    bytes/gate ratio as ``base * 2^(floor(log2(ratio)) + 1)`` — 2x the
+    session shuffle width AT the gate, then a further doubling per doubling
+    of table bytes — capped at 2048. (ADVICE r8: the +1 is deliberate, not
+    drift — crossing the gate means the table already outgrew AQE's small
+    case, so the first step starts wide; the calibration below depends on
+    it.) Returns 0 when the table is under ``gate`` — the caller skips the
+    explicit exchange entirely and lets AQE shape the small case.
+    (Calibration: documents at the sfx1.0 sweep = 5.3 MB over a 1 MiB gate,
+    ratio 5 -> 2^3 = 8x the 32-wide session default = the measured-stable
+    256.)"""
     bytes_ = table_bytes(sf_dir, table, cap=2048 * gate)
     if bytes_ < gate:
         return 0

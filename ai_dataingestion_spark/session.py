@@ -23,22 +23,57 @@ import os
 from pyspark.sql import SparkSession
 
 
+_CGROUP_PATHS = (
+    "/sys/fs/cgroup/memory.max",  # v2 unified hierarchy
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+)
+
+
+def _cgroup_mem_limit_gb(paths: tuple[str, ...] = _CGROUP_PATHS) -> float | None:
+    """Container memory limit in GiB, if one applies (ADVICE r8: sysconf
+    reports HOST RAM inside cgroup-limited containers, so a 64 GB host with
+    an 8 GB container limit would still get a 24g heap and hit exactly the
+    swap/OOM-killer failure the sizing exists to avoid). Reads cgroup v2
+    ``memory.max`` then v1 ``memory.limit_in_bytes``; "max" / absurdly large
+    sentinels (>=2^60, the no-limit convention) mean unlimited -> None.
+    ``paths`` is parameterized for tests only."""
+    for path in paths:
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            limit = int(raw)
+        except ValueError:
+            continue
+        if 0 < limit < 2**60:
+            return limit / (1024**3)
+    return None
+
+
 def _default_driver_mem(cap_gb: int = 24) -> str:
-    """Bench-stable 24g, bounded by ~60% of detected physical RAM (minimum
-    2g to stay above the broadcast-build floor). The 60% bound deliberately
-    trims hosts between 24 and 40 GB too (e.g. 32 GB -> 19g), not only
-    <24 GB hosts: the heap is not the process — JVM metaspace/off-heap,
-    Python UDF workers, and the OS page cache for parquet scans share the
-    same RAM, and a 24g heap on a 32 GB host swaps under exactly the wide
-    shuffles the big heap exists for. Hosts >=40 GB get the full 24g.
-    Detection failures fall back to the cap — the historical default.
-    SPARK_GRAFT_DRIVER_MEM overrides for bench-parity runs on small hosts."""
+    """Bench-stable 24g, bounded by ~60% of AVAILABLE physical RAM (minimum
+    2g to stay above the broadcast-build floor), where available = min of
+    sysconf-detected host RAM and any cgroup container limit (ADVICE r8).
+    The 60% bound deliberately trims hosts between 24 and 40 GB too (e.g.
+    32 GB -> 19g), not only <24 GB hosts: the heap is not the process — JVM
+    metaspace/off-heap, Python UDF workers, and the OS page cache for
+    parquet scans share the same RAM, and a 24g heap on a 32 GB host swaps
+    under exactly the wide shuffles the big heap exists for. Hosts >=40 GB
+    get the full 24g. Detection failures fall back to the cap — the
+    historical default. SPARK_GRAFT_DRIVER_MEM overrides for bench-parity
+    runs on small hosts."""
     try:
         phys_gb = (
             os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         ) / (1024**3)
     except (ValueError, OSError, AttributeError):
         return f"{cap_gb}g"
+    cg_gb = _cgroup_mem_limit_gb()
+    if cg_gb is not None:
+        phys_gb = min(phys_gb, cg_gb)
     return f"{max(2, min(cap_gb, int(phys_gb * 0.6)))}g"
 
 

@@ -158,10 +158,55 @@ def _lsh_candidate_stats(spark) -> dict[str, float]:
     }
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min system load — co-tenant contention evidence. A 32-cpu box
+    running only this bench sits well under 32; a contended draw shows the
+    co-tenant's load added on top."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
+def _prior_round_comparison(results: dict[str, float]) -> dict:
+    """Sum this draw vs the latest committed BENCH_r*.json over their COMMON
+    query set, so round-over-round drift is answerable from the two JSON
+    files alone (VERDICT r8 item 2). Suite composition changes (new heavies
+    joining) no longer pollute the comparison."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    prior = benches[-1]
+    try:
+        with open(prior) as f:
+            prior_q = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+    common = sorted(set(prior_q) & set(results))
+    if not common:
+        return {}
+    return {
+        "prior_file": os.path.basename(prior),
+        "common_n": len(common),
+        "common_sum_now": round(sum(results[q] for q in common), 4),
+        "common_sum_prior": round(sum(prior_q[q] for q in common), 4),
+    }
+
+
 def main() -> None:
     from ai_dataingestion_spark.catalog import queries
     from ai_dataingestion_spark.registry import warm_tables
     from ai_dataingestion_spark.session import get_spark
+
+    load_before = _loadavg()
 
     spark = get_spark(
         "ai_dataingestion_spark-bench",
@@ -194,6 +239,7 @@ def main() -> None:
         prepass[qid] = time.perf_counter() - t0
 
     results: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for qid in HEADLINE:
         fn = qs[qid]
         n_runs = 1 if prepass[qid] > SLOW_QUERY_CUTOFF_S else N_RUNS
@@ -203,6 +249,10 @@ def main() -> None:
             fn(spark, SF_DIR).toPandas()  # fresh plan, full execution
             times.append(time.perf_counter() - t0)
         results[qid] = round(min(times), 4)
+        # max/min of the timed runs: ~1.0 on a quiet box; co-tenant CPU
+        # contention shows up as a wide spread (VERDICT r8 item 2 — make a
+        # contended draw machine-identifiable without a re-run).
+        spreads[qid] = round(max(times) / max(min(times), 1e-9), 3)
 
     recall = _recall_at_5(spark, qs)
     lsh_stats = _lsh_candidate_stats(spark)
@@ -226,6 +276,10 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "run_spread_maxmin": spreads,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
+                "vs_prior_round": _prior_round_comparison(results),
                 "recall_at_5": recall,
                 "lsh_candidates": lsh_stats,
                 "lsh_clustered": lsh_clustered,

@@ -47,6 +47,11 @@ FRAGMENTS = [
     "ＦＵＬＬｗｉｄｔｈ１２３",       # full-width latin + digits
     "zero​width‍join",   # ZWSP / ZWJ inside a token
     "Ωμέγα ω ΣΙΓΜΑ ς",            # Greek final sigma casing trap
+    # SpecialCasing.txt multi-char expansions beyond sharp-s (ADVICE r8):
+    # Latin/Armenian ligatures, ŉ, ǰ, ев-yiwn, combining-mark Latins,
+    # Greek iota-subscript composite — Java upper() grows these, utf8proc
+    # maps 1:1, so the case-stable-domain gate must catch them.
+    "ﬁﬂﬀﬆ ŉǰ և ﬓﬔ ẖẗ ᾷᾼ",
 ]
 
 TABLES = (

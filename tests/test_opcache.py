@@ -23,7 +23,10 @@ def _drained():
     earlier test file's LAST op_cache-using operator leaves its entries
     tracked on this thread (release happens at the NEXT invocation), so a
     test that asserts == 0/== 1 would otherwise depend on which operator
-    some other file happened to invoke last (review r8)."""
+    some other file happened to invoke last (review r8). Released TWICE:
+    the first call adopts any dead-thread leftovers (lazy-drain contract),
+    the second drains the adopted ones."""
+    opcache.release_op_caches()
     opcache.release_op_caches()
     yield
 
@@ -76,17 +79,47 @@ def test_successful_operator_caches_release_at_next_call(
     assert opcache.live_cache_count() == 0  # released at next operator start
 
 
-def test_dead_thread_caches_are_drained(spark):
-    """A thread-per-operator harness must not leak: caches created by an
-    exited thread are released by ANY later release call (and ident reuse
-    cannot misattribute them — entries are tagged with Thread objects)."""
+def test_dead_thread_caches_adopted_then_drained(spark):
+    """A thread-per-operator harness must not leak, but the drain must be
+    LAZY (ADVICE r8 medium): a pool worker's result DataFrame may be handed
+    to the main thread unconsumed, so the first release that sees the dead
+    entry ADOPTS it (retag, cache stays live) and the adopter's NEXT release
+    drains it — one full operator cycle of grace. Thread objects, not
+    idents, are the tag, so ident reuse cannot misattribute entries."""
+    handoff: list = []
+
     def worker():
-        spark.range(50).transform(opcache.op_cache).count()
+        df = spark.range(50).transform(opcache.op_cache)
+        df.count()
+        handoff.append(df)
 
     t = threading.Thread(target=worker)
     t.start()
     t.join()
-    assert opcache.live_cache_count() == 1  # dead-thread entry, drainable
+    assert opcache.live_cache_count() == 1  # dead-thread entry, adoptable
+    opcache.release_op_caches()  # first release: adopt, do NOT unpersist
+    assert opcache.live_cache_count() == 1
+    # the ADVICE hazard: the handed-over result must still be served from
+    # the live cache (no recompute under the consumer's feet)
+    assert handoff[0].storageLevel.useMemory, "adopted cache was unpersisted"
+    assert handoff[0].count() == 50
+    opcache.release_op_caches()  # second release: the adopter drains it
+    assert opcache.live_cache_count() == 0
+    assert not handoff[0].storageLevel.useMemory
+
+
+def test_strict_mode_raises_on_unconsumed_release(spark, monkeypatch):
+    """VERDICT r8 item 7: under SPARK_GRAFT_OPCACHE_STRICT=1 a release that
+    would free never-mark_consumed() caches fails loudly (the pipelining-
+    harness interleave hazard); after mark_consumed() the same release
+    drains cleanly."""
+    df = spark.range(20).transform(opcache.op_cache)
+    df.count()
+    monkeypatch.setenv("SPARK_GRAFT_OPCACHE_STRICT", "1")
+    with pytest.raises(RuntimeError, match="strict mode"):
+        opcache.release_op_caches()
+    assert opcache.live_cache_count() == 1  # nothing freed on the raise
+    opcache.mark_consumed()
     opcache.release_op_caches()
     assert opcache.live_cache_count() == 0
 

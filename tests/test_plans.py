@@ -1285,3 +1285,32 @@ def test_bounded_self_join_strategy_tiers_with_gate(spark, sf_small):
     )._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in shj
     assert "SortMergeJoin" in smj
+
+
+def test_row_at_a_time_udf_sites_are_pinned():
+    """VERDICT r8 item 5: row-at-a-time Python UDFs are the slow path —
+    permitted ONLY in the two SURVEY §2.J contract operators (udf_python in
+    udf/udfs.py, udf_python_arrow in operators/round5_waves.py), which exist
+    to demonstrate exactly that API. Any further `F.udf(` occurrence in the
+    package is an anti-pattern creeping into a hot path: fix it with
+    built-in functions or a pandas_udf, don't widen this allowlist."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ai_dataingestion_spark",
+    )
+    hits: list[str] = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path, encoding="utf-8") as f:
+                for lineno, line in enumerate(f, 1):
+                    if "F.udf(" in line:
+                        rel = os.path.relpath(path, pkg)
+                        hits.append(f"{rel}:{lineno}")
+    allowed = {"udf/udfs.py", "operators/round5_waves.py"}
+    assert sorted(h.rsplit(":", 1)[0] for h in hits) == sorted(allowed), hits
+    assert len(hits) == 2, f"F.udf allowlist violated: {hits}"
