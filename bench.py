@@ -187,8 +187,11 @@ def _prior_round_comparison(results: dict[str, float]) -> dict:
     prior = benches[-1]
     try:
         with open(prior) as f:
-            prior_q = json.load(f).get("queries", {})
-    except (OSError, ValueError):
+            doc = json.load(f)
+        # the driver wraps bench stdout: the bench JSON line sits under
+        # "parsed" (with "tail" holding raw stdout); accept both layouts
+        prior_q = (doc.get("parsed") or doc).get("queries") or {}
+    except (OSError, ValueError, AttributeError):
         return {}
     common = sorted(set(prior_q) & set(results))
     if not common:

@@ -22,6 +22,15 @@ inner joins CARRY the skew to the join output instead of dropping it as
 dangling foreign keys; the mega-order belongs to the whale customer, so
 the hot key compounds through lineitem -> orders -> customer chains.
 
+Outputs are written via repartition(N), NOT coalesce: the source corpus is
+single-row-group parquet, so a read gives ONE partition and coalesce can't
+widen it — the old coalesce(8) silently wrote ONE file per table, which made
+every row of a table a single atomic map block in every downstream shuffle.
+AQE skew splitting works at map-block granularity, so that layout made whale
+partitions UNSPLITTABLE — a fixture artifact masquerading as an engine limit
+(found by scripts/skew_join_audit.py, round 9). Multi-file outputs mirror a
+cluster scan's many map tasks.
+
 Keys keep their original dtype; all other tables copy through unchanged.
 Oracle parity transfers: DuckDB recomputes over the SAME skewed parquet,
 so driver_sim --sf-dir /tmp/spark_graft_skew is a full correctness check
@@ -88,7 +97,7 @@ def build() -> None:
     for t in PLAIN_TABLES:
         if done(t):
             continue
-        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).coalesce(
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).repartition(
             4
         ).write.mode("overwrite").parquet(os.path.join(OUT, f"{t}.parquet"))
 
@@ -99,7 +108,7 @@ def build() -> None:
             F.when(
                 F.col("event_id") % 5 == 0, F.lit(WHALE_USER)
             ).otherwise(F.col("user_id")).cast(dict(e.dtypes)["user_id"]),
-        ).coalesce(8).write.mode("overwrite").parquet(
+        ).repartition(8).write.mode("overwrite").parquet(
             os.path.join(OUT, "events.parquet")
         )
 
@@ -110,7 +119,7 @@ def build() -> None:
             F.when(
                 F.col("l_orderkey") % 751 == 0, F.lit(mega_order)
             ).otherwise(F.col("l_orderkey")).cast(dict(li.dtypes)["l_orderkey"]),
-        ).coalesce(8).write.mode("overwrite").parquet(
+        ).repartition(8).write.mode("overwrite").parquet(
             os.path.join(OUT, "lineitem.parquet")
         )
 
@@ -121,7 +130,7 @@ def build() -> None:
             F.when(
                 F.col("o_orderkey") % 3 == 0, F.lit(whale_cust)
             ).otherwise(F.col("o_custkey")).cast(dict(o.dtypes)["o_custkey"]),
-        ).coalesce(8).write.mode("overwrite").parquet(
+        ).repartition(8).write.mode("overwrite").parquet(
             os.path.join(OUT, "orders.parquet")
         )
 

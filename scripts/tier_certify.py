@@ -122,11 +122,18 @@ def sweep(sf_dir: str) -> tuple[str, bool]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("tiers", nargs="*", choices=list(TIERS),
-                    default=list(TIERS), help="subset of tiers (default all)")
+    # no argparse `choices`: this Python's argparse validates the empty
+    # nargs="*" default against them and rejects a bare invocation
+    ap.add_argument("tiers", nargs="*", metavar="tier",
+                    help=f"subset of {list(TIERS)} (default all)")
     ap.add_argument("--keep", action="store_true",
                     help="reuse existing tier corpora instead of rebuilding")
     args = ap.parse_args()
+    unknown = [t for t in args.tiers if t not in TIERS]
+    if unknown:
+        ap.error(f"unknown tier(s) {unknown}; choose from {list(TIERS)}")
+    if not args.tiers:
+        args.tiers = list(TIERS)
 
     results: dict[str, tuple[str, bool]] = {}
     for name in args.tiers:
