@@ -20,15 +20,31 @@ from ai_dataingestion_spark.registry import EMBEDDING_DIM, Tables
 
 _SQ_NORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+# oracle twin of the _vectors() quarantine below
+from ai_dataingestion_spark.functions.portable import (  # noqa: E402
+    VEC_FINITE_SQL,
+    finite_vec,
+)
+
+_VEC_OK = VEC_FINITE_SQL.format(v="embedding")
+
 
 def _vectors(e):
-    """Exclude rows with a NULL embedding from vector kernels — the
-    null-tier contract, stated identically (embedding IS NOT NULL) in every
-    oracle that feeds a kernel: a missing vector has no geometry, so it can
-    be neither normalized, bucketed, nor ranked, and np.stack over an Arrow
-    batch containing None is a hard crash. Null LABELS stay in: both engines
-    group NULL keys together."""
-    return e.where(F.col("embedding").isNotNull())
+    """Quarantine invalid vectors from every kernel, stated identically
+    (``_VEC_OK`` / ``VEC_FINITE_SQL``) in every oracle that feeds one:
+
+    - NULL embeddings (null-tier contract): no geometry — cannot be
+      normalized, bucketed, or ranked, and np.stack over an Arrow batch
+      containing None is a hard crash.
+    - non-finite components (NaN/±Inf — round-9 nan-tier contract): one NaN
+      poisons every dot product, norm, centroid, and LSH signature it
+      touches (fp16 training overflow is the most common real embedding
+      corpus defect), and the engines then diverge — numpy propagates NaN,
+      DuckDB's stddev-family kernels raise Out of Range, and NaN ordering
+      differs inside top-k ties. Quarantine, don't propagate.
+
+    Null LABELS stay in: both engines group NULL keys together."""
+    return e.where(finite_vec("embedding"))
 
 
 def _dot(a, b):
@@ -132,7 +148,7 @@ def _probe_matrix(spark: SparkSession, sf_dir: str):
 _COSINE_PAIRS_SQL = f"""
 probes AS (
   SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-  WHERE vec_id < 10 AND embedding IS NOT NULL
+  WHERE vec_id < 10 AND {_VEC_OK}
 ),
 pairs AS (
   SELECT probe_id, e.vec_id AS neighbor_id,
@@ -141,7 +157,7 @@ pairs AS (
          / (sqrt({_SQ_NORM.format(v='pe')})
             * sqrt({_SQ_NORM.format(v='e.embedding')})) AS cos
   FROM probes, embeddings e
-  WHERE e.vec_id <> probe_id AND e.embedding IS NOT NULL
+  WHERE e.vec_id <> probe_id AND {VEC_FINITE_SQL.format(v='e.embedding')}
 )
 """
 
@@ -254,11 +270,11 @@ _DUP_OFFSET = 100_000
 _PAIR_DEDUP_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
-  WHERE embedding IS NOT NULL AND label IS NOT NULL
+  WHERE {_VEC_OK} AND label IS NOT NULL
   UNION ALL
   SELECT vec_id + {_DUP_OFFSET}, embedding, label
   FROM embeddings
-  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL AND label IS NOT NULL
+  WHERE vec_id % 10 = 0 AND {_VEC_OK} AND label IS NOT NULL
 ),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -755,6 +771,7 @@ FROM (
          generate_subscripts(embedding, 1) AS i
   FROM embeddings
 )
+WHERE isfinite(x)
 GROUP BY i
 """,
 )
@@ -762,13 +779,22 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding distribution profile (mean/std/min/max/count
     per coordinate) — the embedding-QA pass a training pipeline runs before
     trusting a 100 TB vector corpus (dead dimensions, scale drift, NaN
-    screens). posexplode + groupBy(dim): fully partial-aggregable moment
-    sketches, shuffle carries 64 rows per task regardless of corpus size."""
+    screens). Moments are computed over the FINITE component domain
+    (nan-tier contract: one NaN component otherwise turns a dimension's
+    mean/std into NaN in this engine and an Out of Range ERROR in the
+    oracle's stddev kernel; `n` therefore counts finite components, so
+    `rows*dims - sum(n)` IS the NaN screen). posexplode + groupBy(dim):
+    fully partial-aggregable moment sketches, shuffle carries 64 rows per
+    task regardless of corpus size."""
+    from ai_dataingestion_spark.functions.portable import finite
+
     e = Tables(spark, sf_dir).embeddings
     exploded = e.select(
         F.posexplode("embedding").alias("dim0", "x")
     ).select((F.col("dim0") + 1).cast("bigint").alias("dim"),
-             F.col("x").cast("double").alias("x"))
+             F.col("x").cast("double").alias("x")).where(
+        F.col("x").isNotNull() & finite("x")
+    )
     return exploded.groupBy("dim").agg(
         F.round(F.avg("x"), 6).alias("mean"),
         F.round(F.stddev_samp("x"), 6).alias("std"),

@@ -48,3 +48,46 @@ def mant_exp_cols(col: Column, name: str, dp: int = 6) -> list[Column]:
         .otherwise(mag.cast("int"))
         .alias(f"{name}_exp10"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Finite-domain contracts (round-9 NaN/Inf tier).
+#
+# Metric streams and embedding corpora grow NaN/±Inf in production
+# (divide-by-zero rates, fp16 training overflow); the engines diverge HARD
+# on them: DuckDB's stddev/var/corr kernels raise Out of Range on any
+# non-finite input and CAST(nan AS <int|decimal>) is a conversion error,
+# while Spark propagates NaN; percentile kernels disagree on NaN placement.
+# Statistical operators therefore compute over the FINITE domain on both
+# sides — stated with these twins so the gate is literally identical.
+# ---------------------------------------------------------------------------
+
+_INF = float("inf")
+
+
+def finite(col: Column | str) -> Column:
+    """NULL-safe finite-domain predicate for a double column: keeps NULL
+    (both engines' aggregates skip nulls identically) and finite values,
+    drops NaN/±Inf. Oracle twin: ``FINITE_SQL``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(_INF)))
+
+
+FINITE_SQL = "({v} IS NULL OR isfinite({v}))"
+
+
+def finite_vec(col: Column | str = "embedding") -> Column:
+    """Vector-kernel quarantine: drop NULL vectors (no geometry — the
+    null-tier contract) and vectors carrying any non-finite component (one
+    NaN poisons every dot product, norm, and centroid it touches; ±Inf
+    turns quantization casts into runtime errors). Oracle twin:
+    ``VEC_FINITE_SQL``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(_INF))
+    )
+
+
+VEC_FINITE_SQL = (
+    "({v} IS NOT NULL AND len(list_filter({v}, x -> NOT isfinite(x))) = 0)"
+)

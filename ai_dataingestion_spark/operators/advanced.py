@@ -1043,6 +1043,8 @@ FROM (
            nullif(list_max(list_transform(embedding,
                 x -> abs(CAST(x AS DOUBLE)))), 0) AS max_abs
     FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
   )
 )
 """,
@@ -1054,8 +1056,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer checksums (q_head, q_sum — engine-exact) plus the
     reconstruction RMSE. Expression-only; at corpus scale the same math
     runs as one numpy pass per Arrow batch, but the semantics — and the
-    oracle — are these."""
-    e = Tables(spark, sf_dir).embeddings
+    oracle — are these. Quantizes VALID vectors only (nan-tier contract,
+    mirrored in the oracle): round(NaN) cast to BIGINT is a runtime
+    CAST_OVERFLOW under ANSI mode here and a conversion error in the
+    oracle — an int8 index cannot encode a non-finite component at all."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.where(finite_vec("embedding"))
     x = lambda c: c.cast("double")  # noqa: E731
     max_abs = F.nullif(
         F.array_max(F.transform("embedding", lambda v: F.abs(x(v)))),

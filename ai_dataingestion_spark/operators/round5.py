@@ -975,7 +975,10 @@ WITH pairs AS (
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) AS cos
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  WHERE (a.embedding IS NOT NULL
+         AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0)
+    AND (b.embedding IS NOT NULL
+         AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0)
 )
 SELECT CAST(floor(cos * 10) AS INT) AS bin,
        count(*) AS n_pairs
@@ -1021,14 +1024,16 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"bin": list(counts), "n": list(counts.values())}
         ).astype({"bin": "int32", "n": "int64"})
 
-    # Null-tier contract (mirrored in the oracle): NULL embeddings have no
-    # geometry, and the oracle's a.label = b.label join never matches NULL
-    # labels while groupBy would form a NULL block — exclude both here.
+    # Null/nan-tier contract (mirrored in the oracle): NULL embeddings have
+    # no geometry, non-finite components poison the block matmul (NaN rows
+    # bin differently than the oracle's NaN floor), and the oracle's
+    # a.label = b.label join never matches NULL labels while groupBy would
+    # form a NULL block — quarantine all three here.
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
     e = (
         Tables(spark, sf_dir)
-        .embeddings.where(
-            F.col("embedding").isNotNull() & F.col("label").isNotNull()
-        )
+        .embeddings.where(finite_vec("embedding") & F.col("label").isNotNull())
         .select("vec_id", "embedding", "label")
     )
     per_block = e.groupBy("label").applyInPandas(block_bins, "bin int, n bigint")
@@ -1362,6 +1367,8 @@ WITH norms AS (
   SELECT sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 )
 SELECT count(*) AS n_vectors,
        round(quantile_cont(l2, 0.10), 6) AS p10,
@@ -1374,10 +1381,14 @@ def embed_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-norm distribution percentiles of the embedding corpus — the
     un-normalized-vector detector. Norms use the left-to-right aggregate
     (bit-identical to list_sum), so the interpolated percentiles agree
-    exactly; one aggregate, one row out."""
-    from ai_dataingestion_spark.ai.similarity import _norm
+    exactly; one aggregate, one row out. Computed over VALID vectors only
+    (nan-tier contract, mirrored in the oracle): a NaN/Inf component makes
+    the norm non-finite, which this engine's percentile ranks greatest but
+    the oracle's quantile_cont propagates as NaN — quarantine, don't rank.
+    n_vectors therefore counts valid vectors."""
+    from ai_dataingestion_spark.ai.similarity import _norm, _vectors
 
-    e = Tables(spark, sf_dir).embeddings
+    e = _vectors(Tables(spark, sf_dir).embeddings)
     norms = e.select(_norm(F.col("embedding")).alias("l2"))
     return norms.agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -742,6 +742,8 @@ WITH dims AS (
          generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 per_label AS (
   SELECT dim, label, count(*) AS n_l, avg(val) AS mu_l
@@ -766,9 +768,14 @@ def embed_label_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     (feature selection before clustering). posexplode fans out to
     n×64 rows once; both aggregations are partial-aggregable and the
     output is 64 rows at ANY corpus size. 6-dp rounding absorbs
-    summation-order noise in the double sums."""
+    summation-order noise in the double sums. ANOVA runs over VALID
+    vectors only (nan-tier contract, mirrored in the oracle): one NaN
+    component turns a dimension's var_pop into NaN here and an Out of
+    Range ERROR in the oracle's kernel."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
     t = Tables(spark, sf_dir)
-    dims = t.embeddings.select(
+    dims = t.embeddings.where(finite_vec("embedding")).select(
         "label", F.posexplode("embedding").alias("dim", "raw")
     ).select("label", "dim", F.col("raw").cast("double").alias("val"))
     per_label = dims.groupBy("dim", "label").agg(
@@ -4254,6 +4261,8 @@ WITH cent AS (
       SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ) GROUP BY label, i
   ) GROUP BY label
 ),
@@ -4264,6 +4273,8 @@ dists AS (
                            * (CAST(x AS DOUBLE) - c.cvec[i])))
                * 1000000 + 0.5) / 1000000 AS d2
   FROM embeddings e JOIN cent c ON e.label <> c.label
+  WHERE e.embedding IS NOT NULL
+    AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
 ),
 nearest AS (
   SELECT vec_id, true_label, other_label,
@@ -4287,8 +4298,13 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.py float discipline) rounded before the argmin with an
     other-label tiebreak. Scale shape: the labels-sized centroid
     relation broadcasts; distances are map-side n×(k−1); output is
-    bounded by labels² at any corpus size."""
-    e = Tables(spark, sf_dir).embeddings
+    bounded by labels² at any corpus size. Runs over VALID vectors only
+    (nan-tier contract, mirrored twice in the oracle — centroid build and
+    scoring): one NaN component poisons a centroid AND makes the argmin
+    rank NaN distances differently across engines."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.where(finite_vec("embedding"))
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
@@ -4468,9 +4484,13 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gap_fill_linear",
     oracle="""
 WITH daily AS (
+  -- finite gate (nan-tier contract): one NaN day total would ramp NaN
+  -- into every interpolated neighbor, and floor-rounded NaN arithmetic
+  -- diverges between the engines
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          round(sum(value), 6) AS day_value
   FROM events WHERE user_id % 50 = 0
+    AND (value IS NULL OR isfinite(value))
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ),
 spans AS (
@@ -4523,9 +4543,11 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's own span. The interpolation formula is written with
     identical operation order in both engines and portable-6dp-rounded
     (observed values pass through un-re-rounded)."""
+    from ai_dataingestion_spark.functions.portable import finite
+
     t = Tables(spark, sf_dir)
     daily = (
-        t.events.filter(F.col("user_id") % 50 == 0)
+        t.events.filter((F.col("user_id") % 50 == 0) & finite("value"))
         .groupBy(
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
         )
@@ -4716,7 +4738,9 @@ WITH cuts AS (
   SELECT event_type,
          CAST(quantile_disc(value, 0.05) AS DOUBLE) AS p05,
          CAST(quantile_disc(value, 0.95) AS DOUBLE) AS p95
-  FROM events GROUP BY event_type
+  FROM events
+  WHERE (value IS NULL OR isfinite(value))
+  GROUP BY event_type
 )
 SELECT e.event_type,
        count(*) AS n,
@@ -4728,6 +4752,7 @@ SELECT e.event_type,
        CAST(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
 FROM events e JOIN cuts c ON e.event_type = c.event_type
+WHERE (e.value IS NULL OR isfinite(e.value))
 GROUP BY e.event_type
 """,
 )
@@ -4742,8 +4767,14 @@ def events_value_winsorized_stats(
     the DECIMAL(38,6) accumulation is EXACT (order-independent) and
     each mean is one portable-rounded IEEE division; the percentile
     cut relation is types-sized and broadcasts back. Two aggregate
-    passes over events, no window."""
-    e = Tables(spark, sf_dir).events
+    passes over events, no window. Gated to the FINITE domain (nan-tier
+    contract, mirrored in the oracle): winsorization exists to clamp
+    whales, but clamping NaN is undefined (least/greatest NaN ordering
+    diverges cross-engine) and ±Inf breaks the exact DECIMAL sums —
+    non-finite rows are quarantined, not clamped."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     cuts = e.groupBy("event_type").agg(
         F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias(
             "p05"
@@ -5079,6 +5110,7 @@ WITH sides AS (
            AS side,
          CAST(value AS DECIMAL(38, 2)) AS v
   FROM events
+  WHERE (value IS NULL OR isfinite(value))
 ),
 mo AS (
   SELECT event_type, side, count(*) AS n,
@@ -5115,8 +5147,13 @@ def events_pre_post_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in DECIMAL — exact and order-independent (values carry
     2 decimals) — then means, variances, and t are derived with
     IDENTICAL IEEE operation order in both engines and portable-
-    rounded. One partial-aggregable pass; output is types-sized."""
-    e = Tables(spark, sf_dir).events
+    rounded. One partial-aggregable pass; output is types-sized. The
+    metric is gated to the FINITE domain (nan-tier contract, mirrored
+    in the oracle): ±Inf is a DECIMAL conversion error in the oracle's
+    exact-sum path and a t of NaN answers nothing."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     v = F.col("value").cast("decimal(38,2)")
     sides = e.select(
         "event_type",
@@ -6362,7 +6399,11 @@ daily_stats AS (
   FROM daily
 ),
 p95v AS (
+  -- finite gate (nan-tier contract): the engines' quantile kernels
+  -- disagree on NaN placement, and an alert threshold compared to NaN
+  -- never fires — rank the observable domain only
   SELECT CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95 FROM events
+  WHERE (value IS NULL OR isfinite(value))
 )
 SELECT 'error_rate_gt_19pct' AS rule,
        floor(CAST(n_err AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS metric,
@@ -6422,7 +6463,11 @@ def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5).alias("threshold"),
         F.when(drop < 0.5, 1).otherwise(0).cast("int").alias("fired"),
     )
-    p95 = e.agg(
+    # finite gate on the ranked metric only (nan-tier contract, mirrored
+    # in the oracle's p95v CTE); the count-based rules keep every row
+    from ai_dataingestion_spark.functions.portable import finite
+
+    p95 = e.where(finite("value")).agg(
         F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").alias(
             "p95"
         )
@@ -7051,16 +7096,24 @@ _DUCK_COS = (
 
 def _mmr_oracle() -> str:
     """Unrolled k-step MMR selection as chained CTEs (the kmeans
-    unrolled-oracle precedent)."""
+    unrolled-oracle precedent). Every stage reads the `emb` CTE — the
+    valid-vector quarantine (nan-tier contract, the engine side's
+    finite_vec): a NaN component would poison the greedy chain's very
+    first argmax and every penalty after it."""
     cos_qd = _DUCK_COS.format(a="q.embedding", b="e.embedding")
     parts = [
         f"""
-qv AS (SELECT embedding FROM embeddings
-       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+),
+qv AS (SELECT embedding FROM emb
+       WHERE vec_id = (SELECT min(vec_id) FROM emb)),
 scored AS (
   SELECT e.vec_id, {cos_qd} AS sim
-  FROM embeddings e CROSS JOIN qv q
-  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+  FROM emb e CROSS JOIN qv q
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM emb)
 ),
 sel1 AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
 """
@@ -7073,10 +7126,10 @@ sel1 AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
             f"""
 pen{step} AS (
   SELECT d.vec_id, max({cos_ds}) AS max_sel_sim
-  FROM embeddings d
-  JOIN embeddings s ON s.vec_id IN ({sel_union})
+  FROM emb d
+  JOIN emb s ON s.vec_id IN ({sel_union})
   WHERE d.vec_id NOT IN ({sel_union})
-    AND d.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    AND d.vec_id <> (SELECT min(vec_id) FROM emb)
   GROUP BY d.vec_id
 ),
 sel{step} AS (
@@ -7109,8 +7162,12 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver collects ONE row per round — the bounded-collect budget
     the kmeans/centroid ops established. Cosines are left-to-right
     folds rounded to 9dp before every argmax; the oracle unrolls the
-    identical greedy chain as CTEs."""
-    e = Tables(spark, sf_dir).embeddings
+    identical greedy chain as CTEs over the same valid-vector quarantine
+    (nan-tier contract: a NaN component would poison the first argmax
+    and every penalty round after it)."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.where(finite_vec("embedding"))
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
     if qrow is None:  # empty corpus: no query vector, empty result
         return spark.createDataFrame(
@@ -7595,16 +7652,23 @@ def supplier_quadrant_classification(
 @register(
     "embed_index_upsert_refresh",
     oracle="""
-WITH lake AS (
-  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0
+WITH emb AS (
+  -- valid-vector quarantine (nan-tier contract): an index never admits a
+  -- vector with NaN/Inf components, so neither lake nor batch sees one
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+),
+lake AS (
+  SELECT vec_id, embedding, label FROM emb WHERE vec_id % 5 <> 0
 ),
 batch AS (
   -- new vectors (the %5 slice) + re-embeddings of every 10th lake vector
   -- (negated -> provably different), which must REPLACE their lake rows
-  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+  SELECT vec_id, embedding, label FROM emb WHERE vec_id % 5 = 0
   UNION ALL
   SELECT vec_id, list_transform(embedding, x -> -x), label
-  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 10 = 0
+  FROM emb WHERE vec_id % 5 <> 0 AND vec_id % 10 = 0
 ),
 merged AS (
   SELECT vec_id, embedding, label FROM batch
@@ -7634,8 +7698,12 @@ def embed_index_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     report checksums the post-merge state via each vector's component
     sum (left-to-right fold), which flips sign for replaced vectors —
     so a botched merge (duplicate id, missed replacement) breaks the
-    hash, not just the count."""
-    e = Tables(spark, sf_dir).embeddings
+    hash, not just the count. The index admits VALID vectors only
+    (nan-tier contract, mirrored in the oracle's emb CTE): a NaN
+    component would poison the per-label checksum."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.where(finite_vec("embedding"))
     lake = e.filter(F.col("vec_id") % 5 != 0)
     re_embedded = (
         e.filter((F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 10 == 0))
@@ -7977,12 +8045,15 @@ def fn_business_days_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cuts AS (
   SELECT event_type, min(value) AS lo, max(value) AS hi
-  FROM events GROUP BY event_type
+  FROM events
+  WHERE (value IS NULL OR isfinite(value))
+  GROUP BY event_type
 ),
 scaled AS (
   SELECT e.event_type,
          (e.value - c.lo) / nullif(c.hi - c.lo, 0) AS s
   FROM events e JOIN cuts c ON e.event_type = c.event_type
+  WHERE (e.value IS NULL OR isfinite(e.value))
 )
 SELECT event_type,
        count(*) AS n,
@@ -8003,8 +8074,14 @@ def fn_minmax_scale_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean uses the 9dp-round-then-DECIMAL-sum idiom
     (events_attribution_linear) so the Σ of scaled doubles is
     order-independent; min/max are order-free already. Cuts are
-    types-sized and broadcast."""
-    e = Tables(spark, sf_dir).events
+    types-sized and broadcast. Scales the FINITE domain only (nan-tier
+    contract, mirrored in the oracle): a single +Inf makes hi-lo
+    infinite — every scaled value collapses to 0 — and NaN through the
+    9dp floor grid is an INT128 conversion error in the oracle; min-max
+    scaling of non-finite features is undefined, so they quarantine."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     cuts = e.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )

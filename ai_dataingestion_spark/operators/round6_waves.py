@@ -62,6 +62,7 @@ WITH tagged AS (
            AS period,
          CAST(value AS DECIMAL(38, 2)) AS v
   FROM events
+  WHERE (value IS NULL OR isfinite(value))
 ),
 cells AS (
   SELECT grp, period, count(*) AS n,
@@ -95,8 +96,12 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, cutover-date period split). Four cell means from
     exact DECIMAL sums, the DiD contrast derived with identical IEEE
     order in both engines. One partial-aggregable pass to a 4-cell
-    relation."""
-    e = Tables(spark, sf_dir).events
+    relation. Metric gated to the FINITE domain (nan-tier contract,
+    mirrored in the oracle): ±Inf is a DECIMAL conversion error in the
+    oracle's exact-sum path."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     grp = F.when(
         F.expr(
             "conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
@@ -359,7 +364,9 @@ WITH per_user AS (
          CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
                        THEN CAST(value AS DECIMAL(38, 2)) ELSE 0 END)
               AS DOUBLE) AS y
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE (value IS NULL OR isfinite(value))
+  GROUP BY user_id
 ),
 mo AS (
   -- first moments through the 6dp-round-then-DECIMAL idiom (its domain,
@@ -418,8 +425,13 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre/post correlation. Per-user X/Y from exact DECIMAL sums; cross
     moments use the 6dp-round-then-DECIMAL-accumulate idiom so Σxy is
     order-independent; θ and both variances derive with identical IEEE
-    order. One per-user reduce, then a single moment row."""
-    e = Tables(spark, sf_dir).events
+    order. One per-user reduce, then a single moment row. The metric is
+    gated to the FINITE domain (nan-tier contract, mirrored in the
+    oracle): a ±Inf value is a DECIMAL conversion error in the oracle
+    and would zero the covariance structure here."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     dec = F.col("value").cast("decimal(38,2)")
     pre = F.col("ts") < F.lit(_CUPED_CUT).cast("timestamp")
     per_user = e.groupBy("user_id").agg(
@@ -590,7 +602,9 @@ def supplier_scorecard_composite(
 WITH per_user AS (
   SELECT user_id,
          CAST(sum(CAST(value AS DECIMAL(38, 2))) AS DOUBLE) AS y
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE (value IS NULL OR isfinite(value))
+  GROUP BY user_id
 ),
 mo AS (
   -- syy is a RAW double sum: y*y at lake magnitudes exceeds the 6dp
@@ -631,8 +645,12 @@ def events_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUPED, whose variance_reduction directly shrinks this n). The z
     constants are fixed literals shared with the oracle; moments use
     the round-then-DECIMAL idiom; output is one row with the
-    go/no-go flag."""
-    e = Tables(spark, sf_dir).events
+    go/no-go flag. Metric gated to the FINITE domain (nan-tier
+    contract, mirrored in the oracle): ±Inf is a DECIMAL conversion
+    error in the oracle's exact-sum path."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     per_user = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("y")
     )
@@ -682,7 +700,9 @@ _PSI_CUT = "2024-01-15"
     "quality_psi_drift",
     oracle=f"""
 WITH pre AS (
-  SELECT value FROM events WHERE ts < TIMESTAMP '{_PSI_CUT}'
+  SELECT value FROM events
+  WHERE ts < TIMESTAMP '{_PSI_CUT}'
+    AND (value IS NULL OR isfinite(value))
 ),
 cuts AS (
   SELECT CAST(quantile_cont(value, 0.1) AS DOUBLE) AS q1,
@@ -709,6 +729,7 @@ binned AS (
          (CASE WHEN value > q8 THEN 1 ELSE 0 END) +
          (CASE WHEN value > q9 THEN 1 ELSE 0 END) AS bin
   FROM events CROSS JOIN cuts
+  WHERE (value IS NULL OR isfinite(value))
 ),
 shares AS (
   SELECT bin,
@@ -740,8 +761,15 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bin edges are bit-identical interpolated quantiles broadcast once;
     per-bin terms are 9dp-rounded then DECIMAL-summed (order-
     independent); the alarm fires on the UNROUNDED sum in both
-    engines."""
-    e = Tables(spark, sf_dir).events
+    engines. The metric is gated to the FINITE domain on both sides
+    (nan-tier contract): a NaN poisons the fitted decile edges — the
+    engines' quantile kernels disagree on NaN placement — and an Inf
+    would sit in the top bin while corrupting nothing visibly, which is
+    exactly the silent-drift failure PSI exists to catch; quarantine
+    and let quality_constraints count the non-finite rows."""
+    from ai_dataingestion_spark.functions.portable import finite
+
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     pre_pred = F.col("ts") < F.lit(_PSI_CUT).cast("timestamp")
     cuts = e.filter(pre_pred).agg(
         *[
@@ -1381,6 +1409,8 @@ WITH comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings WHERE vec_id % 4 = 0
+    AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 pairs AS (
   SELECT a.dim AS d1, b.dim AS d2,
@@ -1416,8 +1446,15 @@ def embed_dim_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id with the band predicate bounding fan-out at 8 per
     component row. Moment sums feed one rounded correlation per pair
     (float sums stabilized by the 6dp round — the §5.4 rule);
-    rank cut is deterministic."""
-    e = Tables(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 == 0)
+    rank cut is deterministic. Correlations run over VALID vectors only
+    (nan-tier contract, mirrored in the oracle): one NaN component turns
+    8 band pairs' moment sums into NaN, and |NaN| ranks differently
+    across the engines' top-15 windows."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.filter(
+        (F.col("vec_id") % 4 == 0) & finite_vec("embedding")
+    )
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("pos0", "xf")
     ).select(
@@ -3719,7 +3756,12 @@ WITH ranked AS (
 SELECT user_id,
        (SELECT count(*) FROM events e WHERE e.user_id = ranked.user_id)
          AS n_events,
-       (SELECT CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+       -- finite gate on the summed METRIC only (nan-tier contract):
+       -- event counts keep every row, but ±Inf cannot enter the exact
+       -- DECIMAL state column (conversion error here, NULL-poison there)
+       (SELECT CAST(round(sum(CASE WHEN isfinite(value)
+                               THEN CAST(value AS DECIMAL(38,6)) END), 2)
+               AS DOUBLE)
         FROM events e WHERE e.user_id = ranked.user_id) AS total_value,
        event_type AS last_type
 FROM ranked WHERE rn = 1
@@ -3768,9 +3810,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # upsert state is keyed by user: no user, no state row (oracle
         # mirrors with user_id IS NOT NULL)
         batch_df = batch_df.where(F.col("user_id").isNotNull())
+        # finite gate on the summed METRIC only (nan-tier contract,
+        # mirrored in the oracle): counts keep every event, but a ±Inf
+        # value must not enter the exact DECIMAL state column
+        from ai_dataingestion_spark.functions.portable import finite
+
         batch_state = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)"))
+            F.sum(
+                F.when(finite("value"), F.col("value")).cast("decimal(38,6)")
+            )
             .cast("decimal(38,6)")
             .alias("sum_value"),
             F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
@@ -4359,6 +4408,8 @@ WITH ex AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
 ),
 sub AS (
   SELECT vec_id, CAST(floor(i / {_PQ_SUBDIM}) AS INTEGER) AS blk,
@@ -4411,8 +4462,13 @@ def embed_pq_reconstruction_error(
     BROADCAST, per-(vec, block, centroid) distances aggregate in one
     pass, argmin by (9-dp-rounded distance, cid) — the
     tpch_q2_min_cost_supplier round-before-rank rule — then a
-    corpus-sized ratio rollup."""
-    e = Tables(spark, sf_dir).embeddings
+    corpus-sized ratio rollup. Quantizes VALID vectors only (nan-tier
+    contract, mirrored in the oracle): a NaN component makes every
+    block distance NaN, so the argmin degenerates to the cid tiebreak
+    and the error ratios go NaN — quarantine, don't encode."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+
+    e = Tables(spark, sf_dir).embeddings.where(finite_vec("embedding"))
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select(

@@ -111,12 +111,18 @@ SELECT event_id, user_id,
        round((value - avg(value) OVER (PARTITION BY user_id))
              / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS value_z
 FROM events
+WHERE (value IS NULL OR isfinite(value))
 """,
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization via applyInPandas (grouped-map):
     each user's events arrive as one pandas frame. The SQL-window twin in
-    the oracle pins semantics (ddof=1 == stddev_samp)."""
+    the oracle pins semantics (ddof=1 == stddev_samp). Gated to the
+    FINITE domain (nan-tier contract, mirrored in the oracle): pandas
+    mean/std silently SKIP NaN while the oracle's window stddev kernel
+    raises Out of Range on it — the z-score of a non-finite observation
+    is undefined, so the row quarantines on both sides."""
+    from ai_dataingestion_spark.functions.portable import finite
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
@@ -126,7 +132,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
              "value_z": np.round(z, 6)}
         )
 
-    e = Tables(spark, sf_dir).events
+    e = Tables(spark, sf_dir).events.where(finite("value"))
     return e.groupBy("user_id").applyInPandas(
         normalize, "event_id bigint, user_id bigint, value_z double"
     )
@@ -136,21 +142,33 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_map_in_pandas",
     oracle="""
 SELECT event_id,
-       round(ln(1 + value), 6)  AS log1p_value,
+       CASE WHEN isfinite(value) AND value > -1
+            THEN round(ln(1 + value), 6) END AS log1p_value,
        length(event_type)       AS type_len
 FROM events
 """,
 )
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-wise mapInPandas featurizer (the batch-transform shape used
-    for tokenizers/featurizers): log1p(value) + a string feature."""
+    for tokenizers/featurizers): log1p(value) + a string feature. The log
+    feature NULLs outside its domain — finite values > -1 — on BOTH sides
+    (nan-tier contract): numpy log1p propagates NaN/-Inf where the oracle's
+    ln() raises on negatives, and a featurizer must not drop the ROW (the
+    string feature is still good) just because one numeric feature is
+    uncomputable."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+            ok = np.isfinite(v) & (v > -1.0)
+            lv = pd.array(
+                np.round(np.log1p(np.where(ok, v, 0.0)), 6), dtype="Float64"
+            )
+            lv[~ok] = pd.NA  # ships to Arrow as NULL, not NaN
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
-                    "log1p_value": np.round(np.log1p(pdf["value"]), 6),
+                    "log1p_value": lv,
                     # nullable Int64: .str.len() of a missing string is
                     # <NA>, which Arrow ships back as a NULL bigint —
                     # astype("int64") would crash the worker on it

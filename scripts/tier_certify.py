@@ -59,6 +59,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("extremes_fixture.py", {"SPARK_GRAFT_EXTREMES_DIR": f"{_T}/spark_graft_extremes"})],
         f"{_T}/spark_graft_extremes",
     ),
+    "nan": (
+        [("nan_fixture.py", {"SPARK_GRAFT_NAN_DIR": f"{_T}/spark_graft_nan"})],
+        f"{_T}/spark_graft_nan",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",
