@@ -7972,16 +7972,21 @@ WITH lat AS (
                    CAST(l_shipdate AS DATE)) AS cal_days,
          -- business days between d1 (excl) and d2 (incl), Mon=1..Sun=7:
          -- full weeks x5 + weekday-remainder correction via a
-         -- cumulative-business-day index bd(d) = 5*(d//7) + min(d%7, 5)
-         -- anchored on a known Monday epoch
-         (5 * ((date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)))
-               // 7)
-          + least((date_diff('day', DATE '1990-01-01',
-                             CAST(l_shipdate AS DATE))) % 7, 5))
-         - (5 * ((date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)))
-                 // 7)
-            + least((date_diff('day', DATE '1990-01-01',
-                               CAST(o_orderdate AS DATE))) % 7, 5))
+         -- cumulative-business-day index bd(d) = 5*floor(d/7) +
+         -- min(pmod(d,7), 5) anchored on a known Monday epoch. FLOOR
+         -- division and POSITIVE modulo on both sides (epoch tier): for
+         -- dates BEFORE the anchor d is negative, where // truncates
+         -- toward zero in this engine while Spark's floor() rounds down,
+         -- and % takes the dividend's sign in both — the explicit
+         -- floor/pmod forms are sign-correct everywhere
+         (5 * CAST(floor(date_diff('day', DATE '1990-01-01',
+                                   CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT)
+          + least(((date_diff('day', DATE '1990-01-01',
+                              CAST(l_shipdate AS DATE)) % 7) + 7) % 7, 5))
+         - (5 * CAST(floor(date_diff('day', DATE '1990-01-01',
+                                     CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT)
+            + least(((date_diff('day', DATE '1990-01-01',
+                                CAST(o_orderdate AS DATE)) % 7) + 7) % 7, 5))
            AS bus_days
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )
@@ -8007,13 +8012,15 @@ def fn_business_days_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic throughout; one orderkey join, fixed literals shared
     with the oracle."""
     t = Tables(spark, sf_dir)
-    anchor = F.lit("1990-01-01")  # a Monday BEFORE every corpus date: keeps
-    # every offset d non-negative — Spark floor-division and
-    # DuckDB // DIVERGE on negative operands (floor vs trunc)
+    anchor = F.lit("1990-01-01")  # a known Monday; dates BEFORE it give
+    # negative offsets, so the index uses FLOOR division and POSITIVE
+    # modulo explicitly on both sides (epoch tier: DuckDB // truncates
+    # toward zero on negatives while F.floor rounds down, and % takes the
+    # dividend sign in both engines — pmod is the portable weekday)
 
     def bd(col):
         d = F.datediff(F.to_date(col), F.to_date(anchor))
-        return 5 * F.floor(d / 7) + F.least(d % 7, F.lit(5))
+        return 5 * F.floor(d / 7) + F.least(F.pmod(d, 7), F.lit(5))
 
     lat = (
         t.lineitem.join(

@@ -3652,9 +3652,26 @@ def events_max_sliding_hour_rate(
 WITH d AS (
   SELECT CAST(ts AS DATE) AS day, event_type FROM events
 ),
-touched AS (
-  SELECT count(*) AS c FROM d
+incoming_days AS (
+  -- dynamic overwrite replaces ONLY partitions PRESENT in the incoming
+  -- frame: a pre-cutoff day with zero clicks sends no incoming rows, so
+  -- its partition — non-clicks and all — SURVIVES. The epoch tier's
+  -- sparse 1920s days made this matter (the old formula assumed every
+  -- pre-cutoff day contains a click, which the dense clean corpus
+  -- happened to satisfy).
+  SELECT DISTINCT day FROM d
   WHERE day <= DATE '2024-01-05' AND event_type = 'click'
+    AND day IS NOT NULL
+),
+replaced AS (
+  SELECT count(*) AS c FROM d
+  WHERE day IN (SELECT day FROM incoming_days) AND event_type = 'click'
+),
+pre_survivor AS (
+  -- pre-cutoff partitions absent from the incoming frame keep ALL rows
+  SELECT count(*) AS c FROM d
+  WHERE day <= DATE '2024-01-05'
+    AND day NOT IN (SELECT day FROM incoming_days)
 ),
 untouched AS (
   -- the NULL-day partition (hive default dir) is a real partition the
@@ -3663,11 +3680,13 @@ untouched AS (
   WHERE day > DATE '2024-01-05' OR day IS NULL
 )
 SELECT 'rows_after' AS metric,
-       (SELECT c FROM touched) + (SELECT c FROM untouched) AS value
+       (SELECT c FROM replaced) + (SELECT c FROM pre_survivor)
+         + (SELECT c FROM untouched) AS value
 UNION ALL
 SELECT 'days_present', (SELECT count(DISTINCT day) FROM d)
 UNION ALL
-SELECT 'touched_day_rows', (SELECT c FROM touched)
+SELECT 'touched_day_rows',
+       (SELECT c FROM replaced) + (SELECT c FROM pre_survivor)
 UNION ALL
 SELECT 'untouched_day_rows', (SELECT c FROM untouched)
 """,

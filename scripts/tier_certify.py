@@ -63,6 +63,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("nan_fixture.py", {"SPARK_GRAFT_NAN_DIR": f"{_T}/spark_graft_nan"})],
         f"{_T}/spark_graft_nan",
     ),
+    "epoch": (
+        [("epoch_fixture.py", {"SPARK_GRAFT_EPOCH_DIR": f"{_T}/spark_graft_epoch"})],
+        f"{_T}/spark_graft_epoch",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",
