@@ -319,25 +319,42 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        len(json_keys(props))                                AS n_keys,
-       array_to_string(json_keys(props), ',')               AS keys_csv,
+       array_to_string(list_sort(json_keys(props)), ',')    AS keys_csv,
        CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_val
 FROM events
+WHERE coalesce(json_valid(props), false)
+  AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
 """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON → MapType → map_keys/element_at (flat outputs so the map
-    itself never crosses the comparison boundary)."""
+    itself never crosses the comparison boundary).
+
+    Map-admissible domain only (json tier, mirrored in the oracle): a MAP
+    parse is undefined for malformed JSON (from_json nulls the map here,
+    json_keys RAISES in the oracle) and for duplicate top-level keys (a
+    map cannot hold them — from_json keeps the LAST duplicate while every
+    path extractor keeps the FIRST, so such documents are quarantined,
+    not guessed at). Keys are emitted SORTED: the engines' key orders
+    (map insertion vs document order) are not a contract."""
     # map<string,string>, not map<string,int>: JSON object values are
     # heterogeneous, and one non-integer value makes from_json null the
     # ENTIRE map (found by the unicode tier's string-valued key) — parse
     # losslessly, cast the one numeric field at the point of use
-    e = Tables(spark, sf_dir).events.withColumn(
-        "m", F.from_json("props", MapType(StringType(), StringType()))
+    jok = F.expr("json_object_keys(props)")  # doc order, KEEPS duplicates
+    e = (
+        Tables(spark, sf_dir)
+        .events.where(
+            jok.isNotNull() & (F.size(jok) == F.size(F.array_distinct(jok)))
+        )
+        .withColumn(
+            "m", F.from_json("props", MapType(StringType(), StringType()))
+        )
     )
     return e.select(
         "event_id",
         F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
-        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_csv"),
         F.element_at("m", "k").cast("bigint").alias("k_val"),
     )
 
@@ -346,8 +363,15 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k')                  AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int,
+       -- validity CASE (json tier): this engine's path extraction RAISES
+       -- on malformed JSON where Spark's get_json_object returns NULL;
+       -- the gate makes both spellings NULL. On duplicate keys both
+       -- extractors agree FIRST-wins, so no dup gate is needed here.
+       CASE WHEN coalesce(json_valid(props), false)
+            THEN json_extract_string(props, '$.k') END     AS k_str,
+       CAST(CASE WHEN coalesce(json_valid(props), false)
+                 THEN json_extract_string(props, '$.k') END
+            AS BIGINT)                                     AS k_int,
        -- coalesce(false): missing props is NOT valid JSON on both sides
        -- (Spark's isNotNull already says false; json_valid(NULL) is NULL)
        coalesce(CAST(json_valid(props) AS BOOLEAN), false) AS is_valid
@@ -355,7 +379,9 @@ FROM events
 """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the props column (get_json_object path form)."""
+    """JSON extraction from the props column (get_json_object path form).
+    Malformed documents yield NULL paths and is_valid=false on both sides
+    (json tier contract — see the oracle's validity CASE)."""
     e = Tables(spark, sf_dir).events
     k = F.get_json_object("props", "$.k")
     return e.select(

@@ -5818,13 +5818,25 @@ def quality_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_variant_json_path",
     oracle="""
+WITH admissible AS (
+  -- variant-admissible domain (json tier): Spark's VARIANT parser NULLs
+  -- malformed JSON (try_parse_json) AND rejects duplicate object keys,
+  -- while this engine's json_extract raises on the former and keeps the
+  -- FIRST duplicate on the latter — gate both classes so the k sums run
+  -- over exactly the rows that shred to a variant
+  SELECT event_type,
+         CASE WHEN coalesce(json_valid(props), false)
+                   AND len(json_keys(props))
+                       = len(list_distinct(json_keys(props)))
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(sum(CAST(json_extract(
-             '{"a":[' || CAST(json_extract(props, '$.k') AS BIGINT) || ','
-                      || CAST(json_extract(props, '$.k') AS BIGINT) * 2 || ']}',
+             '{"a":[' || k || ',' || k * 2 || ']}',
              '$.a[1]') AS BIGINT)) AS BIGINT) AS sum_nested
-FROM events GROUP BY event_type
+FROM admissible GROUP BY event_type
 """,
 )
 def fn_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5837,14 +5849,18 @@ def fn_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse + O(1) binary offset lookups; everything stays JVM-side inside
     whole-stage codegen and the aggregate is a plain partial-aggregable
     groupBy on event_type (5-row output at any scale). Oracle: DuckDB
-    json_extract over the identical paths."""
+    json_extract over the identical paths, gated to the
+    variant-admissible domain (json tier): try_parse_json NULLs malformed
+    documents AND duplicate-key objects (VARIANT rejects dup keys), which
+    the oracle mirrors with json_valid + a json_keys dup check — the sums
+    run over exactly the shreddable rows; n counts every row."""
     t = Tables(spark, sf_dir)
     # One physical shred: props crosses parse_json exactly once (the alias
     # below survives CollapseProject — parse_json is not a cheap expression),
     # and every path lookup reads the binary variant. Pinned by
     # tests/test_plans.py::test_variant_shreds_props_once.
     shredded = t.events.select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
     )
     k = F.expr("variant_get(v, '$.k', 'bigint')")
     nested = F.expr(

@@ -67,6 +67,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("epoch_fixture.py", {"SPARK_GRAFT_EPOCH_DIR": f"{_T}/spark_graft_epoch"})],
         f"{_T}/spark_graft_epoch",
     ),
+    "json": (
+        [("json_fixture.py", {"SPARK_GRAFT_JSON_DIR": f"{_T}/spark_graft_json"})],
+        f"{_T}/spark_graft_json",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",
