@@ -78,6 +78,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("json_fixture.py", {"SPARK_GRAFT_JSON_DIR": f"{_T}/spark_graft_json"})],
         f"{_T}/spark_graft_json",
     ),
+    "layout": (
+        [("layout_fixture.py", {"SPARK_GRAFT_LAYOUT_DIR": f"{_T}/spark_graft_layout"})],
+        f"{_T}/spark_graft_layout",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",

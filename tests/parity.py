@@ -19,11 +19,18 @@ from ai_dataingestion_spark.registry import TABLE_NAMES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        # directory-layout tables (layout tier / Spark-written dirs) need
+        # the part-file glob, exactly as scripts/driver_sim.py does
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 
