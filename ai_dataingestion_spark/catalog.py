@@ -244,6 +244,36 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "text_rank_stability_spearman", "text_readability_score",
         "text_token_length_histogram", "text_topk_coverage_curve",
         "text_vocab_oov_rate", "trade_flow_nation_matrix",
+        # --- round 9 green (all 50 rows of CORRECTNESS_r09: clean sweep,
+        # 0 fail / 0 err) ---
+        "agg_bitmap_exact_distinct", "agg_bootstrap_mean_ci",
+        "agg_cube_margin_consistency",
+        "agg_stratified_estimator_variance", "agg_theil_decomposition",
+        "catalog_temporal_coverage", "customer_segment_migration",
+        "dedup_cdc_chunking", "embed_pq_reconstruction_error",
+        "embed_prefix_energy_fraction", "embed_sign_hamming_separation",
+        "events_ab_srm_check", "events_circular_time_stats",
+        "events_interarrival_burstiness", "events_kaplan_meier_daily",
+        "events_markov_entropy_rate", "events_max_sliding_hour_rate",
+        "events_pchart_error_rate", "events_pit_training_features",
+        "events_rolling_corr_daily", "fn_aes_encrypt_roundtrip",
+        "fn_array_reduce_horner", "fn_collation_lcase_group",
+        "fn_json_nested_roundtrip", "fn_url_parse",
+        "fn_variant_json_path", "fn_xpath_extract",
+        "graph_degree_distribution", "join_epsilon_float",
+        "join_lateral_topk", "join_strategy_equivalence",
+        "lineitem_wilson_ci_return_rate",
+        "orders_fulfillment_vintage_curves",
+        "orders_hierarchy_share_of_parent",
+        "orders_seasonal_decomposition_additive",
+        "orders_simpsons_reversal_check", "part_skyline_price_size",
+        "pipeline_cdc_column_breakdown", "pipeline_zorder_layout_plan",
+        "quality_column_entropy_profile", "quality_fd_discovery",
+        "quality_table_fingerprint", "scan_parquet_footer_audit",
+        "sink_csv_gzip_roundtrip", "sink_dynamic_partition_overwrite",
+        "sql_recursive_cte_rollup", "stream_foreachbatch_upsert",
+        "text_bpe_pair_merge", "text_naive_bayes_source_classifier",
+        "win_loo_outlier_zscore",
     }
 )
 

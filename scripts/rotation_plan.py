@@ -68,7 +68,10 @@ def main() -> int:
     specs = all_specs()
     names = list(specs)
     greens = correctness_greens()
-    pending = [n for n in names if _rotation_rank(specs[n]) < 4]
+    # Pending = no green file evidence (VERDICT-r9 item 4) — NOT "not yet
+    # folded into _DRIVER_CHECKED"; folding lag is reported separately by
+    # the consistency audit below.
+    pending = [n for n in names if n not in greens]
     window = names[:50]
     windows_left = -(-len(pending) // 50)  # ceil
 
@@ -82,7 +85,13 @@ def main() -> int:
     print(f"pending by rank      : {dict(sorted(by_rank.items()))}")
     print("\nnext driver window (first 50 of queries()):")
     for i, n in enumerate(window):
-        tag = "pending" if _rotation_rank(specs[n]) < 4 else "re-sweep(green)"
+        # "pending" means NO green file evidence exists (VERDICT-r9 item 4):
+        # an ID whose green row landed but isn't folded into _DRIVER_CHECKED
+        # yet is labeled distinctly so the plan never contradicts evidence.
+        if n in greens:
+            tag = "re-sweep(green)" if _rotation_rank(specs[n]) >= 4 else "green-unfolded"
+        else:
+            tag = "pending"
         print(f"  {i + 1:2d}. {n}  [{tag}]")
     if len(pending) > 50:
         print(f"\ntail after this window ({len(pending) - 50} IDs):")

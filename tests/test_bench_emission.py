@@ -1,0 +1,101 @@
+"""Pin bench.py's emission contract (VERDICT-r9 item 2).
+
+The driver records only the LAST 2,000 chars of bench stdout. Round 9's
+single JSON line grew to 2,782 chars, so the line's head (metric, value,
+the first ~27 per-query times) was sliced off and BENCH_r09.json stored
+"parsed": null. These tests pin:
+
+1. the final summary line stays under bench.SUMMARY_LINE_CAP even with
+   pessimistically wide values for every headline query;
+2. the field-shedding fallback activates rather than emitting oversize;
+3. _prior_round_comparison recovers per-query times from a prior round
+   whose "parsed" is null by regex-extracting the truncated "tail" string
+   (exercised against the real BENCH_r09.json committed in this repo).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _wide_inputs(bench):
+    """Worst-realistic-width inputs: every query at a 7-char time, full
+    loadavg, populated vs_prior/recall/lsh blocks."""
+    results = {q: 12.3456 for q in bench.HEADLINE}
+    spreads = {q: 2.656 for q in bench.HEADLINE}
+    vs_prior = {
+        "prior_file": "BENCH_r09.json",
+        "common_n": len(bench.HEADLINE),
+        "common_sum_now": 123.4567,
+        "common_sum_prior": 123.4567,
+    }
+    recall = {"sim_ann_lsh": 0.98, "sim_ann_ivf": 1.0}
+    lsh_stats = {"pairs_per_probe": 123.4, "corpus_fraction": 0.1034}
+    lsh_clustered = {
+        "recall": 1.0,
+        "corpus_fraction": 0.103,
+        "pairs_per_probe": 61.9,
+    }
+    return results, spreads, [12.34, 10.11, 9.87], vs_prior, recall, \
+        lsh_stats, lsh_clustered
+
+
+def test_summary_line_fits_driver_capture(bench):
+    args = _wide_inputs(bench)
+    line = bench._summary_line(*args, sf="0.1")
+    assert len(line) <= bench.SUMMARY_LINE_CAP
+    doc = json.loads(line)
+    # the driver-contract fields must survive any shedding
+    assert doc["metric"] == "suite_warm_seconds"
+    assert doc["unit"] == "sec"
+    assert set(doc["queries"]) == set(bench.HEADLINE)
+    assert doc["sf"] == 0.1
+    assert "vs_prior_round" in doc and doc["vs_prior_round"]["common_n"]
+
+
+def test_summary_line_sheds_fields_when_oversize(bench, monkeypatch):
+    # Shrink the cap so shedding must activate; contract fields survive.
+    results, spreads, load, vs_prior, recall, lsh, lshc = _wide_inputs(bench)
+    monkeypatch.setattr(bench, "SUMMARY_LINE_CAP", 1700)
+    line = bench._summary_line(
+        results, spreads, load, vs_prior, recall, lsh, lshc, sf="0.1"
+    )
+    doc = json.loads(line)
+    assert len(line) <= 1700
+    assert set(doc["queries"]) == set(bench.HEADLINE)
+    assert "loadavg_before" not in doc  # first field shed
+
+
+def test_prior_round_fallback_parses_truncated_tail(bench):
+    """The real BENCH_r09.json has parsed: null; the fallback must recover
+    the per-query seconds that survive in its truncated tail — and must
+    NOT leak run_spread_maxmin ratios into the comparison."""
+    r9 = json.load(open(os.path.join(REPO, "BENCH_r09.json")))
+    assert r9.get("parsed") is None, "fixture drifted: r9 parsed non-null"
+    results = {q: 1.0 for q in bench.HEADLINE}
+    out = bench._prior_round_comparison(results)
+    if out.get("prior_file") != "BENCH_r09.json":
+        pytest.skip("a newer BENCH_r*.json superseded r9 as the prior")
+    # r9's tail holds the last ~11 query entries before run_spread_maxmin
+    assert out["common_n"] >= 5
+    # spread ratios for these queries are ~1-3; recovered times must be the
+    # seconds actually present in the tail (spot-check one known value)
+    tail = r9["tail"]
+    assert '"graph_copurchase_triangles": 0.7853' in tail
+    assert out["common_sum_prior"] > 0

@@ -93,7 +93,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 77  # after r8's 50-ID window landed (371 attested)
+    EXPECTED_BACKLOG = 27  # after r9's 50-ID window landed (421 attested)
     assert len(pending) == EXPECTED_BACKLOG, (
         f"rotation backlog {len(pending)} != planned {EXPECTED_BACKLOG}; "
         "update _DRIVER_CHECKED (fold the new CORRECTNESS greens) and this pin"
