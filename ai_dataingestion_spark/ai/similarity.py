@@ -22,7 +22,9 @@ _SQ_NORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUB
 
 # oracle twin of the _vectors() quarantine below
 from ai_dataingestion_spark.functions.portable import (  # noqa: E402
+    COMPONENT_COMPLETE_SQL,
     VEC_FINITE_SQL,
+    component_complete,
     finite_vec,
 )
 
@@ -78,6 +80,7 @@ SELECT vec_id,
          AS unit_sum,
        len(embedding) AS dim
 FROM embeddings
+WHERE {COMPONENT_COMPLETE_SQL.format(v='embedding')}
 """,
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,8 +88,13 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the scale) — pure expressions, no UDF. The unit vector itself is
     summarized as scalars (head element + element sum + dim) because array
     columns have engine-divergent pandas representations; both summaries
-    are left-to-right reductions, so raw doubles match bit-for-bit."""
-    e = Tables(spark, sf_dir).embeddings
+    are left-to-right reductions, so raw doubles match bit-for-bit.
+    Deliberately UNGATED on NaN/Inf (pure propagation) but NULL-component
+    vectors are quarantined (portable.component_complete): the engines'
+    reductions disagree on them (nan tier, round 10)."""
+    e = Tables(spark, sf_dir).embeddings.where(
+        component_complete("embedding")
+    )
     norm = _norm(F.col("embedding"))
     unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
     return e.select(
@@ -814,6 +822,7 @@ _KMEANS_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE {COMPONENT_COMPLETE_SQL.format(v='embedding')}
 ),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}),
 d1 AS (
@@ -879,8 +888,17 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance evaluation (map-side), one posexplode + partial-aggregable
     per-(cluster, dim) mean — the canonical distributed Lloyd step; more
     iterations are the same plan repeated."""
-    e = Tables(spark, sf_dir).embeddings.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    e = (
+        Tables(spark, sf_dir)
+        .embeddings
+        # NULL-component quarantine (nan tier r10): a NULL component nulls
+        # the whole distance reduction here but is SKIPPED by the oracle's
+        # list aggregates — portable.component_complete, mirrored above
+        .where(component_complete("embedding"))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     )
     c0 = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")

@@ -53,8 +53,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
             except BaseException:
                 # a raising operator returns no DataFrame anyone could still
                 # consume — release its orphaned caches NOW instead of
-                # leaking them until the next invocation (VERDICT r7 item 7)
-                release_op_caches()
+                # leaking them until the next invocation (VERDICT r7 item 7);
+                # abandoned=True so strict mode doesn't replace the real
+                # exception with a consumed-check failure (round 10)
+                release_op_caches(abandoned=True)
                 raise
 
         invoke.__name__ = fn.__name__

@@ -78,16 +78,41 @@ FINITE_SQL = "({v} IS NULL OR isfinite({v}))"
 
 def finite_vec(col: Column | str = "embedding") -> Column:
     """Vector-kernel quarantine: drop NULL vectors (no geometry — the
-    null-tier contract) and vectors carrying any non-finite component (one
-    NaN poisons every dot product, norm, and centroid it touches; ±Inf
-    turns quantization casts into runtime errors). Oracle twin:
-    ``VEC_FINITE_SQL``."""
+    null-tier contract) and vectors carrying any NULL or non-finite
+    component (one NaN poisons every dot product, norm, and centroid it
+    touches; ±Inf turns quantization casts into runtime errors; a NULL
+    component makes the vector's geometry undefined). The NULL-component
+    test is EXPLICIT, not left to 3-valued logic: Spark's ``exists`` over a
+    NULL-predicate element yields NULL (row dropped by the filter) while
+    DuckDB's ``list_filter`` silently discards NULL-predicate elements
+    (row kept) — stating ``x IS NULL`` on both sides makes the twins
+    literally equivalent (ADVICE r9). Oracle twin: ``VEC_FINITE_SQL``."""
     c = F.col(col) if isinstance(col, str) else col
     return c.isNotNull() & ~F.exists(
-        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(_INF))
+        c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(_INF))
     )
 
 
 VEC_FINITE_SQL = (
-    "({v} IS NOT NULL AND len(list_filter({v}, x -> NOT isfinite(x))) = 0)"
+    "({v} IS NOT NULL AND "
+    "len(list_filter({v}, x -> x IS NULL OR NOT isfinite(x))) = 0)"
+)
+
+
+def component_complete(col: Column | str = "embedding") -> Column:
+    """NULL-COMPONENT quarantine for operators that deliberately stay
+    UNGATED on NaN/Inf (pure-propagation contracts — NaN propagates
+    bit-identically through both engines' arithmetic): a NULL component
+    does NOT propagate identically. Spark's higher-order aggregate makes
+    the whole reduction NULL (acc + NULL = NULL) while DuckDB's list_sum
+    SKIPS NULL elements like SQL SUM — so ``[1.0, NULL, 2.0]`` yields NULL
+    here and 3.0 there (nan-tier NULL-component injection, round 10).
+    Whole-NULL vectors are KEPT: both engines propagate those to NULL
+    outputs identically. Oracle twin: ``COMPONENT_COMPLETE_SQL``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | ~F.exists(c, lambda x: x.isNull())
+
+
+COMPONENT_COMPLETE_SQL = (
+    "({v} IS NULL OR len(list_filter({v}, x -> x IS NULL)) = 0)"
 )

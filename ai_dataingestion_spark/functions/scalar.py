@@ -292,14 +292,24 @@ SELECT vec_id,
        len(list_filter(embedding, x -> x > 0))                AS n_pos,
        CAST(embedding[1] AS DOUBLE) * 2.0                     AS first_x2
 FROM embeddings
+WHERE (embedding IS NULL
+       OR len(list_filter(embedding, x -> x IS NULL)) = 0)
 """,
 )
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions over embeddings: aggregate (squared L2 norm),
     filter (positive dims), transform/element math. Floats are widened to
     double BEFORE multiplying so both engines run identical IEEE ops;
-    list_sum/aggregate both reduce left-to-right, so raw doubles match."""
-    e = Tables(spark, sf_dir).embeddings
+    list_sum/aggregate both reduce left-to-right, so raw doubles match.
+    UNGATED on NaN/Inf (pure propagation) but NULL-component vectors are
+    quarantined (portable.component_complete): Spark's aggregate nulls the
+    whole reduction while DuckDB's list_sum skips NULL elements (nan tier
+    r10)."""
+    from ai_dataingestion_spark.functions.portable import component_complete
+
+    e = Tables(spark, sf_dir).embeddings.where(
+        component_complete("embedding")
+    )
     return e.select(
         "vec_id",
         F.aggregate(
@@ -323,6 +333,10 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_val
 FROM events
 WHERE coalesce(json_valid(props), false)
+  -- CASE keeps json_type lazy: DuckDB may reorder bare AND conjuncts and
+  -- json_type RAISES on malformed input (json tier)
+  AND CASE WHEN json_valid(props)
+           THEN json_type(props) = 'OBJECT' ELSE false END
   AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
 """,
 )
@@ -335,8 +349,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_keys RAISES in the oracle) and for duplicate top-level keys (a
     map cannot hold them — from_json keeps the LAST duplicate while every
     path extractor keeps the FIRST, so such documents are quarantined,
-    not guessed at). Keys are emitted SORTED: the engines' key orders
-    (map insertion vs document order) are not a contract."""
+    not guessed at). VALID non-object docs ('[1,2]', '5') are quarantined
+    too: Spark's json_object_keys returns NULL on them (row dropped) while
+    DuckDB's json_keys returns [] (row kept with n_keys=0) — the oracle
+    states json_type = 'OBJECT' so both sides drop (ADVICE r9). Keys are
+    emitted SORTED: the engines' key orders (map insertion vs document
+    order) are not a contract."""
     # map<string,string>, not map<string,int>: JSON object values are
     # heterogeneous, and one non-integer value makes from_json null the
     # ENTIRE map (found by the unicode tier's string-valued key) — parse

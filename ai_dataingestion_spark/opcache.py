@@ -98,17 +98,21 @@ def mark_consumed() -> None:
                 e.consumed = True
 
 
-def release_op_caches() -> None:
+def release_op_caches(abandoned: bool = False) -> None:
     """Unpersist every cache tracked by previous operator invocations on the
     CALLING thread; ADOPT (retag to the caller, drain at the caller's next
     release) entries whose creating thread has exited. A live other thread's
     intermediates are never touched. Under strict mode, raises if an entry
-    about to be freed was never ``mark_consumed()``. Safe against stopped
-    sessions (best-effort)."""
+    about to be freed was never ``mark_consumed()`` — unless ``abandoned``
+    is set: a RAISING operator's caches back a result nobody can consume
+    (catalog.invoke's error path), so freeing them unconsumed is correct
+    cleanup, not a pipelining hazard, and strict-raising there would mask
+    the operator's real exception. Safe against stopped sessions
+    (best-effort)."""
     me = threading.current_thread()
     with _LOCK:
         mine = [e for e in _LIVE if e.owner is me]
-        if _strict():
+        if _strict() and not abandoned:
             stale = [e for e in mine if not e.consumed]
             if stale:
                 raise RuntimeError(

@@ -1044,7 +1044,7 @@ FROM (
                 x -> abs(CAST(x AS DOUBLE)))), 0) AS max_abs
     FROM embeddings
     WHERE embedding IS NOT NULL
-      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
   )
 )
 """,

@@ -976,9 +976,9 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE (a.embedding IS NOT NULL
-         AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0)
+         AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)
     AND (b.embedding IS NOT NULL
-         AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0)
+         AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)
 )
 SELECT CAST(floor(cos * 10) AS INT) AS bin,
        count(*) AS n_pairs
@@ -1368,7 +1368,7 @@ WITH norms AS (
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 )
 SELECT count(*) AS n_vectors,
        round(quantile_cont(l2, 0.10), 6) AS p10,

@@ -577,20 +577,39 @@ WITH blocked AS (
 sized AS (
   SELECT *, count(*) OVER (PARTITION BY len_bucket, prefix5) AS block_n
   FROM blocked
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         -- DP length cap (VERDICT-r9 item 6): when BOTH texts exceed
+         -- 4,000 chars, compare their first 4,000 chars — identical
+         -- contract on the Spark side
+         CASE WHEN len(a.text) > 4000 AND len(b.text) > 4000
+              THEN a.text[1:4000] ELSE a.text END AS ta,
+         CASE WHEN len(a.text) > 4000 AND len(b.text) > 4000
+              THEN b.text[1:4000] ELSE b.text END AS tb
+  FROM sized a JOIN sized b
+    ON a.len_bucket = b.len_bucket AND a.prefix5 = b.prefix5
+   AND a.doc_id < b.doc_id
+  WHERE a.block_n <= 100
+    -- ASCII operands only: edit distance is an ENCODING-UNIT metric and
+    -- the engines count different units outside printable ASCII (bytes
+    -- here, UTF-16 units there) — real pipelines transliterate before
+    -- edit distance
+    AND NOT regexp_matches(a.text, '[^ -~]')
+    AND NOT regexp_matches(b.text, '[^ -~]')
+),
+scored AS (
+  -- equality short-circuit BEFORE the DP: identical operands (the
+  -- dominant candidate class once a corpus accumulates exact copies)
+  -- cost a string compare, never O(n*m) cells
+  SELECT doc_a, doc_b,
+         CASE WHEN ta = tb THEN 0 ELSE levenshtein(ta, tb) END AS edit_dist,
+         greatest(len(ta), len(tb)) AS cap_len
+  FROM cand
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(a.text, b.text) AS edit_dist
-FROM sized a JOIN sized b
-  ON a.len_bucket = b.len_bucket AND a.prefix5 = b.prefix5
- AND a.doc_id < b.doc_id
-WHERE a.block_n <= 100
-  -- ASCII operands only: edit distance is an ENCODING-UNIT metric and
-  -- the engines count different units outside printable ASCII (bytes here, UTF-16
-  -- units there) — real pipelines transliterate before edit distance
-  AND NOT regexp_matches(a.text, '[^ -~]')
-  AND NOT regexp_matches(b.text, '[^ -~]')
-  AND levenshtein(a.text, b.text)
-      <= 0.2 * greatest(len(a.text), len(b.text))
+SELECT doc_a, doc_b, edit_dist
+FROM scored
+WHERE edit_dist <= 0.2 * cap_len
 """,
 )
 def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,7 +621,15 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped (deterministic skew cap, mirrored in the oracle): quadratic
     work is bounded by 100² per block, never corpus². Complements
     dedup_ngram_jaccard (bag-of-shingles) with an ORDER-sensitive edit
-    measure."""
+    measure.
+
+    DP cost contract (VERDICT-r9 item 6, mirrored in the oracle): when
+    BOTH operands exceed 4,000 chars the distance is computed over their
+    first 4,000 chars (an O(cap²) bound — near-dup triage on book-length
+    docs is a prefix decision, and the extremes tier's identical 100k-char
+    docs cost ~1e10 DP cells per pair per engine without it), and
+    byte-equal operands short-circuit to 0 before any DP on either engine
+    (the oracle's CASE guards DuckDB, which has no equality fast path)."""
     t = Tables(spark, sf_dir)
     blocked = t.documents.select(
         "doc_id",
@@ -615,16 +642,22 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("block_n") <= 100)
     a = sized.alias("a")
     b = sized.alias("b")
-    max_len = F.greatest(F.length(F.col("a.text")), F.length(F.col("b.text")))
-    # Semantics-preserving cost cuts (oracle unchanged): edit distance is
-    # >= |len(a)-len(b)|, so pairs whose length delta already exceeds the
-    # threshold drop BEFORE any O(n*m) work, and byte-equal pairs (the
-    # dominant candidate class once a corpus accumulates exact copies)
-    # short-circuit to 0. Measured: 101 s -> 17.5 s on the 10x sweep.
-    len_delta = F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
-    dist = F.when(F.col("a.text") == F.col("b.text"), F.lit(0)).otherwise(
-        F.levenshtein(F.col("a.text"), F.col("b.text"))
+    both_long = (F.length(F.col("a.text")) > 4000) & (
+        F.length(F.col("b.text")) > 4000
     )
+    ta = F.when(both_long, F.substring(F.col("a.text"), 1, 4000)).otherwise(
+        F.col("a.text")
+    )
+    tb = F.when(both_long, F.substring(F.col("b.text"), 1, 4000)).otherwise(
+        F.col("b.text")
+    )
+    cap_len = F.greatest(F.length(ta), F.length(tb))
+    # Semantics-preserving cost cuts (mirrored contract): edit distance is
+    # >= |len(a)-len(b)|, so pairs whose length delta already exceeds the
+    # threshold drop BEFORE any O(n*m) work, and byte-equal pairs
+    # short-circuit to 0. Measured: 101 s -> 17.5 s on the 10x sweep.
+    len_delta = F.abs(F.length(ta) - F.length(tb))
+    dist = F.when(ta == tb, F.lit(0)).otherwise(F.levenshtein(ta, tb))
     return (
         a.join(
             b,
@@ -638,8 +671,8 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("a.text").rlike("[^ -~]")
             & ~F.col("b.text").rlike("[^ -~]")
         )
-        .filter(len_delta <= 0.2 * max_len)
-        .filter(dist <= 0.2 * max_len)
+        .filter(len_delta <= 0.2 * cap_len)
+        .filter(dist <= 0.2 * cap_len)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -743,7 +776,7 @@ WITH dims AS (
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 per_label AS (
   SELECT dim, label, count(*) AS n_l, avg(val) AS mu_l
@@ -4262,7 +4295,7 @@ WITH cent AS (
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
       WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ) GROUP BY label, i
   ) GROUP BY label
 ),
@@ -4274,7 +4307,7 @@ dists AS (
                * 1000000 + 0.5) / 1000000 AS d2
   FROM embeddings e JOIN cent c ON e.label <> c.label
   WHERE e.embedding IS NOT NULL
-    AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 nearest AS (
   SELECT vec_id, true_label, other_label,
@@ -7106,7 +7139,7 @@ def _mmr_oracle() -> str:
 emb AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 qv AS (SELECT embedding FROM emb
        WHERE vec_id = (SELECT min(vec_id) FROM emb)),
@@ -7657,7 +7690,7 @@ WITH emb AS (
   -- vector with NaN/Inf components, so neither lake nor batch sees one
   SELECT vec_id, embedding, label FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 lake AS (
   SELECT vec_id, embedding, label FROM emb WHERE vec_id % 5 <> 0

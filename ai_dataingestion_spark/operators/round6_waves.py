@@ -1410,7 +1410,7 @@ WITH comp AS (
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings WHERE vec_id % 4 = 0
     AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 pairs AS (
   SELECT a.dim AS d1, b.dim AS d2,
@@ -4428,7 +4428,7 @@ WITH ex AS (
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 sub AS (
   SELECT vec_id, CAST(floor(i / {_PQ_SUBDIM}) AS INTEGER) AS blk,

@@ -24,22 +24,55 @@ from pyspark.sql import SparkSession
 
 
 _CGROUP_PATHS = (
-    "/sys/fs/cgroup/memory.max",  # v2 unified hierarchy
-    "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+    "/sys/fs/cgroup/memory.max",  # v2 unified hierarchy (cgroup namespace)
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1 root
 )
 
 
-def _cgroup_mem_limit_gb(paths: tuple[str, ...] = _CGROUP_PATHS) -> float | None:
+def _own_cgroup_paths(proc_cgroup: str = "/proc/self/cgroup") -> tuple[str, ...]:
+    """Limit files for the cgroup THIS process belongs to (ADVICE r9): in a
+    non-root cgroup without a cgroup namespace (a systemd slice, a container
+    sharing the host cgroupfs), the limit lives under the subpath from
+    /proc/self/cgroup — probing only the root paths silently misses it and
+    falls back to host-RAM sizing, the exact swap/OOM scenario the sizing
+    exists to avoid. Returns () when unresolvable (then the root fallbacks
+    in _CGROUP_PATHS still apply)."""
+    paths: list[str] = []
+    try:
+        with open(proc_cgroup) as f:
+            for line in f:
+                # v2: "0::/some/slice"   v1: "N:memory:/some/slice"
+                parts = line.strip().split(":", 2)
+                if len(parts) != 3:
+                    continue
+                _, controllers, sub = parts
+                sub = sub.lstrip("/")
+                if controllers == "" and sub:  # v2 unified entry
+                    paths.append(f"/sys/fs/cgroup/{sub}/memory.max")
+                elif "memory" in controllers.split(",") and sub:  # v1
+                    paths.append(
+                        f"/sys/fs/cgroup/memory/{sub}/memory.limit_in_bytes"
+                    )
+    except OSError:
+        return ()
+    return tuple(paths)
+
+
+def _cgroup_mem_limit_gb(paths: tuple[str, ...] | None = None) -> float | None:
     """Container memory limit in GiB, if one applies (ADVICE r8: sysconf
     reports HOST RAM inside cgroup-limited containers, so a 64 GB host with
     an 8 GB container limit would still get a 24g heap and hit exactly the
-    swap/OOM-killer failure the sizing exists to avoid). Reads cgroup v2
-    ``memory.max`` then v1 ``memory.limit_in_bytes``; "max" / absurdly large
-    sentinels (>=2^60, the no-limit convention) mean unlimited -> None.
-    ``paths`` is parameterized for tests only."""
+    swap/OOM-killer failure the sizing exists to avoid). Probes the
+    process's OWN cgroup subpath first (ADVICE r9), then the v2 root
+    ``memory.max`` and v1 root ``memory.limit_in_bytes``; "max" / absurdly
+    large sentinels (>=2^60, the no-limit convention) mean unlimited ->
+    None. ``paths`` is parameterized for tests only."""
+    if paths is None:
+        paths = _own_cgroup_paths() + _CGROUP_PATHS
     for path in paths:
         try:
-            raw = open(path).read().strip()
+            with open(path) as f:
+                raw = f.read().strip()
         except OSError:
             continue
         if raw == "max":

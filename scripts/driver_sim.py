@@ -151,7 +151,15 @@ def main() -> int:
 
     check_corpus_fingerprint(args.sf_dir, full_sweep=not args.queries)
 
+    # Opcache strict mode ON in this harness (VERDICT-r9 item 8 decision):
+    # driver_sim is the pipelining-contract harness of record, so the
+    # sequential consume-then-release discipline is asserted continuously —
+    # every operator's tracked caches must be mark_consumed() before the
+    # next operator's release, or the sweep fails loudly.
+    os.environ.setdefault("SPARK_GRAFT_OPCACHE_STRICT", "1")
+
     import __spark_entry__ as mod
+    from ai_dataingestion_spark import opcache
     from pyspark.sql import SparkSession
 
     spark = (
@@ -165,6 +173,7 @@ def main() -> int:
 
     t0 = time.time()
     entry_rows = mod.entry(spark).collect()
+    opcache.mark_consumed()
     print(f"[smoke] entry() -> {len(entry_rows)} rows in {time.time()-t0:.1f}s "
           f"({'OK' if len(entry_rows) > 0 else 'FAIL: 0 rows'})")
 
@@ -173,12 +182,28 @@ def main() -> int:
     ids = args.queries or sorted(qs)
 
     con = duckdb.connect()
+    from ai_dataingestion_spark.registry import SCHEMAS
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet"
-            + ("/*.parquet" if os.path.isdir(f"{args.sf_dir}/{t}.parquet") else "")
-            + "')"
-        )
+        path = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Directory tables (layout/drift tiers, Spark-written scale-up
+            # corpora) may carry schema DRIFT across part files: the engine
+            # reads them with the declared schema (registry.load_table),
+            # which widens narrowed types, NULL-fills file-missing columns
+            # and prunes file-extra ones. union_by_name is DuckDB's
+            # equivalent read posture; projecting the declared column list
+            # mirrors the pruning (SELECT * would leak drift-added columns
+            # into the oracle views).
+            cols = ", ".join(f.name for f in SCHEMAS[t].fields)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT {cols} FROM read_parquet("
+                f"'{path}/*.parquet', union_by_name=true)"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
 
     n_ok = n_fail = n_rows_only = 0
     for qid in ids:
@@ -189,6 +214,10 @@ def main() -> int:
             print(f"[FAIL] {qid}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # strict-mode contract: this harness consumed (or abandoned via
+            # catalog's error path) everything the operator cached
+            opcache.mark_consumed()
         if qid not in oracles:
             print(f"[rows] {qid}: {len(sp)} rows (no oracle) {time.time()-t0:.1f}s")
             n_rows_only += 1

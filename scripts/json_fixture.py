@@ -18,6 +18,9 @@ except where the class is specifically about breaking it):
   permissive parsers must agree row-by-row
 - duplicate keys (`{"k":1,"k":2}`) — first-wins vs last-wins is an
   engine-defined choice JSON-path contracts must pin or avoid
+- VALID non-object docs (`[1,2,3]`, bare `5`) — Spark json_object_keys
+  NULLs them while DuckDB json_keys returns [], so object-shaped
+  contracts must gate on json_type (ADVICE r9)
 
 Usage: python scripts/json_fixture.py  (idempotent; rm -rf to rebuild)
 Sweep: python scripts/driver_sim.py --sf-dir /tmp/spark_graft_json
@@ -70,6 +73,12 @@ def _mutants(k: str) -> list:
         '{"k": %s, "broken": ' % k,
         # duplicate keys: engine-defined first-vs-last wins
         '{"k": %s, "k": 777}' % k,
+        # VALID but NON-OBJECT (ADVICE r9): Spark json_object_keys -> NULL
+        # (row dropped) vs DuckDB json_keys -> [] (row kept) — map/object
+        # contracts must state json_type='OBJECT' on the oracle side
+        "[%s, 2, 3]" % k,
+        # VALID bare scalar: same divergence class, scalar flavor
+        "%s" % k,
     ]
 
 
@@ -86,7 +95,8 @@ def inject(table: str, tbl: pa.Table) -> pa.Table:
             continue
         # original flat form is {"k": N} — recover N textually
         k = v.split(":", 1)[1].rstrip("} ").strip() if ":" in v else "0"
-        vals[i] = _mutants(k)[int(i) % 6]
+        muts = _mutants(k)
+        vals[i] = muts[int(i) % len(muts)]
     cols["props"] = pa.array(vals, type=pa.string())
     return pa.table(cols)
 

@@ -83,6 +83,11 @@ def inject(table: str, tbl: pa.Table) -> pa.Table:
         vecs = cols["embedding"].to_pylist()
         m_nan = _mask("embeddings.vec#nan", n, 0.01)
         m_inf = _mask("embeddings.vec#inf", n, 0.005) & ~m_nan
+        # NULL components (ADVICE r9): a vector like [1.0, NULL, 2.0] is the
+        # exact shape where Spark's exists() 3VL and DuckDB's list_filter
+        # NULL-dropping diverge — inject it so the finite_vec/VEC_FINITE_SQL
+        # twins are exercised, not just whole-vector NULLs (null tier).
+        m_null = _mask("embeddings.vec#nullcomp", n, 0.005) & ~m_nan & ~m_inf
         for i in np.flatnonzero(m_nan):
             v = vecs[i]
             if v:
@@ -91,6 +96,10 @@ def inject(table: str, tbl: pa.Table) -> pa.Table:
             v = vecs[i]
             if v:
                 v[int(i) % len(v)] = math.inf
+        for i in np.flatnonzero(m_null):
+            v = vecs[i]
+            if v:
+                v[int(i) % len(v)] = None
         cols["embedding"] = pa.array(
             vecs, type=tbl.schema.field("embedding").type
         )

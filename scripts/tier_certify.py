@@ -82,6 +82,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("layout_fixture.py", {"SPARK_GRAFT_LAYOUT_DIR": f"{_T}/spark_graft_layout"})],
         f"{_T}/spark_graft_layout",
     ),
+    "drift": (
+        [("drift_fixture.py", {"SPARK_GRAFT_DRIFT_DIR": f"{_T}/spark_graft_drift"})],
+        f"{_T}/spark_graft_drift",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",

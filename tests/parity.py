@@ -15,7 +15,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-from ai_dataingestion_spark.registry import TABLE_NAMES
+from ai_dataingestion_spark.registry import SCHEMAS, TABLE_NAMES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -24,14 +24,22 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
-        # directory-layout tables (layout tier / Spark-written dirs) need
-        # the part-file glob, exactly as scripts/driver_sim.py does
+        # directory-layout tables (layout/drift tiers, Spark-written dirs)
+        # need the part-file glob AND the schema-evolution read posture,
+        # exactly as scripts/driver_sim.py does: union_by_name absorbs
+        # per-file drift; projecting the declared columns mirrors the
+        # engine's declared-schema pruning of drift-added columns
         if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{path}')"
-        )
+            cols = ", ".join(f.name for f in SCHEMAS[name].fields)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} "
+                f"FROM read_parquet('{path}/*.parquet', union_by_name=true)"
+            )
+        else:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
     return con
 
 

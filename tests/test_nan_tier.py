@@ -56,7 +56,17 @@ NAN_TIER_IDS = [
     # feature-NULL-outside-domain
     "udf_map_in_pandas",
     # pure-propagation ops that must KEEP passing ungated
-    "embed_normalize", "agg_groupby", "stream_tumbling",
+    "agg_groupby", "stream_tumbling",
+    # NULL-COMPONENT quarantine (round 10, ADVICE r9): Spark's exists()
+    # 3VL vs DuckDB's list_filter NULL-dropping diverge on [1.0, NULL,
+    # 2.0]-shaped vectors; NaN/Inf-ungated reductions additionally
+    # diverge because acc+NULL nulls the whole Spark aggregate while
+    # list_sum skips NULL elements (portable.component_complete /
+    # COMPONENT_COMPLETE_SQL; the 11 round-10 fixes)
+    "embed_normalize", "fn_array_hof", "embed_kmeans_iterations",
+    "embed_cosine_histogram", "embed_norm_percentiles",
+    "embed_index_upsert_refresh", "embed_dim_corr_pairs",
+    "embed_label_eta_squared",
 ]
 
 
@@ -92,6 +102,9 @@ def test_fixture_actually_injects_nonfinite(nan_dir):
     assert any(
         any(x is not None and not math.isfinite(x) for x in v) for v in vecs
     ), "no non-finite embedding component"
+    assert any(
+        any(x is None for x in v) for v in vecs
+    ), "no NULL embedding component (round-10 component_complete class)"
 
 
 @pytest.mark.parametrize("qid", NAN_TIER_IDS)

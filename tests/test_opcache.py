@@ -124,6 +124,18 @@ def test_strict_mode_raises_on_unconsumed_release(spark, monkeypatch):
     assert opcache.live_cache_count() == 0
 
 
+def test_strict_mode_abandoned_release_bypasses_check(spark, monkeypatch):
+    """Round 10 (VERDICT-r9 item 8): catalog.invoke's error path frees a
+    RAISING operator's caches with abandoned=True — freeing unconsumed
+    caches there is correct cleanup, and a strict-mode raise would mask
+    the operator's real exception."""
+    df = spark.range(20).transform(opcache.op_cache)
+    df.count()
+    monkeypatch.setenv("SPARK_GRAFT_OPCACHE_STRICT", "1")
+    opcache.release_op_caches(abandoned=True)  # must NOT raise
+    assert opcache.live_cache_count() == 0
+
+
 def test_release_is_thread_local(spark):
     """Another thread calling release_op_caches() must NOT unpersist this
     thread's tracked caches."""
