@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.registry import Tables
 
 # MinHash constants (FIXTURES.md): 3-token shingles, 32 seeds, 8 bands x 4 rows.
@@ -222,7 +223,7 @@ WITH corpus AS (
          list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
   FROM documents WHERE doc_id % 5 = 0
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -232,7 +233,7 @@ shingled AS (
 ),
 sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {", ".join("min((%d * hm + %d) %% %d) AS h%d" % (_CW_A[i], _CW_B[i], _MERSENNE_P, i) for i in range(N_HASHES))}
   FROM sp GROUP BY doc_id
@@ -282,7 +283,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
-    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    # op_cache: exploding a generator whose input is the shingle transform
+    # over the corpus UNION re-evaluates the tokenization pathologically
+    # (measured 60+ s/pass vs 0.3 s from cache on the extremes tier's
+    # giant docs, round 10) — materialize once, explode from the cache
+    docs = corpus.select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    ).transform(op_cache)
 
     pairs = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id",
@@ -362,7 +369,7 @@ th AS (
   FROM tok
 ),
 votes AS (SELECT doc_id, {_simhash_votes_duck()} FROM th GROUP BY doc_id),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {", ".join(_simhash_chunk_duck(c) + " AS c%d" % c for c in range(4))}
   FROM votes
@@ -493,7 +500,7 @@ WITH corpus AS (
          list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
   FROM documents WHERE doc_id % 5 = 0
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -542,7 +549,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
-    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    # op_cache: the shingled relation feeds the index AND both exact-verify
+    # sides; uncached, each pass re-runs the shingle transform over the
+    # corpus union (60+ s/pass on extremes-tier giant docs, round 10)
+    docs = corpus.select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    ).transform(op_cache)
     # The index/self-join phase runs on xxhash64(shingle) — 8-byte shuffle
     # keys instead of ~30-byte shingle strings through the widest joins.
     # DF-cap semantics must match the oracle's STRING-level cap, but a
@@ -624,7 +636,7 @@ WITH corpus AS (
          list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
   FROM documents WHERE doc_id % 5 = 0
 ),
-fp AS (
+fp AS MATERIALIZED (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(list_transform(
            range(1, greatest(len(toks) - {_FP_WINDOW - 2}, 2)),
@@ -669,12 +681,14 @@ def dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+    # op_cache: exploding the fingerprint transform over the corpus union
+    # re-tokenizes pathologically on giant docs (extremes tier, round 10)
     fp = corpus.select(
         "doc_id",
         F.slice(
             F.array_sort(F.array_distinct(window_hashes)), 1, _FP_KEEP
         ).alias("fingerprint"),
-    )
+    ).transform(op_cache)
     inv = fp.select("doc_id", F.explode("fingerprint").alias("h"))
     rare_h = inv.groupBy("h").count().filter(F.col("count") <= _FP_DF_CAP).select("h")
     rare = inv.join(rare_h, "h")
@@ -699,7 +713,7 @@ WITH corpus AS (
                     1, greatest(len(string_split(text, ' ')) // 2, {SHINGLE_K}))
   FROM documents WHERE doc_id % 7 = 0
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -755,7 +769,12 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = d.unionByName(truncated).withColumn("toks", F.split("text", " "))
-    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    # op_cache: docs feeds the index, sizes, and both verify sides — and
+    # the uncached shingle-over-union explode is pathological on giant
+    # docs (extremes tier, round 10)
+    docs = corpus.select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    ).transform(op_cache)
     shingle_rows = docs.select("doc_id", F.explode("shingles").alias("sh"))
     inv = shingle_rows.select("doc_id", "sh", F.xxhash64("sh").alias("h"))
     rare = _rare_shingle_index(inv, cap=50, small_corpus=_small_corpus(sf_dir))

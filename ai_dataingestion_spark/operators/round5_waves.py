@@ -2559,7 +2559,7 @@ WITH corpus AS (
          list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
   FROM documents WHERE doc_id % 5 = 0
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -2569,7 +2569,7 @@ shingled AS (
 ),
 sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
-sig AS (SELECT doc_id, {sig_cols} FROM sp GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sp GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_id, ({eq_sum}) AS n_eq
   FROM sig a JOIN sig b ON b.doc_id = a.doc_id + {_DUP_OFFSET}
@@ -2621,7 +2621,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
-    docs = corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    # op_cache: the shingled relation feeds the signature AND the exact-
+    # Jaccard verify; uncached, the shingle-over-union explode re-runs
+    # pathologically on giant docs (extremes tier, round 10)
+    docs = corpus.select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    ).transform(op_cache)
     sp = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id", F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm")
     )
@@ -2752,7 +2757,7 @@ def events_markov_2step_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_shingle_df_spectrum",
     oracle="""
-WITH shingled AS (
+WITH shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
@@ -3441,7 +3446,7 @@ corpus AS (
          list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1)
   FROM documents WHERE doc_id % 5 = 0
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -3451,7 +3456,7 @@ shingled AS (
 ),
 sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {", ".join("min((%d * hm + %d) %% %d) AS h%d" % (_CW_A[i], _CW_B[i], _MERSENNE_P, i) for i in range(N_HASHES))}
   FROM sp GROUP BY doc_id
@@ -3501,7 +3506,10 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split("text", " ")
     )
     pairs = (
+        # op_cache: the uncached shingle-over-union explode re-tokenizes
+        # pathologically on giant docs (extremes tier, round 10)
         corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .transform(op_cache)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .select(
             "doc_id",
@@ -3971,7 +3979,7 @@ exact_removed AS (
   WHERE rn > 1
 ),
 toksed AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(toks) - {SHINGLE_K - 2}, 2)),
@@ -3981,7 +3989,7 @@ shingled AS (
 ),
 sp AS (SELECT doc_id, {_duck_h("shingle")} % {_MERSENNE_P} AS hm
        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {", ".join("min((%d * hm + %d) %% %d) AS h%d" % (_CW_A[i], _CW_B[i], _MERSENNE_P, i) for i in range(N_HASHES))}
   FROM sp GROUP BY doc_id
@@ -4599,16 +4607,22 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward carry as a REVERSED running frame, not CURRENT..UNBOUNDED
+    # FOLLOWING: Spark's unbounded-following frame re-scans the partition
+    # tail per row (O(n²) — 186 s on the extremes tier's 83k-day calendar
+    # span, measured round 10), while a running frame over the descending
+    # order is a single O(n) pass. first(ignore nulls) at-or-after in
+    # ascending order == last(ignore nulls) at-or-before in descending.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
     pv = F.last("day_value", ignorenulls=True).over(wb)
     pd_ = F.last(obs_day, ignorenulls=True).over(wb)
-    nv = F.first("day_value", ignorenulls=True).over(wf)
-    nd = F.first(obs_day, ignorenulls=True).over(wf)
+    nv = F.last("day_value", ignorenulls=True).over(wf)
+    nd = F.last(obs_day, ignorenulls=True).over(wf)
     interp = _pround(
         pv
         + (nv - pv)
@@ -8392,10 +8406,14 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_last("t"), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # strictly-after carry as a REVERSED running frame (same rewrite as
+    # events_gap_fill_linear, round 10): Spark's unbounded-following frame
+    # is O(n²) per partition; the descending running frame is O(n). The
+    # reversed order mirrors (asc_nulls_last t, asc event_id) exactly.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("t"), "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc_nulls_first("t"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     enriched = seq.select(
         "user_id",
@@ -8403,7 +8421,7 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "event_type",
         F.last(err_t, ignorenulls=True).over(wb).alias("err_before"),
-        F.first(err_t, ignorenulls=True).over(wf).alias("err_after"),
+        F.last(err_t, ignorenulls=True).over(wf).alias("err_after"),
     ).filter(F.col("event_type") == "purchase")
     nearest_back = F.when(
         F.col("err_before").isNotNull()

@@ -22,12 +22,15 @@ defect in r8 that no single tier saw.
 Prints one summary line per tier plus a final PASS/FAIL verdict; exit 0 iff
 every sweep is green. Paste the summary block into SCALE.md at round close.
 
-Runtime expectations (quiet box): most tiers sweep in ~4-6 min; the
-EXTREMES tier runs 45-70 min — its three 100k-char documents drive exact
-Levenshtein verification (dedup_edit_distance_blocked: identical giant
-docs share a length bucket and prefix, so the O(len^2) DP runs on ~1e10
-cells per pair in BOTH engines) plus the long-doc shingle family. That is
-the tier doing its job, not a hang; budget ~1.5 h for the full command.
+Runtime expectations (quiet box): most tiers sweep in ~4-6 min. The
+EXTREMES tier ran 45-70 min through round 9; round 10 removed its two
+walls — the exact-Levenshtein DP on identical 100k-char docs (now a
+mirrored 4k length-cap + byte-equality short-circuit contract in
+dedup_edit_distance_blocked) and the shingle family's pathological
+re-tokenization of giant docs (now op_cache'd once per operator) — so it
+runs in the same band as the other tiers, except for the DuckDB oracle
+side of the minhash/shingle queries which still pays real minutes on
+100k-char documents. Budget ~45 min for the full 12-tier command.
 """
 
 from __future__ import annotations
