@@ -773,6 +773,18 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+# Spark-side twin with a run-initial guard: Java's backtracking regex
+# re-scans the local-part run from EVERY start position inside it — O(n²)
+# on a 100k-char single-token document (measured 617 s on the extremes
+# tier; DuckDB's RE2 is linear and takes 0.0 s). The negative lookbehind
+# makes every mid-run start fail in O(1). Match-set equivalence: '@' is
+# not in the local-part class, so a match's local part is always a full
+# maximal class-run (greedy backtracking can only see '@' after the run
+# end) — every match therefore begins at a run-initial position, which is
+# exactly what the lookbehind admits. RE2 has no lookbehind, so the
+# oracle keeps the plain pattern; tests/test_edges.py pins the
+# equivalence on adversarial strings.
+_EMAIL_RE_SPARK = r"(?<![a-zA-Z0-9._%+-])" + _EMAIL_RE
 _PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
@@ -822,11 +834,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.select(
         "doc_id",
         F.regexp_replace(
-            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace("text", _EMAIL_RE_SPARK, "<EMAIL>"),
             _PHONE_RE,
             "<PHONE>",
         ).alias("scrubbed"),
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE_SPARK), 0))
         .cast("bigint")
         .alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
@@ -1339,10 +1351,16 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (sequence + slice + array_join), no Python."""
     d = Tables(spark, sf_dir).documents
     t = F.split("text", " ")
+    # project the token array to an ATTRIBUTE before the indexed lambda
+    # (capturing the split() expression re-tokenizes per gram — the
+    # text_repetition_stats pathology, round 10)
+    tk = F.col("toks")
     grams = (
         # filter BEFORE sequence(): Spark's sequence(1, n) with n < 1 is a
         # DESCENDING sequence, not empty — short docs must never reach it
-        d.filter(F.size(t) >= 5).select(
+        d.select("doc_id", t.alias("toks"))
+        .filter(F.size(tk) >= 5)
+        .select(
             "doc_id",
             F.substring(
                 F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))),
@@ -1351,8 +1369,8 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 4),
-                    lambda i: F.array_join(F.slice(t, i, 5), " "),
+                    F.sequence(F.lit(1), F.size(tk) - 4),
+                    lambda i: F.array_join(F.slice(tk, i, 5), " "),
                 )
             ).alias("g"),
         )
@@ -1380,11 +1398,13 @@ tok_stats AS (
   GROUP BY doc_id
 ),
 bi AS (
+  -- split hoisted OUT of the lambda: inlined, DuckDB re-splits the text
+  -- per bigram — O(tokens x chars), 46 s on 100k-char docs (round 10)
   SELECT doc_id,
-         unnest(list_transform(range(1, len(string_split(text, ' '))),
-            i -> string_split(text, ' ')[i] || ' ' ||
-                 string_split(text, ' ')[i + 1])) AS bg
-  FROM documents WHERE len(string_split(text, ' ')) >= 2
+         unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
 ),
 bi_stats AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
@@ -1415,16 +1435,27 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_tok"),
     )
-    bi = d.filter(F.size(t) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
-                ),
-            )
-        ).alias("bg"),
+    # project the token array to an ATTRIBUTE before the indexed lambda:
+    # capturing the split() EXPRESSION inside the lambda re-tokenizes the
+    # document per element — O(tokens × chars), 78 s vs 0.3 s on the
+    # extremes tier's 100k-char docs (measured round 10)
+    toks_col = F.col("toks")
+    bi = (
+        d.select("doc_id", t.alias("toks"))
+        .filter(F.size(toks_col) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks_col) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks_col, i),
+                        F.element_at(toks_col, i + 1),
+                    ),
+                )
+            ).alias("bg"),
+        )
     )
     bi_counts = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bi_stats = bi_counts.groupBy("doc_id").agg(

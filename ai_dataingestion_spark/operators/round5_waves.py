@@ -2758,13 +2758,14 @@ def events_markov_2step_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_shingle_df_spectrum",
     oracle="""
 WITH shingled AS MATERIALIZED (
+  -- split hoisted OUT of the lambda: inlined, DuckDB re-splits the text
+  -- per shingle — O(tokens x chars), 33-66 s on 100k-char docs (round 10)
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
-           i -> array_to_string(
-                  list_slice(string_split(text, ' '), i, i + 2), ' ')
+           range(1, greatest(len(toks) - 1, 2)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
          )) AS shingles
-  FROM documents
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ),
 df AS (
   SELECT shingle, count(*) AS doc_freq
@@ -2785,8 +2786,13 @@ def text_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_dataingestion_spark.ai.dedup import _SHINGLES_EXPR
 
     t = Tables(spark, sf_dir)
-    docs = t.documents.withColumn("toks", F.split("text", " ")).select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    # op_cache: exploding the shingle transform directly re-evaluates the
+    # slice-per-index lambda pathologically on giant token arrays (38 s vs
+    # 0.3 s from cache on the extremes tier, round 10)
+    docs = (
+        t.documents.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .transform(op_cache)
     )
     df = (
         docs.select("doc_id", F.explode("shingles").alias("shingle"))

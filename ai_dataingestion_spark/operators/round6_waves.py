@@ -265,23 +265,28 @@ def sink_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_batch_novelty_rate",
     oracle="""
-WITH lake_grams AS (
-  SELECT DISTINCT md5(array_to_string(
-           list_slice(string_split(text, ' '), i, i + 2), ' ')) AS g
-  FROM documents,
-       unnest(generate_series(1, greatest(
-         len(string_split(text, ' ')) - 2, 1))) s(i)
+WITH tokenized AS MATERIALIZED (
+  -- split hoisted OUT of the lateral: inlined, DuckDB re-splits the text
+  -- per (row, i) — O(tokens x chars) on 100k-char docs (round 10)
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
   -- text IS NOT NULL: a NULL doc yields no shingles (it would otherwise
   -- contribute a DISTINCT NULL digest on this side only)
-  WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+  WHERE text IS NOT NULL
+),
+lake_grams AS (
+  SELECT DISTINCT md5(array_to_string(
+           list_slice(toks, i, i + 2), ' ')) AS g
+  FROM tokenized,
+       unnest(generate_series(1, greatest(len(toks) - 2, 1))) s(i)
+  WHERE doc_id % 3 <> 0
 ),
 batch_grams AS (
   SELECT DISTINCT md5(array_to_string(
-           list_slice(string_split(text, ' '), i, i + 2), ' ')) AS g
-  FROM documents,
-       unnest(generate_series(1, greatest(
-         len(string_split(text, ' ')) - 2, 1))) s(i)
-  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+           list_slice(toks, i, i + 2), ' ')) AS g
+  FROM tokenized,
+       unnest(generate_series(1, greatest(len(toks) - 2, 1))) s(i)
+  WHERE doc_id % 3 = 0
 )
 SELECT (SELECT count(*) FROM batch_grams) AS batch_distinct_grams,
        (SELECT count(*) FROM batch_grams b

@@ -270,3 +270,33 @@ def test_weighted_systematic_closed_form_properties():
                 assert picks <= math.ceil(w * k / big_w) + 1
             total += picks
         assert total == f(big_w) == k, (wts, k, total)
+
+
+def test_pii_email_guard_pattern_is_match_equivalent():
+    """text_pii_scrub's Spark pattern carries a run-initial negative
+    lookbehind purely as a COST guard (Java regex re-scans a class-run
+    from every interior start — O(n²) on the extremes tier's 100k-char
+    single-token docs, 617 s -> 4 s measured); the oracle keeps the plain
+    RE2 pattern. This pins the two patterns' match-set equivalence: '@'
+    is outside the local-part class, so every match's local part is a
+    full maximal class-run, i.e. every match start is run-initial."""
+    import re
+
+    from ai_dataingestion_spark.operators.advanced import (
+        _EMAIL_RE,
+        _EMAIL_RE_SPARK,
+    )
+
+    cases = [
+        "a@b.io", "..a@b.io x y", "ab@cd@ef.com", "a@@b.com",
+        "x" * 500 + "@example.com tail", "pre a.b-c@d.e.fg post",
+        "no match here", "x" * 500, "a@b.c", "1@2.ab,z9@q.cd",
+        "-@a.bc", "%+._-@x.yz", "foo@bar.c",
+        "a" * 10 + "@" + "b" * 10 + ".ab",
+        "two a@b.cd then c@d.ef", "dot.end@x.yz.", "@@a.bc@@d.ef@@",
+    ]
+    for c in cases:
+        assert re.findall(_EMAIL_RE, c) == re.findall(_EMAIL_RE_SPARK, c), c
+        assert re.sub(_EMAIL_RE, "<E>", c) == re.sub(
+            _EMAIL_RE_SPARK, "<E>", c
+        ), c
