@@ -329,9 +329,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    # hint_array_side: the CACHED shingle relation's narrow-projection
+    # stats under-count the arrays, so Catalyst would broadcast it and
+    # OOM the driver at 10x (the documented scale.py failure mode —
+    # surfaced here by the round-10 op_cache)
+    from ai_dataingestion_spark.scale import hint_array_side
+
     return (
-        cand.join(sh1, "id1")
-        .join(sh2, "id2")
+        cand.join(hint_array_side(sh1, sf_dir, "documents"), "id1")
+        .join(hint_array_side(sh2, sf_dir, "documents"), "id2")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.6)
         .select("id1", "id2", "jaccard")

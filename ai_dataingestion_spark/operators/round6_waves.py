@@ -1938,9 +1938,13 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = docs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    # hint_array_side: cached shingle stats under-count the arrays —
+    # Catalyst would broadcast and OOM the driver at 10x (scale.py rule)
+    from ai_dataingestion_spark.scale import hint_array_side
+
     detected = (
-        cand.join(sh1, "id1")
-        .join(sh2, "id2")
+        cand.join(hint_array_side(sh1, sf_dir, "documents"), "id1")
+        .join(hint_array_side(sh2, sf_dir, "documents"), "id2")
         .filter(inter / union >= 0.6)
         .select("id1", "id2")
     )
