@@ -103,6 +103,29 @@ def test_declared_read_absorbs_drift(spark, drift_dir):
     assert dict(li.dtypes)["l_quantity"] == "double"  # int32 file widened
 
 
+def test_narrowing_drift_fails_loud(spark, tmp_path):
+    """The drift classes the tier ships are all WIDENING (file narrower
+    than the declared schema). The opposite — a file carrying values a
+    narrower declared type can't hold — must fail LOUDLY on both engines,
+    never silently truncate (probed round 10: Spark raises on the read,
+    DuckDB raises ConversionException on the cast)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    d = str(tmp_path / "t.parquet")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int32())}), d + "/f0.parquet"
+    )
+    pq.write_table(
+        pa.table({"a": pa.array([2**40, 5], pa.int64())}), d + "/f1.parquet"
+    )
+    schema = StructType([StructField("a", IntegerType())])
+    with pytest.raises(Exception):
+        spark.read.schema(schema).parquet(d).collect()
+
+
 @pytest.mark.parametrize("qid", DRIFT_TIER_IDS)
 def test_drift_tier_parity(qid, spark, drift_dir, drift_con):
     spec = SPECS[qid]
