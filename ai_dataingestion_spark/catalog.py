@@ -276,6 +276,23 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "sql_recursive_cte_rollup", "stream_foreachbatch_upsert",
         "text_bpe_pair_merge", "text_naive_bayes_source_classifier",
         "win_loo_outlier_zscore",
+        # --- round 10 green (all 50 rows of CORRECTNESS_r10: 27 first-time
+        # IDs — the entire remaining backlog — + 23 staleness re-checks;
+        # 444/444 oracle-backed IDs now hash-green, 4 rows-only-by-design) ---
+        "agg_approx_percentile_error", "agg_hll_union_rollup",
+        "embed_logistic_regression_step", "events_bayesian_ab_posterior",
+        "fn_global_row_index_scalable", "fn_ip_cidr_match",
+        "fn_multiformat_timestamp_parse", "fn_utf8_multibyte_semantics",
+        "graph_link_prediction_jaccard", "join_spatial_grid",
+        "pipeline_cdc_apply_deletes", "pipeline_medallion_orders",
+        "pipeline_shard_skew_audit", "quality_expectation_suite",
+        "quality_partition_fingerprint_diff", "sample_weighted_systematic",
+        "scan_csv_multichar_delim", "scan_recursive_glob",
+        "scan_xml_roundtrip", "sink_max_records_per_file",
+        "source_python_datasource", "sql_group_by_all",
+        "sql_named_window_clause", "sql_pivot_clause",
+        "stream_available_now_drain", "text_url_canonicalize_dedup",
+        "win_range_interval_frame",
     }
 )
 
@@ -319,14 +336,52 @@ def _rotation_rank(spec: QuerySpec) -> int:
     return 0 if spec.oracle is not None else 2
 
 
+def _latest_green_round() -> dict[str, int]:
+    """ID -> latest CORRECTNESS round that attested it, from the generated
+    ``recert_order.json`` (written by ``scripts/rotation_plan.py --write``,
+    which derives it from the repo-root CORRECTNESS_r*.json files — the
+    package itself never depends on repo-root artifacts at runtime).
+
+    Missing or unparseable file => {} and the rotation falls back to pure
+    registration order, which is exactly the pre-round-11 behavior.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "recert_order.json"
+    try:
+        data = json.loads(path.read_text())
+        return {str(k): int(v) for k, v in data["latest_green_round"].items()}
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """All registered operators, ordered for the driver's 50-query sweep
-    window (imports the operator packages on demand)."""
+    window (imports the operator packages on demand).
+
+    Rank-4 (attested-green) entries are staleness-ordered (VERDICT-r10
+    item 1): oracle-backed IDs first, then by OLDEST latest-green round,
+    then registration order — so with a zero backlog the driver window
+    re-certifies the 50 IDs whose evidence is most out of date (r1/r2
+    vintage first) instead of sweeping the same registration prefix
+    forever. Rows-only IDs sort behind oracle-backed ones at equal rank:
+    their driver check is count+schema only, so a window slot spent there
+    buys the least evidence.
+    """
     import ai_dataingestion_spark.operators  # noqa: F401  (self-registers)
 
-    ordered = sorted(
-        enumerate(_REGISTRY.values()), key=lambda t: (_rotation_rank(t[1]), t[0])
-    )
+    latest = _latest_green_round()
+    fresh = 1 + max(latest.values(), default=0)  # never-attested: back of line
+
+    def key(t: tuple[int, QuerySpec]):
+        idx, spec = t
+        rank = _rotation_rank(spec)
+        if rank == 4:
+            return (4, spec.oracle is None, latest.get(spec.name, fresh), idx)
+        return (rank, False, 0, idx)
+
+    ordered = sorted(enumerate(_REGISTRY.values()), key=key)
     return {spec.name: spec for _, spec in ordered}
 
 

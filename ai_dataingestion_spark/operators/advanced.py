@@ -785,6 +785,18 @@ _EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 # oracle keeps the plain pattern; tests/test_edges.py pins the
 # equivalence on adversarial strings.
 _EMAIL_RE_SPARK = r"(?<![a-zA-Z0-9._%+-])" + _EMAIL_RE
+# Oracle-side twin of the lookbehind: RE2 has no lookbehind, so the oracle
+# anchors run-initial starts with a consuming prefix group instead —
+# `(^|[^class])(EMAIL)` extracting/keeping group 2. This is match-set
+# equivalent to the Java lookbehind INCLUDING at restart-after-match
+# positions (ADVICE r10 #1: 'a@b.cc+x@d.ee' — the plain pattern resumes
+# mid-run after match 1 and finds a second email the lookbehind rejects;
+# the consuming prefix rejects it identically because the prefix char '+'
+# is in the local-part class). No overlap hazard for the 'g' replace: a
+# match's last char (TLD letter) is always a class char, so it can never
+# serve as the next match's (non-class) prefix char. Equivalence pinned in
+# tests/test_edges.py on adversarial strings and verified against DuckDB.
+_EMAIL_RE_ORACLE = r"(^|[^a-zA-Z0-9._%+-])(" + _EMAIL_RE + ")"
 _PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
@@ -801,9 +813,10 @@ WITH seeded AS (
   FROM documents
 )
 SELECT doc_id,
-       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE_ORACLE}',
+                                     '\\1<EMAIL>', 'g'),
                       '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
-       len(regexp_extract_all(text, '{_EMAIL_RE}'))  AS n_emails,
+       len(regexp_extract_all(text, '{_EMAIL_RE_ORACLE}', 2)) AS n_emails,
        len(regexp_extract_all(text, '{_PHONE_RE}'))  AS n_phones
 FROM seeded
 """,

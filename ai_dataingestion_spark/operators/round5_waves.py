@@ -586,7 +586,8 @@ cand AS (
          CASE WHEN len(a.text) > 4000 AND len(b.text) > 4000
               THEN a.text[1:4000] ELSE a.text END AS ta,
          CASE WHEN len(a.text) > 4000 AND len(b.text) > 4000
-              THEN b.text[1:4000] ELSE b.text END AS tb
+              THEN b.text[1:4000] ELSE b.text END AS tb,
+         len(a.text) AS la_full, len(b.text) AS lb_full
   FROM sized a JOIN sized b
     ON a.len_bucket = b.len_bucket AND a.prefix5 = b.prefix5
    AND a.doc_id < b.doc_id
@@ -602,7 +603,7 @@ scored AS (
   -- equality short-circuit BEFORE the DP: identical operands (the
   -- dominant candidate class once a corpus accumulates exact copies)
   -- cost a string compare, never O(n*m) cells
-  SELECT doc_a, doc_b,
+  SELECT doc_a, doc_b, la_full, lb_full,
          CASE WHEN ta = tb THEN 0 ELSE levenshtein(ta, tb) END AS edit_dist,
          greatest(len(ta), len(tb)) AS cap_len
   FROM cand
@@ -610,6 +611,14 @@ scored AS (
 SELECT doc_a, doc_b, edit_dist
 FROM scored
 WHERE edit_dist <= 0.2 * cap_len
+  -- full-length agreement guard (ADVICE r10 #2): the prefix cap makes the
+  -- DP blind past 4,000 chars, so two book-length docs sharing a 4,000-char
+  -- preamble scored 0 no matter how different their tails; edit distance
+  -- over the FULL texts is >= their length delta, so requiring the delta
+  -- within threshold of the FULL max length is a sound necessary condition
+  -- the cap was discarding (implied by the main predicate for uncapped
+  -- pairs, so it only bites the capped branch)
+  AND abs(la_full - lb_full) <= 0.2 * greatest(la_full, lb_full)
 """,
 )
 def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +638,14 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs is a prefix decision, and the extremes tier's identical 100k-char
     docs cost ~1e10 DP cells per pair per engine without it), and
     byte-equal operands short-circuit to 0 before any DP on either engine
-    (the oracle's CASE guards DuckDB, which has no equality fast path)."""
+    (the oracle's CASE guards DuckDB, which has no equality fast path).
+    The capped branch additionally requires full-length agreement —
+    abs(len_a - len_b) <= 0.2 * max(len_a, len_b) on the FULL texts
+    (ADVICE r10 #2): a necessary condition of the uncapped metric (edit
+    distance >= length delta) that the prefix cap was blind to, so two
+    book-length docs sharing a 4,000-char preamble but wildly different
+    tails no longer report edit_dist 0. Mirrored on both engines;
+    implied-by-threshold (hence a no-op) for uncapped pairs."""
     t = Tables(spark, sf_dir)
     blocked = t.documents.select(
         "doc_id",
@@ -657,6 +673,10 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold drop BEFORE any O(n*m) work, and byte-equal pairs
     # short-circuit to 0. Measured: 101 s -> 17.5 s on the 10x sweep.
     len_delta = F.abs(F.length(ta) - F.length(tb))
+    # full-length agreement guard (ADVICE r10 #2): necessary condition of
+    # the UNCAPPED metric on the full texts; only bites the capped branch
+    la_full, lb_full = F.length(F.col("a.text")), F.length(F.col("b.text"))
+    full_len_ok = F.abs(la_full - lb_full) <= 0.2 * F.greatest(la_full, lb_full)
     dist = F.when(ta == tb, F.lit(0)).otherwise(F.levenshtein(ta, tb))
     return (
         a.join(
@@ -671,6 +691,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("a.text").rlike("[^ -~]")
             & ~F.col("b.text").rlike("[^ -~]")
         )
+        .filter(full_len_ok)
         .filter(len_delta <= 0.2 * cap_len)
         .filter(dist <= 0.2 * cap_len)
         .select(

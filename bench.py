@@ -200,6 +200,15 @@ def _prior_round_comparison(results: dict[str, float]) -> dict:
             # next dict key are query times (spreads are ratios, not
             # seconds, and must not leak into the comparison).
             tail = doc["tail"]
+            # ADVICE r10 #3: the recovery is calibrated to the one known
+            # truncation shape (r9's line, sliced inside
+            # run_spread_maxmin). A tail whose 2,000-char capture starts
+            # PAST that dict would fall through to a later stop key and
+            # parse spread RATIOS (query-name keyed, float-valued) as
+            # prior-query SECONDS — silently corrupting vs_prior_round.
+            # No marker, no recovery: skip the comparison instead.
+            if '"run_spread_maxmin"' not in tail:
+                return {}
             for stop_key in (
                 '"run_spread_maxmin"',
                 '"loadavg_before"',
@@ -277,11 +286,26 @@ def _summary_line(
             break
         summary.pop(shed, None)
         line = json.dumps(summary)
-    assert len(line) <= SUMMARY_LINE_CAP, (
-        f"bench summary line is {len(line)} chars (> {SUMMARY_LINE_CAP}) "
-        "even after field shedding: the queries dict itself outgrew the "
-        "driver's 2,000-char stdout-tail capture — split the suite emission"
-    )
+    # Last-resort shed (ADVICE r10 #4): rather than discarding a completed
+    # suite, drop the CHEAPEST per-query times one by one (the suite total
+    # stays in "value"; the heavies are the signal) and mark the loss so a
+    # reader never mistakes the survivors for the full suite.
+    if len(line) > SUMMARY_LINE_CAP:
+        kept = dict(sorted(results.items(), key=lambda kv: -kv[1]))
+        while len(line) > SUMMARY_LINE_CAP and kept:
+            kept.popitem()  # cheapest remaining (dict preserves order)
+            summary["queries"] = {q: round(t, 3) for q, t in kept.items()}
+            summary["queries_truncated"] = len(results) - len(kept)
+            line = json.dumps(summary)
+    # An explicit raise, NEVER assert (ADVICE r10 #4): assert vanishes under
+    # python -O, which would silently re-create the r9 truncated-emission
+    # bug this cap exists to prevent.
+    if len(line) > SUMMARY_LINE_CAP:
+        raise RuntimeError(
+            f"bench summary line is {len(line)} chars (> {SUMMARY_LINE_CAP}) "
+            "even after shedding every per-query time — the fixed fields "
+            "outgrew the driver's stdout-tail capture; split the emission"
+        )
     return line
 
 

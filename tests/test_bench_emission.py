@@ -82,16 +82,34 @@ def test_summary_line_sheds_fields_when_oversize(bench, monkeypatch):
     assert "loadavg_before" not in doc  # first field shed
 
 
-def test_prior_round_fallback_parses_truncated_tail(bench):
-    """The real BENCH_r09.json has parsed: null; the fallback must recover
+@pytest.fixture
+def bench_in_dir(bench, monkeypatch, tmp_path):
+    """Point _prior_round_comparison's BENCH_r*.json glob at a controlled
+    directory (the function globs next to the module's __file__), so the
+    recovery path is exercised against a FROZEN fixture unconditionally —
+    the original test self-skipped forever once BENCH_r10 landed
+    (VERDICT-r10 item 6)."""
+
+    def stage(*files: tuple[str, object]) -> None:
+        for name, doc in files:
+            (tmp_path / name).write_text(json.dumps(doc))
+        monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
+    return stage
+
+
+def test_prior_round_fallback_parses_truncated_tail(bench, bench_in_dir):
+    """The frozen r9 artifact has parsed: null; the fallback must recover
     the per-query seconds that survive in its truncated tail — and must
     NOT leak run_spread_maxmin ratios into the comparison."""
-    r9 = json.load(open(os.path.join(REPO, "BENCH_r09.json")))
+    r9 = json.load(
+        open(os.path.join(REPO, "tests", "fixtures", "BENCH_r09_truncated.json"))
+    )
     assert r9.get("parsed") is None, "fixture drifted: r9 parsed non-null"
+    bench_in_dir(("BENCH_r09.json", r9))
     results = {q: 1.0 for q in bench.HEADLINE}
     out = bench._prior_round_comparison(results)
-    if out.get("prior_file") != "BENCH_r09.json":
-        pytest.skip("a newer BENCH_r*.json superseded r9 as the prior")
+    assert out["prior_file"] == "BENCH_r09.json"
     # r9's tail holds the last ~11 query entries before run_spread_maxmin
     assert out["common_n"] >= 5
     # spread ratios for these queries are ~1-3; recovered times must be the
@@ -99,3 +117,64 @@ def test_prior_round_fallback_parses_truncated_tail(bench):
     tail = r9["tail"]
     assert '"graph_copurchase_triangles": 0.7853' in tail
     assert out["common_sum_prior"] > 0
+    # ratio-leak guard: every recovered prior time must equal the seconds
+    # value printed in the tail's queries region, not a spread ratio
+    import re as _re
+
+    cut = tail[: tail.find('"run_spread_maxmin"')]
+    seconds = dict(
+        (m.group(1), float(m.group(2)))
+        for m in _re.finditer(r'"([a-z][a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', cut)
+    )
+    assert out["common_sum_prior"] == round(
+        sum(v for q, v in seconds.items() if q in results), 4
+    )
+
+
+def test_prior_round_recovery_refuses_unrecognized_truncation(
+    bench, bench_in_dir
+):
+    """ADVICE r10 #3: a parsed-null artifact whose tail capture starts PAST
+    run_spread_maxmin would previously fall through to the 'loadavg_before'
+    stop key and parse spread RATIOS as prior-query SECONDS. Without the
+    recovery marker the comparison must be skipped entirely ({})."""
+    poisoned = {
+        "parsed": None,
+        "tail": (
+            '"graph_pagerank_trade": 1.61, "text_bpe_pair_merge": 2.66}, '
+            '"loadavg_before": [1.0, 2.0, 3.0], "recall_at_5": '
+            '{"sim_ann_lsh": 0.98}}'
+        ),
+    }
+    bench_in_dir(("BENCH_r09.json", poisoned))
+    results = {"graph_pagerank_trade": 1.0, "text_bpe_pair_merge": 1.0}
+    assert bench._prior_round_comparison(results) == {}
+
+
+def test_summary_line_truncates_queries_as_last_resort(bench, monkeypatch):
+    """ADVICE r10 #4: when field shedding can't fit the cap, the cheapest
+    per-query times are shed one by one with an explicit marker — a
+    completed suite is never discarded, and the heavies survive."""
+    results, spreads, load, vs_prior, recall, lsh, lshc = _wide_inputs(bench)
+    results = dict(results)
+    heavy = sorted(results)[0]
+    results[heavy] = 99.999  # make one query unambiguously heaviest
+    monkeypatch.setattr(bench, "SUMMARY_LINE_CAP", 700)
+    line = bench._summary_line(
+        results, spreads, load, vs_prior, recall, lsh, lshc, sf="0.1"
+    )
+    assert len(line) <= 700
+    doc = json.loads(line)
+    assert doc["queries_truncated"] >= 1
+    assert doc["queries_truncated"] == len(results) - len(doc["queries"])
+    assert heavy in doc["queries"]  # cheapest shed first, heavies kept
+    assert doc["value"] == round(sum(results.values()), 4)  # total intact
+
+
+def test_summary_line_raises_not_asserts_when_unsheddable(bench, monkeypatch):
+    """ADVICE r10 #4: the cap must be enforced with a real exception —
+    assert vanishes under python -O, silently re-creating the r9 bug."""
+    args = _wide_inputs(bench)
+    monkeypatch.setattr(bench, "SUMMARY_LINE_CAP", 50)
+    with pytest.raises(RuntimeError, match="outgrew|split the emission"):
+        bench._summary_line(*args, sf="0.1")

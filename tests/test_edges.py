@@ -276,14 +276,24 @@ def test_pii_email_guard_pattern_is_match_equivalent():
     """text_pii_scrub's Spark pattern carries a run-initial negative
     lookbehind purely as a COST guard (Java regex re-scans a class-run
     from every interior start — O(n²) on the extremes tier's 100k-char
-    single-token docs, 617 s -> 4 s measured); the oracle keeps the plain
-    RE2 pattern. This pins the two patterns' match-set equivalence: '@'
-    is outside the local-part class, so every match's local part is a
-    full maximal class-run, i.e. every match start is run-initial."""
+    single-token docs, 617 s -> 4 s measured). RE2 has no lookbehind, so
+    the oracle anchors run-initial starts with a CONSUMING prefix group
+    `(^|[^class])(EMAIL)` instead (ADVICE r10 #1: the previously-plain
+    oracle pattern resumed mid-run after a match — 'a@b.cc+x@d.ee'
+    yielded 2 oracle emails vs 1 Spark email). This pins three-way
+    match-set equivalence on adversarial strings INCLUDING
+    restart-after-match positions:
+
+      Java-lookbehind findall == anchored-group-2 findall
+      Java-lookbehind sub     == anchored '\\1<E>' sub
+      and both against live DuckDB regexp_extract_all/regexp_replace.
+    """
     import re
 
+    import duckdb
+
     from ai_dataingestion_spark.operators.advanced import (
-        _EMAIL_RE,
+        _EMAIL_RE_ORACLE,
         _EMAIL_RE_SPARK,
     )
 
@@ -294,9 +304,89 @@ def test_pii_email_guard_pattern_is_match_equivalent():
         "-@a.bc", "%+._-@x.yz", "foo@bar.c",
         "a" * 10 + "@" + "b" * 10 + ".ab",
         "two a@b.cd then c@d.ef", "dot.end@x.yz.", "@@a.bc@@d.ef@@",
+        # abutting emails: previous match's tail chars sit in the
+        # local-part class, so the scan-resume position is mid-run —
+        # exactly where plain-vs-lookbehind diverged before round 11
+        "a@b.cc+x@d.ee", "a@b.io-c@d.io", "a@b.cc.x@d.ee",
+        "u1@example.com+u2@example.com or x",
+        "a@b.ccx@d.ee", "e@f.gh%i@j.kl-m@n.op",
     ]
-    for c in cases:
-        assert re.findall(_EMAIL_RE, c) == re.findall(_EMAIL_RE_SPARK, c), c
-        assert re.sub(_EMAIL_RE, "<E>", c) == re.sub(
-            _EMAIL_RE_SPARK, "<E>", c
-        ), c
+    con = duckdb.connect()
+    try:
+        for c in cases:
+            spark_find = re.findall(_EMAIL_RE_SPARK, c)
+            spark_sub = re.sub(_EMAIL_RE_SPARK, "<E>", c)
+            anch_find = [m.group(2) for m in re.finditer(_EMAIL_RE_ORACLE, c)]
+            anch_sub = re.sub(_EMAIL_RE_ORACLE, r"\1<E>", c)
+            assert spark_find == anch_find, c
+            assert spark_sub == anch_sub, c
+            duck_find, duck_sub = con.execute(
+                r"SELECT regexp_extract_all(?, ?, 2),"
+                r"       regexp_replace(?, ?, '\1<E>', 'g')",
+                [c, _EMAIL_RE_ORACLE, c, _EMAIL_RE_ORACLE],
+            ).fetchone()
+            assert spark_find == duck_find, c
+            assert spark_sub == duck_sub, c
+    finally:
+        con.close()
+
+
+def test_edit_distance_cap_requires_full_length_agreement(spark, tmp_path):
+    """ADVICE r10 #2: the 4,000-char DP cap made dedup_edit_distance_blocked
+    blind past the prefix — two docs sharing a 4,000-char preamble reported
+    edit_dist 0 no matter how different their tails. The len_bucket block
+    normally bounds within-block length spread to 32 chars, but it keys on
+    the n_chars METADATA column; when metadata is stale (drifted corpus,
+    upstream mutation without recount — a real production hazard) the block
+    admits wildly different-length texts. The round-11 guard re-checks the
+    FULL text lengths: abs(la-lb) <= 0.2*max(la,lb), a necessary condition
+    of the uncapped metric. Pins: same-length prefix-twins stay paired
+    (capped contract), a stale-metadata 13k-char doc sharing the preamble is
+    rejected, and Spark/DuckDB agree cell-for-cell on the crafted corpus."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_dataingestion_spark.catalog import all_specs
+    from tests.parity import compare, duckdb_connect
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "capguard")
+    os.makedirs(out)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(out, f))
+
+    prefix = ("lorem ipsum dolor sit amet " * 200)[:4000]  # shared preamble
+    texts = [
+        prefix + "a" * 100,   # doc 0: 4100 chars
+        prefix + "b" * 100,   # doc 1: 4100 chars, prefix-twin of doc 0
+        prefix + "c" * 9000,  # doc 2: 13000 chars, stale n_chars metadata
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["synthetic"] * 3, pa.string()),
+            # doc 2's n_chars is STALE on purpose: same len_bucket as 0/1
+            "n_chars": pa.array([4100, 4100, 4100], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(out, "documents.parquet"))
+
+    spec = all_specs()["dedup_edit_distance_blocked"]
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in spec.fn(spark, out).collect()
+    }
+    assert rows == {(0, 1): 0}, rows  # twins pair; 13k-tail doc rejected
+
+    con = duckdb_connect(out)
+    try:
+        report = compare(spec.fn(spark, out), con, spec.oracle)
+        assert report["ok"], report
+    finally:
+        con.close()

@@ -93,8 +93,39 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 27  # after r9's 50-ID window landed (421 attested)
+    EXPECTED_BACKLOG = 0  # r10's 27-ID window closed the backlog (448/448)
     assert len(pending) == EXPECTED_BACKLOG, (
         f"rotation backlog {len(pending)} != planned {EXPECTED_BACKLOG}; "
         "update _DRIVER_CHECKED (fold the new CORRECTNESS greens) and this pin"
     )
+
+
+def test_recertification_window_is_staleness_ordered():
+    """Round-11 rotation (VERDICT-r10 item 1): with the backlog at 0, the
+    attested-green tail is ordered oldest-latest-evidence first, from the
+    packaged recert_order.json (regenerated each round by
+    `scripts/rotation_plan.py --write`). Pins: (a) the table exists and
+    covers every registered ID, (b) oracle-backed rank-4 entries are
+    non-decreasing in latest-green round, (c) rows-only IDs never precede
+    oracle-backed ones inside rank 4 (their driver check is weakest)."""
+    from ai_dataingestion_spark.catalog import (
+        _latest_green_round,
+        _rotation_rank,
+    )
+
+    latest = _latest_green_round()
+    assert latest, "recert_order.json missing or empty"
+    names = list(SPECS)
+    missing = [n for n in names if n not in latest and _rotation_rank(SPECS[n]) >= 4]
+    assert not missing, f"attested IDs missing from recert_order.json: {missing[:5]}"
+
+    rank4 = [n for n in names if _rotation_rank(SPECS[n]) >= 4]
+    oracle_tail = [n for n in rank4 if SPECS[n].oracle is not None]
+    rounds = [latest[n] for n in oracle_tail]
+    assert rounds == sorted(rounds), "oracle-backed recert tail not staleness-ordered"
+    first_rows_only = next(
+        (i for i, n in enumerate(rank4) if SPECS[n].oracle is None), len(rank4)
+    )
+    assert all(
+        SPECS[n].oracle is None for n in rank4[first_rows_only:]
+    ), "rows-only ID ahead of an oracle-backed one in the recert tail"
