@@ -297,9 +297,21 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 )
 
 # Formerly-green oracle-backed IDs whose evidence went stale (e.g. a
-# driver corpus regeneration): re-check them right after the rank-0 block.
-# Empty since round 6 — every former re-check earned a fresh green row.
-_EVENTS_RECHECK: frozenset[str] = frozenset()
+# driver corpus regeneration, or a round-11 contract change): re-check them
+# right after the rank-0 block. Round 11: the three operators whose
+# oracle/engine contracts changed this round — stream_watermark_late earned
+# a batch-replay oracle (formerly rows-only; VERDICT-r10 item 3),
+# text_pii_scrub's oracle gained run-initial email anchoring (ADVICE r10
+# #1), dedup_edit_distance_blocked gained the full-length cap guard
+# (ADVICE r10 #2) — so their existing green rows predate their current
+# contracts.
+_EVENTS_RECHECK: frozenset[str] = frozenset(
+    {
+        "stream_watermark_late",
+        "text_pii_scrub",
+        "dedup_edit_distance_blocked",
+    }
+)
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank

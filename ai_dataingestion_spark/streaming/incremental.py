@@ -157,13 +157,47 @@ def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_watermark_late")  # rows-only: finalized-window semantics
+@register(
+    "stream_watermark_late",
+    oracle="""
+WITH kept AS (
+  -- streamable-domain quarantine, mirrored in the engine: NULL event times
+  -- have no window on either side, and pre-epoch times sit behind Spark's
+  -- ZERO-initialized watermark before batch 0 even runs (the stream_dedup
+  -- contract) — both classes are excluded explicitly rather than silently
+  SELECT ts, event_type FROM events
+  WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01'
+),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS frontier FROM kept)
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
+       event_type,
+       count(*) AS n
+FROM kept, wm
+-- append-mode finalization: a window is emitted exactly when the final
+-- watermark has passed its END (inclusive: end <= frontier, pinned
+-- empirically in tests/test_streaming.py on an exact-boundary corpus)
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.frontier
+GROUP BY 1, 2
+""",
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows in APPEND mode: a 10-minute watermark
     over one-file-per-batch drops — only windows the watermark has passed
     are emitted, and late rows behind the watermark are dropped. The append
     output (finalized windows only) is returned; late-drop accounting is
-    asserted in tests/test_streaming.py with a hand-staged fixture."""
+    asserted in tests/test_streaming.py with a hand-staged fixture.
+
+    Batch-replay oracle (VERDICT-r10 item 3 — formerly rows-only): the
+    staging is ts-ASCENDING across drops, so no row ever arrives behind the
+    cross-batch watermark and the drain's append output is exactly the
+    deterministic set of FINALIZED windows — those whose end <= final
+    watermark = max(kept ts) - 10 min. The <= boundary and the final
+    no-data flush batch (AvailableNow advances the watermark once more
+    after the last data batch and evicts finalized state) are both pinned
+    empirically in tests/test_streaming.py. The NULL / pre-epoch quarantine
+    is explicit in both engines so tier corpora (null, negative-epoch)
+    replay identically instead of relying on the zero-initialized
+    watermark's silent drops."""
     staging = stage_event_files(spark, sf_dir, n_files=3)
     name = _memory_query_name()
     # watermarks require TIMESTAMP; the NTZ->TS cast is instant-preserving
@@ -171,6 +205,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = (
         _read_stream(spark, staging)
         .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+        )
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -94,8 +94,11 @@ def test_driver_window_rotation():
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
     EXPECTED_BACKLOG = 0  # r10's 27-ID window closed the backlog (448/448)
-    assert len(pending) == EXPECTED_BACKLOG, (
-        f"rotation backlog {len(pending)} != planned {EXPECTED_BACKLOG}; "
+    # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
+    # driver evidence (it's merely stale) — they are re-checks, not backlog.
+    first_time = [n for n in pending if n not in _EVENTS_RECHECK]
+    assert len(first_time) == EXPECTED_BACKLOG, (
+        f"rotation backlog {len(first_time)} != planned {EXPECTED_BACKLOG}; "
         "update _DRIVER_CHECKED (fold the new CORRECTNESS greens) and this pin"
     )
 

@@ -489,3 +489,40 @@ def test_stateful_dedup_state_survives_kill_and_resume(spark):
     )
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_watermark_append_boundary_is_inclusive_and_flushes(spark, tmp_path):
+    """Pins the two empirical facts stream_watermark_late's batch-replay
+    oracle is built on (VERDICT-r10 item 3):
+
+    1. AvailableNow runs a final no-data flush batch — the watermark
+       advances once more AFTER the last data batch and evicts+emits the
+       windows it finalized, so the append output reflects the GLOBAL
+       max event time, not the penultimate batch's.
+    2. The finalization boundary is INCLUSIVE: a window whose end equals
+       the final watermark (max ts - delay) IS emitted (end <= frontier).
+
+    The corpus is crafted so max ts = 04:10:00 exactly => final watermark
+    = 04:00:00 = the end of the [03:00, 04:00) window."""
+    staging = str(tmp_path / "wm_boundary")
+    _write_drop(spark, staging, "drop_0", [
+        Row(event_id=1, ts=_ts("2024-01-10 01:05:00"), user_id=1, value=1.0),
+        Row(event_id=2, ts=_ts("2024-01-10 01:30:00"), user_id=1, value=1.0),
+    ])
+    _write_drop(spark, staging, "drop_1", [
+        Row(event_id=3, ts=_ts("2024-01-10 02:30:00"), user_id=2, value=1.0),
+    ])
+    _write_drop(spark, staging, "drop_2", [
+        Row(event_id=4, ts=_ts("2024-01-10 03:00:00"), user_id=2, value=1.0),
+        Row(event_id=5, ts=_ts("2024-01-10 03:05:00"), user_id=3, value=1.0),
+        Row(event_id=6, ts=_ts("2024-01-10 04:10:00"), user_id=3, value=1.0),
+    ])
+    got = _run_windowed(spark, staging, "wm_boundary_test")
+    assert got == {
+        "2024-01-10 01:00:00": 2,
+        "2024-01-10 02:00:00": 1,
+        # end 04:00:00 == final watermark: inclusive boundary, and only a
+        # post-last-batch flush could have emitted it at all
+        "2024-01-10 03:00:00": 2,
+        # [04:00, 05:00) never finalizes (watermark never passes 05:00)
+    }, got
