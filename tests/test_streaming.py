@@ -526,3 +526,65 @@ def test_watermark_append_boundary_is_inclusive_and_flushes(spark, tmp_path):
         "2024-01-10 03:00:00": 2,
         # [04:00, 05:00) never finalizes (watermark never passes 05:00)
     }, got
+
+
+def test_tws_event_timer_expiry_is_strictly_greater(spark, tmp_path):
+    """Pins the timer-expiry boundary stream_tws_event_timer's replay
+    oracle encodes: an event-time timer fires only when the watermark
+    advances STRICTLY beyond its timestamp. Crafted corpus: user 1's only
+    event at 01:00:00 sets a timer at 01:30:00; the global max (user 2 at
+    01:40:00) puts the final watermark at exactly 01:30:00 — equal, not
+    greater, so user 1's session must NOT be emitted. User 3's session at
+    00:10:00 (timer 00:40:00 < 01:30:00) must be emitted. Gap-closure is
+    exercised by user 2's two sessions 40+ minutes apart."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_dataingestion_spark.catalog import all_specs
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "timer_boundary")
+    os.makedirs(out)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(out, f))
+    orig = pq.read_table(os.path.join(src, "events.parquet"))
+
+    def ts(h, m, s=0):
+        from datetime import datetime
+
+        return datetime(2024, 1, 10, h, m, s)
+
+    rows = {
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [ts(1, 0), ts(0, 50), ts(1, 40), ts(0, 10), ts(0, 12)],
+        "user_id": [1, 2, 2, 3, 3],
+        "event_type": ["a"] * 5,
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    }
+    t = pa.table(rows, schema=pa.schema([(f.name, f.type) for f in orig.schema]))
+    pq.write_table(t, os.path.join(out, "events.parquet"))
+
+    got = {
+        (r.user_id, r.sess_start_us): r.n_events
+        for r in all_specs()["stream_tws_event_timer"].fn(spark, out).collect()
+    }
+
+    def us(h, m):
+        from datetime import datetime, timezone
+
+        return int(
+            datetime(2024, 1, 10, h, m, tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+
+    assert got == {
+        # user 2: first session (00:50) closed by the 01:40 gap event
+        (2, us(0, 50)): 1,
+        # user 3: session of 2 events, timer 00:42 < watermark 01:30
+        (3, us(0, 10)): 2,
+        # user 1 (timer 01:30:00 == watermark 01:30:00): NOT emitted
+        # user 2's second session (01:40): watermark never passes 02:10
+    }, got
