@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALEUP_DIR", "/tmp/spark_graft_sfx1.0")
-COPIES = 10
+# 10 => sfx1.0 (the round-8 full-surface certification scale);
+# 100 => sfx10 (events 10M / lineitem 60M — the round-11 heavy-op decade)
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALEUP_COPIES", "10"))
 
 # (table, [key columns to offset per copy]) — offsets keep keys distinct so
 # per-key group sizes stay realistic instead of multiplying 10x.
@@ -59,16 +61,22 @@ def build(spark) -> None:
         # (duplicate vec_ids -> oracle double-counts row-pairs that the
         # engine's pair dedup collapses; caught by the sfx1.0 parity run).
         offset = 10 ** (len(str(n * COPIES)) + 2)
-        parts = []
-        for i in range(COPIES):
-            c = src
-            for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * offset))
-            parts.append(c)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.repartition(32).write.mode("overwrite").parquet(dst)
+        # batched append writes: a single COPIES-way union is fine at 10
+        # copies but the analyzed plan (and its codegen) grows linearly —
+        # at 100 copies chunked appends keep plan size and peak memory flat
+        chunk = 10
+        for lo in range(0, COPIES, chunk):
+            parts = []
+            for i in range(lo, min(lo + chunk, COPIES)):
+                c = src
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * offset))
+                parts.append(c)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            mode = "overwrite" if lo == 0 else "append"
+            out.repartition(32).write.mode(mode).parquet(dst)
         print(f"[build] {table}: {n} -> {n * COPIES}", flush=True)
 
 

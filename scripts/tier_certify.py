@@ -89,6 +89,10 @@ TIERS: dict[str, tuple[list[tuple[str, dict[str, str]]], str]] = {
         [("drift_fixture.py", {"SPARK_GRAFT_DRIFT_DIR": f"{_T}/spark_graft_drift"})],
         f"{_T}/spark_graft_drift",
     ),
+    "dst": (
+        [("dst_fixture.py", {"SPARK_GRAFT_DST_DIR": f"{_T}/spark_graft_dst"})],
+        f"{_T}/spark_graft_dst",
+    ),
     "skew": (
         [("skew_fixture.py", {
             "SPARK_GRAFT_SKEW_SRC": "/root/testdata/sf0.01",
