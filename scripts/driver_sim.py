@@ -162,13 +162,20 @@ def main() -> int:
     from ai_dataingestion_spark import opcache
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .appName("driver-sim")
-        .getOrCreate()
     )
+    # Scale probes (--sf-dir at sfx1.0/sfx10) outgrow the bare-session 1g
+    # JVM default; honor the bench-parity env var WITHOUT changing the
+    # default harness-of-record session (driver.memory is start-time-only).
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
