@@ -77,11 +77,24 @@ def _epoch_quarantine(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _summable(v) -> bool:
+    """The finite-domain tail contract (nan tier): SQL NULL and NaN are
+    INDISTINGUISHABLE after the Arrow->pandas float64 crossing (NULL
+    arrives as NaN), and DuckDB SUM propagates a NaN operand while a
+    pandas-side accumulator cannot even see one as distinct from NULL —
+    so tail_sum sums FINITE values only (NULL, NaN and ±Inf all excluded),
+    mirrored in the oracle via isfinite()."""
+    import math
+
+    return bool(pd.notna(v)) and math.isfinite(float(v))
+
+
 class _TailProcessor(StatefulProcessor):
-    """ListState carrying each user's last-K (value, is_null) pairs across
+    """ListState carrying each user's last-K (value, summable) pairs across
     micro-batches; a ValueState counts total arrivals. Values are coalesced
-    to 0.0 with a flag rather than stored nullable — SQL SUM semantics
-    (ignore nulls, NULL when all-null) are reconstructed at emission."""
+    to 0.0 with a flag rather than stored nullable — SQL SUM semantics over
+    the finite domain (NULL when no finite value in the tail) are
+    reconstructed at emission; see _summable for the domain contract."""
 
     def init(self, handle) -> None:
         self._tail = handle.getListState("tail", "v double, nn boolean")
@@ -92,8 +105,8 @@ class _TailProcessor(StatefulProcessor):
         n = self._n.get()[0] if self._n.exists() else 0
         pdf = _sorted_batch(rows)
         for v in pdf["value"]:
-            nn = pd.notna(v)
-            tail.append((float(v) if nn else 0.0, bool(nn)))
+            nn = _summable(v)
+            tail.append((float(v) if nn else 0.0, nn))
         n += len(pdf)
         tail = tail[-_TAIL_K:]
         self._tail.put(tail)
@@ -126,9 +139,9 @@ def _tail_legacy(key, pdf_iter, state: GroupState):
         vals, flags = list(vals), list(flags)
     pdf = _sorted_batch(pdf_iter)
     for v in pdf["value"]:
-        nn = pd.notna(v)
+        nn = _summable(v)
         vals.append(float(v) if nn else 0.0)
-        flags.append(bool(nn))
+        flags.append(nn)
     n += len(pdf)
     vals, flags = vals[-_TAIL_K:], flags[-_TAIL_K:]
     state.update((vals, flags, n))
@@ -154,7 +167,10 @@ ranked AS (
 )
 SELECT user_id, n_seen,
        count(*) AS tail_n,
-       round(sum(value), 4) AS tail_sum
+       -- finite-domain tail sum (nan tier): NULL/NaN/Inf excluded on both
+       -- engines — see _summable; isfinite(NULL) is NULL, so one CASE
+       -- covers all three exclusions
+       round(sum(CASE WHEN isfinite(value) THEN value END), 4) AS tail_sum
 FROM ranked WHERE rn <= {_TAIL_K}
 GROUP BY user_id, n_seen
 """,
@@ -167,9 +183,11 @@ def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Legacy twin: parallel primitive arrays in applyInPandasWithState
     state. Update-mode emissions carry a monotone n_seen, so the final
     state per user is its max-n_seen row; the batch-replay oracle is the
-    last-K window over (ts, event_id) order. NULL values ride along as
-    (0.0, flag) pairs so tail_sum reproduces SQL SUM (ignores nulls,
-    NULL when the whole tail is null)."""
+    last-K window over (ts, event_id) order. Values ride along as
+    (0.0, summable) pairs so tail_sum reproduces SQL SUM over the FINITE
+    domain — NULL/NaN/±Inf excluded on both engines (see _summable: the
+    Arrow float64 crossing makes NULL and NaN indistinguishable in
+    pandas), NULL when the whole tail is non-finite."""
     staging = stage_event_files(spark, sf_dir, n_files=3)
     name = _memory_query_name()
     grouped = _epoch_quarantine(_read_stream(spark, staging)).groupBy("user_id")

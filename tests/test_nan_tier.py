@@ -57,6 +57,11 @@ NAN_TIER_IDS = [
     "udf_map_in_pandas",
     # pure-propagation ops that must KEEP passing ungated
     "agg_groupby", "stream_tumbling",
+    # finite-domain stateful tail (round 11): the Arrow float64 crossing
+    # makes NULL and NaN indistinguishable inside a pandas stateful
+    # processor while DuckDB SUM propagates NaN — tail_sum sums FINITE
+    # values only on both engines (state_v2._summable / isfinite CASE)
+    "stream_tws_list_state",
     # NULL-COMPONENT quarantine (round 10, ADVICE r9): Spark's exists()
     # 3VL vs DuckDB's list_filter NULL-dropping diverge on [1.0, NULL,
     # 2.0]-shaped vectors; NaN/Inf-ungated reductions additionally
