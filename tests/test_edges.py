@@ -390,3 +390,52 @@ def test_edit_distance_cap_requires_full_length_agreement(spark, tmp_path):
         assert report["ok"], report
     finally:
         con.close()
+
+
+def test_pii_email_anchoring_property():
+    """Property sweep of the round-11 anchored-oracle equivalence (ADVICE
+    r10 #1): for RANDOM strings over an alphabet dense in the divergence
+    machinery (local-part class chars incl. '+'/'-'/'.'/'%', '@', TLD
+    letters, separators), the Java-lookbehind pattern (Python re is the
+    same backtracking family Spark's JVM regex is) and the RE2-compatible
+    consuming-prefix oracle pattern must agree on BOTH the extracted email
+    multiset and the scrub output — including restart-after-match
+    positions no hand-picked case list can enumerate. DuckDB is consulted
+    on every disagreement-prone shape (any string with >= 2 '@') so the
+    RE2 engine itself is in the loop, not just Python's approximation."""
+    import re
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from ai_dataingestion_spark.operators.advanced import (
+        _EMAIL_RE_ORACLE,
+        _EMAIL_RE_SPARK,
+    )
+
+    alphabet = st.sampled_from(list("ab1._%+-@. cd") + ["cc", "io", "@@"])
+    strings = st.lists(alphabet, min_size=0, max_size=24).map("".join)
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(strings)
+    def prop(s):
+        spark_find = re.findall(_EMAIL_RE_SPARK, s)
+        spark_sub = re.sub(_EMAIL_RE_SPARK, "<E>", s)
+        anch_find = [m.group(2) for m in re.finditer(_EMAIL_RE_ORACLE, s)]
+        anch_sub = re.sub(_EMAIL_RE_ORACLE, r"\1<E>", s)
+        assert spark_find == anch_find, s
+        assert spark_sub == anch_sub, s
+        if s.count("@") >= 2:  # the divergence-prone shapes hit real RE2
+            duck_find, duck_sub = con.execute(
+                r"SELECT regexp_extract_all(?, ?, 2),"
+                r"       regexp_replace(?, ?, '\1<E>', 'g')",
+                [s, _EMAIL_RE_ORACLE, s, _EMAIL_RE_ORACLE],
+            ).fetchone()
+            assert spark_find == duck_find, s
+            assert spark_sub == duck_sub, s
+
+    try:
+        prop()
+    finally:
+        con.close()
