@@ -1314,3 +1314,17 @@ def test_row_at_a_time_udf_sites_are_pinned():
     allowed = {"udf/udfs.py", "operators/round5_waves.py"}
     assert sorted(h.rsplit(":", 1)[0] for h in hits) == sorted(allowed), hits
     assert len(hits) == 2, f"F.udf allowlist violated: {hits}"
+
+
+def test_state_v2_final_plans_stay_key_partitioned(spark, sf_small):
+    """The state-v2 drains' POST-stream batch plans (final-state
+    extraction over the update log) must stay key-partitioned: exactly
+    one Exchange (the keyed shuffle), never a SinglePartition collapse —
+    the update log is per-key rows, so a global window/sort here would
+    serialize the whole final-state pass on one task at lake scale."""
+    for qid in ("stream_tws_list_state", "stream_tws_map_state",
+                "stream_tws_initial_state"):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "SinglePartition" not in plan, qid
+        assert plan.count("Exchange") <= 1, qid
+        assert "CartesianProduct" not in plan, qid
