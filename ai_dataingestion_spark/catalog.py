@@ -293,23 +293,26 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "sql_named_window_clause", "sql_pivot_clause",
         "stream_available_now_drain", "text_url_canonicalize_dedup",
         "win_range_interval_frame",
+        # --- round 11 green (all 50 rows of CORRECTNESS_r11: 5 first-time
+        # state-v2 IDs + 3 changed-contract re-checks + 42 staleness
+        # re-certifications, clean sweep 0 fail / 0 err) ---
+        "stream_tws_list_state", "stream_tws_map_state",
+        "stream_tws_initial_state", "stream_tws_event_timer",
+        "source_python_datasource_stream",
     }
 )
 
 # Formerly-green oracle-backed IDs whose evidence went stale (e.g. a
-# driver corpus regeneration, or a round-11 contract change): re-check them
-# right after the rank-0 block. Round 11: the three operators whose
-# oracle/engine contracts changed this round — stream_watermark_late earned
-# a batch-replay oracle (formerly rows-only; VERDICT-r10 item 3),
-# text_pii_scrub's oracle gained run-initial email anchoring (ADVICE r10
-# #1), dedup_edit_distance_blocked gained the full-length cap guard
-# (ADVICE r10 #2) — so their existing green rows predate their current
-# contracts.
+# driver corpus regeneration, or a contract change): re-check them right
+# after the rank-0 block. Round 12: stream_tws_event_timer's ORACLE changed
+# (ADVICE r11 #3 — the timer-expiry comparison is now ms-truncated on both
+# sides to match Spark's ms-domain watermark/timer arithmetic), so its r11
+# green row predates the current contract. (stream_tws_initial_state's
+# seeds fix (ADVICE r11 #1) touches only the TWS primary path, which no
+# driver environment executes — its legacy-twin evidence stands.)
 _EVENTS_RECHECK: frozenset[str] = frozenset(
     {
-        "stream_watermark_late",
-        "text_pii_scrub",
-        "dedup_edit_distance_blocked",
+        "stream_tws_event_timer",
     }
 )
 

@@ -412,6 +412,11 @@ def stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds = (
             spark.read.schema(stream.schema)
             .parquet(staging)
+            # mirror the stream's NULL-key quarantine (ADVICE r11 #1): a
+            # NULL user_id seed row would reach handleInitialState with a
+            # NULL seed and raise at int(initialState["seed"]) — the seed
+            # relation must match the entity set the stream can ever key
+            .where(F.col("user_id").isNotNull())
             .select("user_id")
             .distinct()
             .withColumn("seed", _seed_expr(F.col("user_id")).cast("bigint"))
@@ -565,8 +570,14 @@ FROM agg, wm
 -- closed by the NEXT session's first event (gap observed in-stream), or by
 -- the event-time timer at last+30min once the final watermark passes it
 -- (strictly-greater expiry, pinned in tests/test_streaming.py)
+-- timer comparison is MILLISECOND-domain on both sides (ADVICE r11 #3):
+-- the engine registers timers at last_us // 1000 + gap_ms and Spark's
+-- watermark is ms-truncated from the max event time, so the oracle
+-- truncates both operands to ms too — a sub-ms component sitting exactly
+-- on the 30min+10min boundary must resolve identically on both engines
 WHERE sid < max_sid
-   OR sess_last_us + 30 * 60 * 1000000 < wm.frontier_us
+   OR sess_last_us // 1000 + 30 * 60 * 1000
+      < wm.frontier_us // 1000
 """,
 )
 def stream_tws_event_timer(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,6 +169,39 @@ def _loadavg() -> list[float]:
         return []
 
 
+# Pre-flight quiet-box gate (VERDICT r11 item 6): three of the last five
+# driver draws were contended (co-tenant load smearing every query a
+# uniform 1.3-1.5x). If the box is busy when the bench starts, WAIT —
+# bounded, then measure anyway with an explicit marker rather than
+# block the round.
+CONTENTION_LOAD = 2.0  # 1-min loadavg above this on a 32-cpu box = co-tenant
+PREFLIGHT_MAX_WAIT_S = 150.0
+PREFLIGHT_POLL_S = 15.0
+
+
+def _quiet_box_preflight() -> dict:
+    """If 1-min loadavg exceeds CONTENTION_LOAD, sleep in PREFLIGHT_POLL_S
+    steps (<= PREFLIGHT_MAX_WAIT_S total) until it drops. Returns the
+    marker dict for the emission: measuring is never blocked, only
+    delayed — a still-contended draw is marked `contended: true` so the
+    cross-round comparison can discount it without re-running."""
+    waited = 0.0
+    load = _loadavg()
+    while (
+        load
+        and load[0] > CONTENTION_LOAD
+        and waited < PREFLIGHT_MAX_WAIT_S
+    ):
+        time.sleep(PREFLIGHT_POLL_S)
+        waited += PREFLIGHT_POLL_S
+        load = _loadavg()
+    return {
+        "loadavg_start": load,
+        "preflight_wait_s": round(waited, 1),
+        "contended": bool(load) and load[0] > CONTENTION_LOAD,
+    }
+
+
 def _prior_round_comparison(results: dict[str, float]) -> dict:
     """Sum this draw vs the latest committed BENCH_r*.json over their COMMON
     query set, so round-over-round drift is answerable from the two JSON
@@ -255,6 +288,7 @@ def _summary_line(
     lsh_stats: dict[str, float],
     lsh_clustered: dict,
     sf: str,
+    preflight: dict | None = None,
 ) -> str:
     """The FINAL printed line: a compact machine-parseable summary, hard-
     capped under SUMMARY_LINE_CAP chars. Full per-query spreads/loadavg go
@@ -278,6 +312,12 @@ def _summary_line(
         "lsh_clustered": lsh_clustered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Quiet-box marker (VERDICT r11 item 6): contended + the bounded wait
+    # the preflight spent. Only emitted when it carries signal (a quiet
+    # zero-wait draw sheds the chars).
+    if preflight and (preflight.get("contended") or preflight.get("preflight_wait_s")):
+        summary["contended"] = preflight["contended"]
+        summary["preflight_wait_s"] = preflight["preflight_wait_s"]
     line = json.dumps(summary)
     # Shed the least-load-bearing fields (each already on the detail line
     # or recoverable from other fields) before ever emitting oversize.
@@ -315,6 +355,7 @@ def main() -> None:
     from ai_dataingestion_spark.session import get_spark
 
     load_before = _loadavg()
+    preflight = _quiet_box_preflight()
 
     spark = get_spark(
         "ai_dataingestion_spark-bench",
@@ -389,6 +430,7 @@ def main() -> None:
         "run_spread_maxmin": spreads,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "preflight": preflight,
     }
     print(json.dumps(detail))
     print(
@@ -396,6 +438,7 @@ def main() -> None:
             results, spreads, load_before,
             _prior_round_comparison(results),
             recall, lsh_stats, lsh_clustered, sf,
+            preflight,
         )
     )
     spark.stop()

@@ -88,9 +88,13 @@ def inject(table: str, tbl: pa.Table) -> pa.Table:
         for j, i in enumerate(idx):
             if vals[i] is None:
                 continue
-            # keep the original second/µs phase inside the minute: re-timed
-            # rows stay pairwise distinct, so tie-sensitive operators keep
-            # their unique-key contracts
+            # keep the original second/µs phase inside the minute. NOTE
+            # (ADVICE r11 #4): minute slots recycle with period 120, so
+            # once a window picks >120 rows — or two picked rows share a
+            # second/µs phase — re-timed timestamps CAN collide with each
+            # other or with untouched events; ties remain possible and are
+            # absorbed by the corpus-wide (ts, event_id) tiebreak contract,
+            # not prevented here
             phase = dt.timedelta(
                 seconds=vals[i].second, microseconds=vals[i].microsecond
             )

@@ -178,3 +178,51 @@ def test_summary_line_raises_not_asserts_when_unsheddable(bench, monkeypatch):
     monkeypatch.setattr(bench, "SUMMARY_LINE_CAP", 50)
     with pytest.raises(RuntimeError, match="outgrew|split the emission"):
         bench._summary_line(*args, sf="0.1")
+
+
+def test_quiet_box_preflight_waits_bounded_and_marks_contended(bench, monkeypatch):
+    """VERDICT r11 item 6: a busy box delays the timed pass (bounded) and —
+    if still busy — the draw is marked contended rather than blocked."""
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    # stays contended the whole window: preflight exhausts the budget,
+    # marks contended, never blocks beyond PREFLIGHT_MAX_WAIT_S
+    monkeypatch.setattr(bench, "_loadavg", lambda: [9.9, 9.0, 8.0])
+    marker = bench._quiet_box_preflight()
+    assert marker["contended"] is True
+    assert marker["preflight_wait_s"] >= bench.PREFLIGHT_MAX_WAIT_S
+    assert sum(sleeps) <= bench.PREFLIGHT_MAX_WAIT_S + bench.PREFLIGHT_POLL_S
+
+    # quiet box: zero wait, no marker noise
+    sleeps.clear()
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.3, 0.2, 0.2])
+    marker = bench._quiet_box_preflight()
+    assert marker == {
+        "loadavg_start": [0.3, 0.2, 0.2],
+        "preflight_wait_s": 0.0,
+        "contended": False,
+    }
+    assert sleeps == []
+
+    # load drops mid-wait: waits only as long as needed
+    seq = iter([[5.0, 4.0, 3.0], [1.0, 2.0, 2.0]])
+    monkeypatch.setattr(bench, "_loadavg", lambda: next(seq))
+    marker = bench._quiet_box_preflight()
+    assert marker["contended"] is False
+    assert marker["preflight_wait_s"] == bench.PREFLIGHT_POLL_S
+
+
+def test_summary_line_carries_contended_marker(bench):
+    """The contended flag must survive into the capped summary line (it is
+    the machine-readable discount signal for the cross-round comparison),
+    and a quiet draw must not spend chars on it."""
+    args = _wide_inputs(bench)
+    busy = {"loadavg_start": [5.0, 4.0, 3.0], "preflight_wait_s": 150.0,
+            "contended": True}
+    doc = json.loads(bench._summary_line(*args, sf="0.1", preflight=busy))
+    assert doc["contended"] is True
+    assert doc["preflight_wait_s"] == 150.0
+    quiet = {"loadavg_start": [0.2, 0.2, 0.1], "preflight_wait_s": 0.0,
+             "contended": False}
+    doc = json.loads(bench._summary_line(*args, sf="0.1", preflight=quiet))
+    assert "contended" not in doc

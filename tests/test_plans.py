@@ -1328,3 +1328,72 @@ def test_state_v2_final_plans_stay_key_partitioned(spark, sf_small):
         assert "SinglePartition" not in plan, qid
         assert plan.count("Exchange") <= 1, qid
         assert "CartesianProduct" not in plan, qid
+
+
+# ---------------------------------------------------------------------------
+# §2.S pipe-syntax block (round 12): plan equality with the classic twins
+# ---------------------------------------------------------------------------
+
+
+def _optimized(spark, sql: str):
+    return spark.sql(sql)._jdf.queryExecution().optimizedPlan()
+
+
+def test_pipe_ops_plan_equal_to_classic_twins(spark, sf_small):
+    """The load-bearing pipe-syntax contract (SURVEY.md §2.S): every pipe
+    operator must produce the CANONICALLY IDENTICAL optimized plan as its
+    classic-SQL twin — pipe syntax is parse-time sugar, so a migration can
+    never de-optimize a query. Compared via LogicalPlan.sameResult on the
+    optimized plans (DataFrame.sameSemantics compares pre-optimization
+    analyzed plans, where view-resolution aliasing differs between the two
+    spellings — the optimizer collapses that, so post-optimization is the
+    level at which 'same plan' is the meaningful claim)."""
+    from ai_dataingestion_spark.operators.pipe_syntax import PIPE_CLASSIC_PAIRS
+    from ai_dataingestion_spark.registry import register_views
+
+    register_views(spark, sf_small)
+    assert len(PIPE_CLASSIC_PAIRS) == 9
+    for name, (pipe_sql, classic_sql) in PIPE_CLASSIC_PAIRS.items():
+        a = _optimized(spark, pipe_sql)
+        b = _optimized(spark, classic_sql)
+        assert a.sameResult(b), (
+            f"{name}: pipe form optimized to a different plan than its "
+            f"classic twin\nPIPE:\n{a.canonicalized().toString()}\n"
+            f"CLASSIC:\n{b.canonicalized().toString()}"
+        )
+
+
+def test_pipe_agg_pricing_pushes_filter_and_prunes(spark, sf_small):
+    """Pipe-form Q1 keeps the classic form's scan hygiene: the |> WHERE
+    shipdate predicate reaches the parquet scan and the read schema is
+    pruned to the touched columns."""
+    plan = _formatted(spark, "sql_pipe_agg_pricing", sf_small)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_pipe_window_topk_plans_window_group_limit(spark, sf_small):
+    """|> WHERE rk <= 5 over a windowed EXTEND must collapse to
+    WindowGroupLimit — per-partition top-k before the window shuffle, the
+    property that keeps per-group top-k viable on a 100 TB fact table."""
+    plan = _executed_plan(spark, "sql_pipe_window_topk", sf_small)
+    assert "WindowGroupLimit" in plan
+
+
+def test_pipe_order_limit_plans_take_ordered(spark, sf_small):
+    """|> ORDER BY ... |> LIMIT must compile to TakeOrderedAndProject
+    (heap + merge), never a global Sort feeding a Limit."""
+    for qid in ("sql_pipe_chain_orders", "sql_pipe_agg_having"):
+        plan = _executed_plan(spark, qid, sf_small)
+        assert "TakeOrderedAndProject" in plan, qid
+
+
+def test_pipe_join_agg_broadcasts_dims(spark, sf_small):
+    """The pipe JOIN chain keeps the star-join broadcast decisions: both
+    dimension joins (customer, nation) broadcast at test SF — no
+    sort-merge shuffle of the orders fact side."""
+    plan = _executed_plan(spark, "sql_pipe_join_agg", sf_small)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan

@@ -588,3 +588,39 @@ def test_tws_event_timer_expiry_is_strictly_greater(spark, tmp_path):
         # user 1 (timer 01:30:00 == watermark 01:30:00): NOT emitted
         # user 2's second session (01:40): watermark never passes 02:10
     }, got
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "ai_dataingestion_spark.streaming.incremental",
+        fromlist=["has_tws_runtime"],
+    ).has_tws_runtime(),
+    reason="transformWithStateInPandas needs the protobuf state-server "
+    "runtime; absent in this environment, so the five state-v2 operators "
+    "run their legacy applyInPandasWithState twins (certification "
+    "asymmetry recorded in SCALE.md round 12) — this test flips on "
+    "automatically in the first protobuf-bearing environment",
+)
+def test_tws_primary_paths_match_oracles_when_runtime_present(spark, sf_oracle):
+    """VERDICT r11 item 4: the transformWithStateInPandas PRIMARY halves of
+    the state-v2 block have never executed in any driver environment (no
+    protobuf wheel, offline index) — only the legacy twins carry the green.
+    This test is the standing certification for the first environment where
+    the runtime exists: it runs each primary path (has_tws_runtime() is
+    True here, so the operators take the TWS branch) against the SAME
+    DuckDB oracle the driver uses, via the tests/parity.py comparator."""
+    from ai_dataingestion_spark.catalog import all_specs
+    from tests.parity import compare, duckdb_connect
+
+    specs = all_specs()
+    con = duckdb_connect(sf_oracle)
+    for qid in (
+        "stream_tws_list_state",
+        "stream_tws_map_state",
+        "stream_tws_initial_state",
+        "stream_tws_event_timer",
+        "source_python_datasource_stream",
+    ):
+        spec = specs[qid]
+        report = compare(spec.fn(spark, sf_oracle), con, spec.oracle)
+        assert report["ok"], (qid, report)
