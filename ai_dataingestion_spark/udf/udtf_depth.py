@@ -148,7 +148,11 @@ def udtf_table_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.uid = row["user_id"]
             self.seen = True
             self.n += 1
-            if self.first is None:
+            if self.n == 1:
+                # positional, NOT `if self.first is None`: a NULL event_type
+                # on the key's first event must YIELD NULL (the oracle's
+                # row_number semantics), not fall through to the next
+                # non-null type (null-tier contract)
                 self.first = row["event_type"]
             self.last = row["event_type"]
             v = row["value"]
