@@ -1397,3 +1397,32 @@ def test_pipe_join_agg_broadcasts_dims(spark, sf_small):
     plan = _executed_plan(spark, "sql_pipe_join_agg", sf_small)
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# §2.T UDTF-depth block (round 12): the partitioning exchanges ARE the
+# scale contract — pin them
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_partition_stats_plan_shape(spark, sf_small):
+    """The TABLE-arg PARTITION BY op must plan exactly ONE hash exchange on
+    the partition key followed by a partition-LOCAL sort (global=false) —
+    the same shuffle a groupBy would pay, with the ordered fold happening
+    inside each partition. The NULL-quarantine predicates must reach the
+    parquet scan as pushed filters so the 100-TB read skips them for free."""
+    plan = _executed_plan(spark, "udtf_table_partition_stats", sf_small)
+    assert "BatchEvalPythonUDTF" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    sort_line = next(l for l in plan.splitlines() if l.strip().startswith("+- Sort"))
+    assert "false, 0" in sort_line, f"global sort where local expected: {sort_line}"
+    assert "PushedFilters: [IsNotNull(user_id), IsNotNull(ts)]" in plan
+
+
+def test_udtf_self_partition_plan_shape(spark, sf_small):
+    """analyze()-requested partitionBy must compile to the same single
+    hash exchange as an explicit SQL PARTITION BY — the repartition is the
+    function's contract, not extra plan weight."""
+    plan = _executed_plan(spark, "udtf_self_partition_counts", sf_small)
+    assert "BatchEvalPythonUDTF" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
