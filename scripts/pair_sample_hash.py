@@ -59,6 +59,15 @@ def main() -> int:
     warm_tables(spark, out, n_partitions=32)
 
     con = duckdb.connect()
+    # The removal-plan oracle's shingle CTEs exceed physical RAM at sfx10
+    # (two unlimited-memory attempts OOM-killed at ~70+ GB RSS on a 125 GB
+    # box); cap DuckDB below the box and give it a spill dir so the oracle
+    # trades wall for residency instead of dying.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "80GB")
+    spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "/tmp/duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         path = f"{out}/{t}.parquet"
         cols = ", ".join(f.name for f in SCHEMAS[t].fields)
