@@ -179,6 +179,27 @@ PREFLIGHT_MAX_WAIT_S = 150.0
 PREFLIGHT_POLL_S = 15.0
 
 
+def _cpu_canary_s() -> float:
+    """Fixed pure-Python workload timed per draw: md5 over 600k short
+    byte strings + a float reduction. Single-threaded, no I/O, no JVM —
+    a box-speed reference that lets cross-round bench comparisons separate
+    'the code got slower' from 'the box got slower' (round 12: two quiet
+    draws measured a uniform ~1.38x median per-query smear vs the r11
+    record across code-untouched queries with loadavg ~0.1 — invisible to
+    loadavg, consistent with host-level throughput variance; the canary
+    makes that class of drift directly measurable)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(600_000):
+        acc += int.from_bytes(
+            hashlib.md5(i.to_bytes(8, "little")).digest()[:4], "little"
+        ) * 1e-12
+    assert acc > 0
+    return round(time.perf_counter() - t0, 4)
+
+
 def _quiet_box_preflight() -> dict:
     """If 1-min loadavg exceeds CONTENTION_LOAD, sleep in PREFLIGHT_POLL_S
     steps (<= PREFLIGHT_MAX_WAIT_S total) until it drops. Returns the
@@ -431,6 +452,7 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "preflight": preflight,
+        "cpu_canary_s": _cpu_canary_s(),
     }
     print(json.dumps(detail))
     print(
