@@ -33,6 +33,12 @@ a partial-aggregable groupBy whose output is dimension-sized (<= 5 rows x
 shapes). variant_explode fan-out is a bounded constant (3 array elements /
 <= 3 object keys per row). The shuffle payload is the aggregate, never the
 documents.
+
+Modulo dialect note (ADVICE r12): Spark's pmod(k, N) is always
+non-negative while DuckDB's `k % N` keeps the dividend's sign, so every
+oracle below spells the modulo as ``((k % N) + N) % N`` — the
+pmod-equivalent form — instead of relying on the current corpus keeping
+props k in [0, 99]. A future tier that injects negative k stays green.
 """
 
 from __future__ import annotations
@@ -86,7 +92,7 @@ GROUP BY t.pos
     oracle=f"""
 WITH adm AS ({_GATE}), e AS (SELECT k FROM adm WHERE k IS NOT NULL)
 SELECT pos, count(*) AS n,
-       CAST(sum(CASE pos WHEN 0 THEN k WHEN 1 THEN k*2 ELSE k % 10 END)
+       CAST(sum(CASE pos WHEN 0 THEN k WHEN 1 THEN k*2 ELSE ((k % 10) + 10) % 10 END)
             AS BIGINT) AS sum_val
 FROM e, (VALUES (0), (1), (2)) p(pos)
 GROUP BY pos
@@ -117,7 +123,7 @@ GROUP BY t.key
 """,
     oracle=f"""
 WITH adm AS ({_GATE}), e AS (SELECT k FROM adm WHERE k IS NOT NULL),
-cls AS (SELECT k, k % 3 AS m FROM e)
+cls AS (SELECT k, ((k % 3) + 3) % 3 AS m FROM e)
 SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val FROM (
   SELECT 'k' AS key, k AS val FROM cls
   UNION ALL SELECT 'x', k*2 FROM cls WHERE m IN (1, 2)
@@ -155,9 +161,9 @@ FROM docs GROUP BY event_type
 WITH adm AS ({_GATE}), e AS (SELECT event_type, k FROM adm
                              WHERE k IS NOT NULL)
 SELECT event_type, count(*) AS n,
-       CAST(sum(CASE k % 4 WHEN 0 THEN k WHEN 1 THEN k WHEN 3 THEN 1 END)
+       CAST(sum(CASE ((k % 4) + 4) % 4 WHEN 0 THEN k WHEN 1 THEN k WHEN 3 THEN 1 END)
             AS BIGINT) AS sum_f,
-       CAST(sum(CASE WHEN k % 4 IN (0, 1, 3) THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN ((k % 4) + 4) % 4 IN (0, 1, 3) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_as_int,
        CAST(count(*) AS BIGINT) AS n_as_str
 FROM e GROUP BY event_type
@@ -185,7 +191,7 @@ FROM s GROUP BY st.lab
 """,
     oracle=f"""
 WITH adm AS ({_GATE}), e AS (SELECT k FROM adm WHERE k IS NOT NULL)
-SELECT 't' || CAST(k % 5 AS VARCHAR) AS lab, count(*) AS n,
+SELECT 't' || CAST(((k % 5) + 5) % 5 AS VARCHAR) AS lab, count(*) AS n,
        CAST(sum(k) AS BIGINT) AS sum_k
 FROM e GROUP BY lab
 """,
@@ -211,7 +217,7 @@ SELECT sch, count(*) AS n FROM docs GROUP BY sch
 """,
     oracle=f"""
 WITH adm AS ({_GATE}), e AS (SELECT k FROM adm WHERE k IS NOT NULL)
-SELECT CASE k % 3
+SELECT CASE ((k % 3) + 3) % 3
     WHEN 0 THEN 'OBJECT<k: BIGINT>'
     WHEN 1 THEN 'ARRAY<VARIANT>'
     ELSE 'OBJECT<d: OBJECT<y: DECIMAL(2,1)>, k: BIGINT>' END AS sch,

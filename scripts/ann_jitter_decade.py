@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 
@@ -43,10 +44,31 @@ def build(spark) -> None:
 
     os.makedirs(OUT, exist_ok=True)
     dst = os.path.join(OUT, "embeddings.parquet")
-    if os.path.exists(dst):
-        return
+    # The corpus is written in chunked append mode, so a bare existence
+    # check would treat an interrupted partial build as complete and
+    # silently measure recall against a truncated replica set (ADVICE
+    # r12). A sentinel recording the expected row count is written only
+    # after the final chunk; absent or mismatched => rebuild from scratch.
+    sentinel = os.path.join(OUT, "_COMPLETE_ROWCOUNT")
     src = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     n = src.count()
+    if os.path.exists(dst):
+        try:
+            with open(sentinel) as f:
+                expected = int(f.read().strip())
+            actual = spark.read.parquet(dst).count()
+        except (OSError, ValueError):
+            expected, actual = -1, -2
+        if expected == n * COPIES and actual == expected:
+            return
+        print(f"[build] stale/partial corpus at {dst} "
+              f"(sentinel={expected}, rows={actual}, want={n * COPIES}) — "
+              "rebuilding", flush=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        try:
+            os.remove(sentinel)
+        except OSError:
+            pass
     offset = 10 ** (len(str(n * COPIES)) + 2)  # scaleup_sweep's headroom rule
     chunk = 10
     for lo in range(0, COPIES, chunk):
@@ -82,6 +104,8 @@ def build(spark) -> None:
             out = out.unionByName(p)
         mode = "overwrite" if lo == 0 else "append"
         out.repartition(32).write.mode(mode).parquet(dst)
+    with open(sentinel, "w") as f:
+        f.write(str(n * COPIES))
     print(f"[build] embeddings: {n} -> {n * COPIES} (EPS={EPS}, copy 0 pristine)",
           flush=True)
 

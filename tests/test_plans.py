@@ -1414,7 +1414,12 @@ def test_udtf_partition_stats_plan_shape(spark, sf_small):
     plan = _executed_plan(spark, "udtf_table_partition_stats", sf_small)
     assert "BatchEvalPythonUDTF" in plan
     assert plan.count("Exchange hashpartitioning") == 1
-    sort_line = next(l for l in plan.splitlines() if l.strip().startswith("+- Sort"))
+    # match 'Sort [' anywhere in the line (ADVICE r12): the renderer's
+    # indentation/prefix for the Sort node is not a stable contract, and a
+    # bare next() would surface a confusing StopIteration instead of an
+    # assertion failure if it changed
+    sort_line = next((l for l in plan.splitlines() if "Sort [" in l), None)
+    assert sort_line is not None, f"no Sort node found in plan:\n{plan}"
     assert "false, 0" in sort_line, f"global sort where local expected: {sort_line}"
     assert "PushedFilters: [IsNotNull(user_id), IsNotNull(ts)]" in plan
 
