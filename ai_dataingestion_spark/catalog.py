@@ -299,22 +299,27 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "stream_tws_list_state", "stream_tws_map_state",
         "stream_tws_initial_state", "stream_tws_event_timer",
         "source_python_datasource_stream",
+        # --- round 12 green (18 first-time IDs of CORRECTNESS_r12: 9 pipe
+        # + 4 UDTF-depth + 5 VARIANT-depth, plus 32 staleness
+        # re-certifications, clean sweep 0 fail / 0 err) ---
+        "sql_pipe_agg_pricing", "sql_pipe_chain_orders",
+        "sql_pipe_join_agg", "sql_pipe_window_topk", "sql_pipe_set_ops",
+        "sql_pipe_pivot", "sql_pipe_unpivot", "sql_pipe_agg_having",
+        "sql_pipe_subquery_compose",
+        "udtf_analyze_passthrough", "udtf_analyze_word_cols",
+        "udtf_table_partition_stats", "udtf_self_partition_counts",
+        "fn_variant_explode_array", "fn_variant_object_explode",
+        "fn_variant_typed_coercion", "fn_variant_to_struct_shred",
+        "fn_variant_schema_inventory",
     }
 )
 
 # Formerly-green oracle-backed IDs whose evidence went stale (e.g. a
 # driver corpus regeneration, or a contract change): re-check them right
-# after the rank-0 block. Round 12: stream_tws_event_timer's ORACLE changed
-# (ADVICE r11 #3 — the timer-expiry comparison is now ms-truncated on both
-# sides to match Spark's ms-domain watermark/timer arithmetic), so its r11
-# green row predates the current contract. (stream_tws_initial_state's
-# seeds fix (ADVICE r11 #1) touches only the TWS primary path, which no
-# driver environment executes — its legacy-twin evidence stands.)
-_EVENTS_RECHECK: frozenset[str] = frozenset(
-    {
-        "stream_tws_event_timer",
-    }
-)
+# after the rank-0 block. Round 13: empty — stream_tws_event_timer's r12
+# re-check under its changed oracle (ADVICE r11 #3 ms-truncation) came
+# back green, so its evidence is current again.
+_EVENTS_RECHECK: frozenset[str] = frozenset()
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank

@@ -31,3 +31,4 @@ from ai_dataingestion_spark.streaming import state_v2  # noqa: F401
 from ai_dataingestion_spark.operators import pipe_syntax  # noqa: F401
 from ai_dataingestion_spark.udf import udtf_depth  # noqa: F401
 from ai_dataingestion_spark.operators import variant_depth  # noqa: F401
+from ai_dataingestion_spark.operators import sql_scripting  # noqa: F401
