@@ -32,3 +32,6 @@ from ai_dataingestion_spark.operators import pipe_syntax  # noqa: F401
 from ai_dataingestion_spark.udf import udtf_depth  # noqa: F401
 from ai_dataingestion_spark.operators import variant_depth  # noqa: F401
 from ai_dataingestion_spark.operators import sql_scripting  # noqa: F401
+from ai_dataingestion_spark.streaming import statestore_reader  # noqa: F401
+from ai_dataingestion_spark.operators import catalog_meta  # noqa: F401
+from ai_dataingestion_spark.operators import sql_udf  # noqa: F401

@@ -108,6 +108,34 @@ HEADLINE = (
     "multimodal_image_resize_pool",
 )
 
+# Round-12/13 surface blocks, timed ADDITIVELY (VERDICT-r12 item 8): the
+# HEADLINE common set stays fixed for cross-round continuity (vs_prior
+# compares the intersection, and "value" must mean the same suite every
+# round), so the new blocks' wall numbers ride on the leading detail line
+# as `new_block_queries` — r14 gets a comparison base without disturbing
+# common_n. Streaming statestore ops are excluded on the same grounds as
+# the state-v2 drains: their wall is micro-batch scheduling constants, not
+# engine throughput (see BASELINE.md round-11 suite-composition note).
+NEW_BLOCKS = (
+    # r12 §2.S pipe syntax
+    "sql_pipe_agg_pricing", "sql_pipe_chain_orders", "sql_pipe_join_agg",
+    "sql_pipe_window_topk", "sql_pipe_set_ops", "sql_pipe_pivot",
+    "sql_pipe_unpivot", "sql_pipe_agg_having", "sql_pipe_subquery_compose",
+    # r12 §2.T UDTF depth
+    "udtf_analyze_passthrough", "udtf_analyze_word_cols",
+    "udtf_table_partition_stats", "udtf_self_partition_counts",
+    # r12 §2.U VARIANT depth
+    "fn_variant_explode_array", "fn_variant_object_explode",
+    "fn_variant_typed_coercion", "fn_variant_to_struct_shred",
+    "fn_variant_schema_inventory",
+    # r13 §2.V SQL scripting + §2.X catalog metadata (batch-shaped)
+    "sql_script_while_accumulate", "sql_script_for_cursor_rollup",
+    "sql_script_if_elseif_branch", "sql_script_repeat_until_search",
+    "sql_script_exit_handler_fallback", "sql_script_execute_immediate_params",
+    "catalog_meta_columns_inventory", "catalog_meta_table_profile",
+    "catalog_meta_type_census",
+)
+
 N_RUNS = 3
 # Pre-pass slower than this -> single timed run. 10s keeps every current
 # headline query (slowest pre-pass: dedup_ngram_jaccard ~5-7s including
@@ -446,6 +474,17 @@ def main() -> None:
     # detail goes on a LEADING line (and survives in version control via
     # this round's commit message / SCALE.md notes), while the FINAL printed
     # line is a compact summary hard-capped well under the capture window.
+    # Additive new-block timings (1 warm pre-pass + 1 timed run each —
+    # bounded cost; these are detail-line data, not suite metric input).
+    new_block: dict[str, float] = {}
+    for qid in NEW_BLOCKS:
+        if qid not in qs:
+            continue
+        qs[qid](spark, SF_DIR).toPandas()
+        t0 = time.perf_counter()
+        qs[qid](spark, SF_DIR).toPandas()
+        new_block[qid] = round(time.perf_counter() - t0, 3)
+
     detail = {
         "detail": "bench_run_spreads",
         "run_spread_maxmin": spreads,
@@ -453,6 +492,7 @@ def main() -> None:
         "loadavg_after": _loadavg(),
         "preflight": preflight,
         "cpu_canary_s": _cpu_canary_s(),
+        "new_block_queries": new_block,
     }
     print(json.dumps(detail))
     print(
