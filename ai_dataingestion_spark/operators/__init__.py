@@ -35,3 +35,4 @@ from ai_dataingestion_spark.operators import sql_scripting  # noqa: F401
 from ai_dataingestion_spark.streaming import statestore_reader  # noqa: F401
 from ai_dataingestion_spark.operators import catalog_meta  # noqa: F401
 from ai_dataingestion_spark.operators import sql_udf  # noqa: F401
+from ai_dataingestion_spark.operators import round13_fns  # noqa: F401

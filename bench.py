@@ -134,6 +134,11 @@ NEW_BLOCKS = (
     "sql_script_exit_handler_fallback", "sql_script_execute_immediate_params",
     "catalog_meta_columns_inventory", "catalog_meta_table_profile",
     "catalog_meta_type_census",
+    # r13 §2.Y SQL UDFs + §2.Z function surface
+    "sql_udf_scalar_inline", "sql_udf_table_parameterized",
+    "sql_udf_lateral_correlated", "sql_udf_default_composed",
+    "fn_listagg_within_group", "fn_null_safety_family",
+    "fn_datetime_names", "sql_session_variables",
 )
 
 N_RUNS = 3
