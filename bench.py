@@ -139,6 +139,9 @@ NEW_BLOCKS = (
     "sql_udf_lateral_correlated", "sql_udf_default_composed",
     "fn_listagg_within_group", "fn_null_safety_family",
     "fn_datetime_names", "sql_session_variables",
+    # r13 §2.AA collation depth
+    "fn_collation_ci_join", "fn_collation_ci_predicates",
+    "fn_collation_ci_distinct",
 )
 
 N_RUNS = 3
