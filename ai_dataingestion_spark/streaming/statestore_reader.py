@@ -63,6 +63,31 @@ def _drain_to_checkpoint(spark: SparkSession, df, output_mode: str) -> str:
     return ckpt
 
 
+def _read_state(spark: SparkSession, ckpt: str, fallback_ddl: str,
+                **options: str) -> DataFrame:
+    """format("statestore") over a drained checkpoint, with the zero-batch
+    edge handled EXPLICITLY: an empty corpus stages no files, so the
+    AvailableNow drain commits no batch and the checkpoint holds no state
+    the source could read (the reader throws on a state-less checkpoint).
+    Zero committed batches ⇒ zero state rows BY DEFINITION, so this
+    returns an empty relation with the documented state-row shape — the
+    partition-pruned-to-nothing case every 100 TB audit job must survive.
+    The gate checks the commit log directly (no exception classing): a
+    checkpoint that HAS commits but fails to read still raises loudly."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    has_commit = os.path.isdir(commits) and any(
+        not e.startswith(".") for e in os.listdir(commits)
+    )
+    if not has_commit:
+        return spark.createDataFrame([], fallback_ddl)
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(ckpt)
+
+
 # ---------------------------------------------------------------------------
 # statestore_read_agg_state — streaming aggregation buffers, read back
 # ---------------------------------------------------------------------------
@@ -100,7 +125,11 @@ def statestore_read_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)), F.sum("v_fin"))
     )
     ckpt = _drain_to_checkpoint(spark, agg, "update")
-    st = spark.read.format("statestore").load(ckpt)
+    st = _read_state(
+        spark, ckpt,
+        "key struct<user_id: bigint>, "
+        "value struct<count: bigint, sum: double>, partition_id int",
+    )
     return st.select(
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
@@ -133,7 +162,11 @@ def statestore_read_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = stage_event_files(spark, sf_dir, n_files=3)
     dd = _read_stream(spark, staging).dropDuplicates(["user_id", "event_type"])
     ckpt = _drain_to_checkpoint(spark, dd, "append")
-    st = spark.read.format("statestore").load(ckpt)
+    st = _read_state(
+        spark, ckpt,
+        "key struct<user_id: bigint, event_type: string>, "
+        "value struct<dummy: int>, partition_id int",
+    )
     return st.select(
         F.col("key.user_id").alias("user_id"),
         F.col("key.event_type").alias("event_type"),
@@ -193,7 +226,12 @@ def statestore_read_liststate_tail(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     ckpt = _drain_to_checkpoint(spark, running, "update")
-    st = spark.read.format("statestore").load(ckpt)
+    st = _read_state(
+        spark, ckpt,
+        "key struct<user_id: bigint>, "
+        "value struct<groupState: struct<vals: array<double>, "
+        "flags: array<boolean>, n: bigint>>, partition_id int",
+    )
     gs = F.col("value.groupState")
     kept = F.zip_with(gs["vals"], gs["flags"], lambda v, f: F.when(f, v))
     finite_sum = F.aggregate(
@@ -243,7 +281,12 @@ def statestore_read_join_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = left.join(right, "event_id")
     ckpt = _drain_to_checkpoint(spark, joined, "append")
-    st = spark.read.format("statestore").option("joinSide", "left").load(ckpt)
+    st = _read_state(
+        spark, ckpt,
+        "key struct<field0: bigint>, "
+        "value struct<event_id: bigint, user_id: bigint>, partition_id int",
+        joinSide="left",
+    )
     return st.agg(
         F.count(F.lit(1)).alias("n_buffered"),
         F.countDistinct(F.col("value.event_id")).alias("n_keys"),
