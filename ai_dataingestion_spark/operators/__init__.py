@@ -37,3 +37,4 @@ from ai_dataingestion_spark.operators import catalog_meta  # noqa: F401
 from ai_dataingestion_spark.operators import sql_udf  # noqa: F401
 from ai_dataingestion_spark.operators import round13_fns  # noqa: F401
 from ai_dataingestion_spark.operators import collation_depth  # noqa: F401
+from ai_dataingestion_spark.operators import observability  # noqa: F401

@@ -139,9 +139,11 @@ NEW_BLOCKS = (
     "sql_udf_lateral_correlated", "sql_udf_default_composed",
     "fn_listagg_within_group", "fn_null_safety_family",
     "fn_datetime_names", "sql_session_variables",
-    # r13 §2.AA collation depth
+    # r13 §2.AA collation depth + §2.AB observability
     "fn_collation_ci_join", "fn_collation_ci_predicates",
     "fn_collation_ci_distinct",
+    "fn_observe_metrics_gate", "scan_metadata_file_audit",
+    "fn_approx_top_k_types",
 )
 
 N_RUNS = 3
