@@ -144,6 +144,8 @@ NEW_BLOCKS = (
     "fn_collation_ci_distinct",
     "fn_observe_metrics_gate", "scan_metadata_file_audit",
     "fn_approx_top_k_types",
+    # r13 §2.J completion
+    "udf_map_in_arrow",
 )
 
 N_RUNS = 3
