@@ -15,7 +15,6 @@ from ai_dataingestion_spark.scale import (
     broadcast_if_small,
     hint_merge_if_large,
 )
-from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.ai.dedup import (
     _CW_A,
@@ -25,23 +24,12 @@ from ai_dataingestion_spark.ai.dedup import (
     _SHINGLES_EXPR,
     _corpus_with_near_dups,
     _duck_h,
-    _spark_h,
-    N_HASHES,
-    SHINGLE_K,
-)
-from ai_dataingestion_spark.ai.dedup import (
-    _CW_A,
-    _CW_B,
-    _MERSENNE_P,
-    _SHINGLES_EXPR,
-    _duck_h,
     _minhash_band_bucket,
     _spark_h,
     N_BANDS,
     N_HASHES,
     SHINGLE_K,
 )
-from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType
 from ai_dataingestion_spark.registry import Tables, register_views
 import os

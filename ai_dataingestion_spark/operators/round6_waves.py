@@ -4,12 +4,10 @@ per-wave modules round6a–round6z (registration order preserved).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.opcache import op_cache
-from ai_dataingestion_spark.registry import Tables
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.ai.dedup import (
     _CW_A,
@@ -24,7 +22,7 @@ from ai_dataingestion_spark.ai.dedup import (
     N_BANDS,
     N_HASHES,
 )
-from ai_dataingestion_spark.ai.dedup import _duck_h, _spark_h
+from ai_dataingestion_spark.ai.dedup import _duck_h
 import os
 import math
 from ai_dataingestion_spark.registry import Tables, register_views

@@ -56,9 +56,19 @@ def _script_op(name: str, script: str, oracle: str, doc: str):
     the equivalent set-based classic SQL."""
 
     def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Save/restore the session conf (ADVICE r13): scripting is parsed
+        # eagerly by spark.sql(), so restoring immediately after return is
+        # safe — later operators must not silently inherit the flag.
+        prior = spark.conf.get("spark.sql.scripting.enabled", None)
         spark.conf.set("spark.sql.scripting.enabled", "true")
-        register_views(spark, sf_dir)
-        return spark.sql(script)
+        try:
+            register_views(spark, sf_dir)
+            return spark.sql(script)
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.scripting.enabled")
+            else:
+                spark.conf.set("spark.sql.scripting.enabled", prior)
 
     _fn.__name__ = name
     _fn.__doc__ = doc

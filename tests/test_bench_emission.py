@@ -226,3 +226,34 @@ def test_summary_line_carries_contended_marker(bench):
              "contended": False}
     doc = json.loads(bench._summary_line(*args, sf="0.1", preflight=quiet))
     assert "contended" not in doc
+
+
+def test_summary_line_carries_canary_and_degraded(bench):
+    """VERDICT-r13 item 2: cpu_canary_s must ride the SUMMARY line (the r13
+    driver capture truncated it off the detail line, losing the round's
+    drift-adjudication instrument), and a loadavg in the
+    (DEGRADED_LOAD, CONTENTION_LOAD] band — below the preflight gate but
+    enough to smear sub-second queries — must self-identify as degraded."""
+    results, spreads, _, vs_prior, recall, lsh_stats, lsh_clustered = \
+        _wide_inputs(bench)
+    # quiet box: canary present, no degraded marker
+    doc = json.loads(bench._summary_line(
+        results, spreads, [0.3, 0.2, 0.2], vs_prior, recall,
+        lsh_stats, lsh_clustered, sf="0.1", canary_s=0.4109))
+    assert doc["cpu_canary_s"] == 0.4109
+    assert "degraded" not in doc
+    # the 1-2 loadavg band: degraded, but not contended
+    doc = json.loads(bench._summary_line(
+        results, spreads, [1.85, 1.2, 0.9], vs_prior, recall,
+        lsh_stats, lsh_clustered, sf="0.1",
+        preflight={"loadavg_start": [1.85, 1.2, 0.9],
+                   "preflight_wait_s": 0.0, "contended": False},
+        canary_s=0.47))
+    assert doc["degraded"] is True
+    assert "contended" not in doc
+    assert doc["cpu_canary_s"] == 0.47
+    # no canary passed (defensive): field absent, line still valid
+    doc = json.loads(bench._summary_line(
+        results, spreads, [0.3, 0.2, 0.2], vs_prior, recall,
+        lsh_stats, lsh_clustered, sf="0.1"))
+    assert "cpu_canary_s" not in doc

@@ -1415,12 +1415,15 @@ def test_udtf_partition_stats_plan_shape(spark, sf_small):
     assert "BatchEvalPythonUDTF" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     # match 'Sort [' anywhere in the line (ADVICE r12): the renderer's
-    # indentation/prefix for the Sort node is not a stable contract, and a
-    # bare next() would surface a confusing StopIteration instead of an
-    # assertion failure if it changed
-    sort_line = next((l for l in plan.splitlines() if "Sort [" in l), None)
-    assert sort_line is not None, f"no Sort node found in plan:\n{plan}"
-    assert "false, 0" in sort_line, f"global sort where local expected: {sort_line}"
+    # indentation/prefix for the Sort node is not a stable contract.
+    # Assert on ALL Sort nodes (ADVICE r13): if the plan ever gains a
+    # second Sort in another subtree, a first-match probe could silently
+    # check the wrong node — every Sort here must be partition-local.
+    sort_lines = [l for l in plan.splitlines() if "Sort [" in l]
+    assert sort_lines, f"no Sort node found in plan:\n{plan}"
+    for sort_line in sort_lines:
+        assert "false, 0" in sort_line, \
+            f"global sort where local expected: {sort_line}"
     assert "PushedFilters: [IsNotNull(user_id), IsNotNull(ts)]" in plan
 
 
