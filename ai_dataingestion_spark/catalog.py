@@ -311,6 +311,28 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "fn_variant_explode_array", "fn_variant_object_explode",
         "fn_variant_typed_coercion", "fn_variant_to_struct_shred",
         "fn_variant_schema_inventory",
+        # --- round 13 green (29 first-time IDs of CORRECTNESS_r13: 6 SQL
+        # scripting + 5 statestore reader + 3 catalog metadata + 4 SQL UDFs
+        # + 4 function surface + 3 collation + 3 observability +
+        # udf_map_in_arrow, plus 21 staleness re-certs, 50/50 full pass) ---
+        "sql_script_while_accumulate", "sql_script_for_cursor_rollup",
+        "sql_script_if_elseif_branch", "sql_script_repeat_until_search",
+        "sql_script_exit_handler_fallback",
+        "sql_script_execute_immediate_params",
+        "statestore_read_agg_state", "statestore_read_dedup_state",
+        "statestore_read_liststate_tail", "statestore_read_join_buffer",
+        "statestore_read_metadata_inventory",
+        "catalog_meta_columns_inventory", "catalog_meta_table_profile",
+        "catalog_meta_type_census",
+        "sql_udf_scalar_inline", "sql_udf_table_parameterized",
+        "sql_udf_lateral_correlated", "sql_udf_default_composed",
+        "fn_listagg_within_group", "fn_null_safety_family",
+        "fn_datetime_names", "sql_session_variables",
+        "fn_collation_ci_join", "fn_collation_ci_predicates",
+        "fn_collation_ci_distinct",
+        "fn_observe_metrics_gate", "scan_metadata_file_audit",
+        "fn_approx_top_k_types",
+        "udf_map_in_arrow",
     }
 )
 

@@ -39,3 +39,4 @@ from ai_dataingestion_spark.operators import round13_fns  # noqa: F401
 from ai_dataingestion_spark.operators import collation_depth  # noqa: F401
 from ai_dataingestion_spark.operators import observability  # noqa: F401
 from ai_dataingestion_spark.udf import arrow_native  # noqa: F401
+from ai_dataingestion_spark.streaming import statestore_timetravel  # noqa: F401

@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 500  # 471 through r12 (see git history for the per-block ledger) + 6 (r13 SQL scripting, §2.V) + 5 (r13 statestore reader, §2.W) + 3 (r13 catalog metadata, §2.X) + 4 (r13 SQL UDFs, §2.Y) + 4 (r13 function surface, §2.Z) + 3 (r13 collation depth, §2.AA) + 3 (r13 observability, §2.AB) + 1 (r13 mapInArrow, §2.J completion)
+TOTAL_OPERATORS = 505  # 500 through r13 (see git history for the per-block ledger) + 5 (r14 point-in-time state reads, §2.AC)
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +93,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 29  # the round-13 blocks await their first driver rows: scripting (§2.V, 6) + statestore (§2.W, 5) + catalog-meta (§2.X, 3) + SQL-UDF (§2.Y, 4) + fn-surface (§2.Z, 4) + collation depth (§2.AA, 3) + observability (§2.AB, 3) + mapInArrow (§2.J, 1)
+    EXPECTED_BACKLOG = 5  # the round-14 point-in-time state-read block (§2.AC) awaits its first driver rows
     # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
     # driver evidence (it's merely stale) — they are re-checks, not backlog.
     first_time = [n for n in pending if n not in _EVENTS_RECHECK]
