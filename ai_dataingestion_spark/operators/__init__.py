@@ -40,3 +40,6 @@ from ai_dataingestion_spark.operators import collation_depth  # noqa: F401
 from ai_dataingestion_spark.operators import observability  # noqa: F401
 from ai_dataingestion_spark.udf import arrow_native  # noqa: F401
 from ai_dataingestion_spark.streaming import statestore_timetravel  # noqa: F401
+from ai_dataingestion_spark.sources import python_pushdown  # noqa: F401
+from ai_dataingestion_spark.functions import xml_depth  # noqa: F401
+from ai_dataingestion_spark.operators import catalog_describe  # noqa: F401

@@ -146,6 +146,13 @@ NEW_BLOCKS = (
     "fn_approx_top_k_types",
     # r13 §2.J completion
     "udf_map_in_arrow",
+    # r14 batch-shaped blocks: §2.AD pushdown, §2.AE XML, §2.X completion
+    # (the §2.AC state time-travel ops stay excluded with the other
+    # streaming drains: their wall is micro-batch scheduling constants)
+    "source_pyds_filter_pushdown", "source_pyds_pushdown_residual",
+    "fn_xml_roundtrip_struct", "fn_from_xml_attributes",
+    "fn_schema_of_xml_inventory",
+    "catalog_describe_json_columns", "catalog_show_surface",
 )
 
 N_RUNS = 3

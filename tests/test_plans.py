@@ -1487,3 +1487,66 @@ def test_variant_explode_fanout_is_generate_not_join(spark, sf_small):
         plan = _executed_plan(spark, qid, sf_small)
         assert "Generate" in plan, qid
         assert "CartesianProduct" not in plan, qid
+
+
+# ---------------------------------------------------------------------------
+# §2.AD Python data source filter pushdown (round 14): the PLAN evidence —
+# pruning is semantically invisible, so the partition counts and residual
+# Filter placement ARE the contract (VERDICT-r13 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pyds_pushdown_prunes_partition_plan(spark):
+    """Pushed k-bounds must shrink the partition PLAN (tasks not created,
+    not filtered): 16 unfiltered ranges; [70000, 90000) intersects 4;
+    k >= 70000 alone intersects 5. With the conf OFF, Spark REFUSES to
+    plan a pushFilters-implementing reader at all
+    (DATA_SOURCE_PUSHDOWN_DISABLED) — there is no silent un-pushed
+    fallback, so the op's conf scope is load-bearing, not cosmetic."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ai_dataingestion_spark.sources.python_pushdown import (
+        _LO, _HI, _PARTS, pushdown_scan,
+    )
+
+    with pushdown_scan(spark, None, None) as df:
+        assert df.rdd.getNumPartitions() == _PARTS
+    with pushdown_scan(spark, _LO, _HI) as df:
+        assert df.rdd.getNumPartitions() == 4
+    with pushdown_scan(spark, _LO, None) as df:
+        assert df.rdd.getNumPartitions() == 5
+    # conf off: planning the identical scan fails LOUDLY (no silent
+    # fallback that would mask a lost conf scope as a 16-task slow read)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        df = (
+            spark.read.format("range_squares_pushdown")
+            .option("n", "100000").option("parts", str(_PARTS)).load()
+            .filter("k >= 70000").filter("k < 90000")
+        )
+        with pytest.raises(AnalysisException, match="PUSHDOWN_DISABLED"):
+            df.rdd.getNumPartitions()
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_pyds_pushdown_filter_placement(spark):
+    """Fully-pushed bounds must VANISH from the Spark-side physical plan
+    (no k-bound Filter survives the scan), while a yielded-back residual
+    (sq < cap) must REMAIN a Spark-side Filter — partial capability stays
+    correct because Spark re-applies exactly what the source declined."""
+    import re
+
+    from ai_dataingestion_spark.sources.python_pushdown import (
+        _LO, _HI, _SQ_CAP, pushdown_scan,
+    )
+
+    with pushdown_scan(spark, _LO, _HI) as df:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r">= 70000\)", plan), plan
+        assert not re.search(r"< 90000\)", plan), plan
+    with pushdown_scan(spark, _LO, None, sq_cap=_SQ_CAP) as df:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"sq#\d+L < 6250000000", plan), plan
+        assert not re.search(r"k#\d+L >= 70000", plan), plan
