@@ -103,8 +103,13 @@ def fn_from_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls tier exercises both sentinels. Expression-only synthesis and
     parse; zero extra passes."""
     t = Tables(spark, sf_dir)
+    # event_id coalesced to '' so a NULL can't null the whole concat and
+    # mint a phantom NULL-type group (the combined-tier field-shift class);
+    # an empty attribute parses to NULL bigint, matching the oracle's
+    # null-skipping sum over the raw column.
     xml = F.concat(
-        F.lit('<event id="'), F.col("event_id").cast("string"),
+        F.lit('<event id="'),
+        F.coalesce(F.col("event_id").cast("string"), F.lit("")),
         F.lit('" type="'),
         F.coalesce(F.col("event_type"), F.lit("(none)")),
         F.lit('"><who uid="'),

@@ -43,3 +43,7 @@ from ai_dataingestion_spark.streaming import statestore_timetravel  # noqa: F401
 from ai_dataingestion_spark.sources import python_pushdown  # noqa: F401
 from ai_dataingestion_spark.functions import xml_depth  # noqa: F401
 from ai_dataingestion_spark.operators import catalog_describe  # noqa: F401
+from ai_dataingestion_spark.functions import map_hof  # noqa: F401
+from ai_dataingestion_spark.operators import sql_params  # noqa: F401
+from ai_dataingestion_spark.functions import csv_depth  # noqa: F401
+from ai_dataingestion_spark.operators import generators  # noqa: F401

@@ -153,6 +153,15 @@ NEW_BLOCKS = (
     "fn_xml_roundtrip_struct", "fn_from_xml_attributes",
     "fn_schema_of_xml_inventory",
     "catalog_describe_json_columns", "catalog_show_surface",
+    # r14 §2.AF map HOFs, §2.AG parameterized SQL, §2.AH CSV, §2.AI
+    # generators
+    "fn_map_transform_family", "fn_map_zip_merge", "fn_str_to_map_parse",
+    "fn_map_concat_entries",
+    "sql_named_parameters", "sql_positional_parameters",
+    "fn_csv_roundtrip_struct", "fn_from_csv_delimiter_options",
+    "fn_schema_of_csv_inventory",
+    "fn_stack_wide_to_long", "fn_inline_struct_array",
+    "fn_posexplode_outer_preserving",
 )
 
 N_RUNS = 3

@@ -1550,3 +1550,37 @@ def test_pyds_pushdown_filter_placement(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"sq#\d+L < 6250000000", plan), plan
         assert not re.search(r"k#\d+L >= 70000", plan), plan
+
+
+def test_map_hof_and_generators_stay_jvm_side(spark, sf_small):
+    """§2.AF/§2.AI: map lambdas and generators are Catalyst expressions —
+    no EvalPython anywhere; the generator ops must fan out via a Generate
+    node, never a join."""
+    for qid in (
+        "fn_map_transform_family", "fn_map_zip_merge", "fn_str_to_map_parse",
+        "fn_map_concat_entries", "fn_stack_wide_to_long",
+        "fn_inline_struct_array", "fn_posexplode_outer_preserving",
+    ):
+        df = SPECS[qid].fn(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, (qid, plan)
+    for qid in (
+        "fn_stack_wide_to_long", "fn_inline_struct_array",
+        "fn_posexplode_outer_preserving",
+    ):
+        df = SPECS[qid].fn(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" in plan, (qid, plan)
+        assert "CartesianProduct" not in plan, (qid, plan)
+
+
+def test_sql_parameters_fold_to_pushed_literals(spark, sf_small):
+    """§2.AG: bound parameters are parse-time literals — the positional
+    op's timestamp range must reach the parquet scan as pushed filters,
+    exactly like hand-written constants."""
+    plan = _formatted(spark, "sql_positional_parameters", sf_small)
+    assert "PushedFilters" in plan
+    import re
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert re.search(r"GreaterThanOrEqual\(o_orderdate", pushed), pushed
+    assert re.search(r"LessThan\(o_orderdate", pushed), pushed
