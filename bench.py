@@ -162,6 +162,8 @@ NEW_BLOCKS = (
     "fn_schema_of_csv_inventory",
     "fn_stack_wide_to_long", "fn_inline_struct_array",
     "fn_posexplode_outer_preserving",
+    # r14 §2.AJ ingest byte-hygiene
+    "fn_utf8_validation_family", "fn_digest_family",
 )
 
 N_RUNS = 3
