@@ -101,7 +101,13 @@ SELECT user_id,
        epoch_us(min(ts))            AS session_start_us,
        epoch_us(max(ts)) + {GAP_US} AS session_end_us,
        count(*)                     AS n_events,
-       round(sum(value), 4)         AS total
+       CASE WHEN max(CASE WHEN value IS NOT NULL AND NOT isfinite(value)
+                          THEN 1 ELSE 0 END) = 1
+            THEN round(sum(value), 4)
+            ELSE CAST(round(sum(CASE WHEN isfinite(value)
+                                     THEN CAST(value AS DECIMAL(38,6)) END),
+                            4) AS DOUBLE)
+       END AS total
 FROM sess
 GROUP BY user_id, sess_id
 """,
@@ -113,12 +119,36 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     a session is [first_ts, last_ts + gap); an event at exactly
     last_ts + gap starts a NEW session (hence `>=` in the oracle's gap
     test). Boundaries are emitted as epoch-µs (string formats diverge on
-    sub-second timestamps across engines)."""
+    sub-second timestamps across engines).
+
+    The finite-group total sums through DECIMAL(38,6): round(sum(double),
+    4) flipped a half-ulp boundary ONCE in the r14 ties-tier certification
+    sweep (order-of-accumulation noise — standalone re-runs green 3×; the
+    per-row double→decimal cast has no such boundary because no double
+    sits exactly midway on the 1e-6 grid). Groups containing NaN/±Inf
+    keep the raw double sum (non-finite propagation is order-independent,
+    and a decimal cast of a non-finite RAISES in DuckDB — the CASE is
+    lazy on both engines, the fn_map json_type lesson). The oracle
+    mirrors branch-for-branch."""
     e = Tables(spark, sf_dir).events
+    finite = F.col("value").isNotNull() & ~F.isnan("value") & (
+        F.abs(F.col("value")) != F.lit(float("inf"))
+    )
+    nonfinite = F.col("value").isNotNull() & ~finite
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.when(
+                F.max(F.when(nonfinite, 1).otherwise(0)) == 1,
+                F.round(F.sum("value"), 4),
+            ).otherwise(
+                F.round(
+                    F.sum(F.when(finite, F.col("value")).cast("decimal(38,6)")),
+                    4,
+                ).cast("double")
+            ).alias("total"),
+        )
         .select(
             "user_id",
             F.unix_micros(F.col("w.start").cast("timestamp")).alias(

@@ -624,3 +624,16 @@ def test_tws_primary_paths_match_oracles_when_runtime_present(spark, sf_oracle):
         spec = specs[qid]
         report = compare(spec.fn(spark, sf_oracle), con, spec.oracle)
         assert report["ok"], (qid, report)
+
+
+def test_stream_session_total_is_run_deterministic(spark, sf_small):
+    """r14 ties-tier catch: round(sum(double), 4) flipped a half-ulp
+    boundary once across full-sweep draws (accumulation-order noise).
+    The finite path now sums through DECIMAL(38,6), which is exact and
+    order-independent — two runs must agree bit-for-bit."""
+    from ai_dataingestion_spark.catalog import all_specs
+
+    spec = all_specs()["stream_session"]
+    a = sorted(map(tuple, spec.fn(spark, sf_small).collect()))
+    b = sorted(map(tuple, spec.fn(spark, sf_small).collect()))
+    assert a == b
