@@ -116,3 +116,38 @@ def component_complete(col: Column | str = "embedding") -> Column:
 COMPONENT_COMPLETE_SQL = (
     "({v} IS NULL OR len(list_filter({v}, x -> x IS NULL)) = 0)"
 )
+
+
+def stable_rounded_sum(col: Column | str, dp: int = 4) -> Column:
+    """Order-independent ``round(sum(x), dp)`` aggregate (round-14 ties
+    catch, streaming/batch_windows.py:stream_session): summing doubles and
+    rounding puts the dp-th decimal on a half-ulp boundary that the
+    partial-aggregation ORDER can flip across draws. Finite groups
+    therefore sum through DECIMAL(38,6) — exact, order-independent, and
+    tie-free at the cast (no double sits exactly midway on the 1e-6 grid)
+    — while groups containing NaN/±Inf keep the raw double sum (non-finite
+    propagation is already order-independent, and DuckDB RAISES on casting
+    a non-finite to decimal). Oracle twin: ``stable_rounded_sum_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonfinite = c.isNotNull() & (F.isnan(c) | (F.abs(c) == F.lit(_INF)))
+    return F.when(
+        F.max(F.when(nonfinite, 1).otherwise(0)) == 1,
+        F.round(F.sum(c), dp),
+    ).otherwise(
+        F.round(
+            F.sum(F.when(~nonfinite, c).cast("decimal(38,6)")), dp
+        ).cast("double")
+    )
+
+
+def stable_rounded_sum_sql(expr: str, dp: int = 4) -> str:
+    """DuckDB twin of ``stable_rounded_sum`` over SQL expression ``expr``
+    (branch-for-branch; the inner CASE keeps the decimal cast lazy —
+    DuckDB raises on CAST(nan AS DECIMAL) even under a FILTER clause,
+    whose input expressions are evaluated vector-wide)."""
+    return (
+        f"CASE WHEN max(CASE WHEN {expr} IS NOT NULL AND NOT isfinite({expr}) "
+        f"THEN 1 ELSE 0 END) = 1 THEN round(sum({expr}), {dp}) "
+        f"ELSE CAST(round(sum(CASE WHEN isfinite({expr}) "
+        f"THEN CAST({expr} AS DECIMAL(38,6)) END), {dp}) AS DOUBLE) END"
+    )

@@ -10,6 +10,10 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+)
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.registry import Tables
 
@@ -18,13 +22,13 @@ _EVENT_TYPES = ("click", "purchase", "error", "signup", "view")
 
 @register(
     "pivot_wide",
-    oracle="""
+    oracle=f"""
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
-       round(sum(CASE WHEN event_type = 'error'    THEN value END), 4) AS error,
-       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
-       round(sum(CASE WHEN event_type = 'view'     THEN value END), 4) AS view
+       {stable_rounded_sum_sql("CASE WHEN event_type = 'click' THEN value END")} AS click,
+       {stable_rounded_sum_sql("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+       {stable_rounded_sum_sql("CASE WHEN event_type = 'error' THEN value END")} AS error,
+       {stable_rounded_sum_sql("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+       {stable_rounded_sum_sql("CASE WHEN event_type = 'view' THEN value END")} AS view
 FROM events
 GROUP BY user_id
 """,
@@ -37,7 +41,8 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         e.groupBy("user_id")
         .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.round(F.sum("value"), 4))
+        # order-independent cell totals (round-14 ties catch; portable.py)
+        .agg(stable_rounded_sum("value"))
     )
     return wide
 

@@ -15,18 +15,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+)
 from ai_dataingestion_spark.registry import Tables
+
+# Order-independent total (round-14 ties catch — see stable_rounded_sum):
+# all three window ops share the same per-group value sum.
+_TOTAL_SQL = stable_rounded_sum_sql("value")
 
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in microseconds
 
 
 @register(
     "stream_tumbling",
-    oracle="""
+    oracle=f"""
 SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        event_type,
        count(*)             AS n,
-       round(sum(value), 4) AS total
+       {_TOTAL_SQL} AS total
 -- ts IS NOT NULL: Spark's time-window operator injects an isnotnull(ts)
 -- filter, so a NULL timestamp has no window on either side
 FROM events WHERE ts IS NOT NULL
@@ -39,7 +47,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_rounded_sum("value").alias("total"),
+        )
         .select(
             F.col("w.start").cast("string").alias("win_start"),
             "event_type",
@@ -51,12 +62,12 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding",
-    oracle="""
+    oracle=f"""
 SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
             - k.k * INTERVAL '15 minutes' AS VARCHAR) AS win_start,
        event_type,
        count(*)             AS n,
-       round(sum(value), 4) AS total
+       {_TOTAL_SQL} AS total
 FROM events
 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
 -- ts IS NOT NULL: see stream_tumbling (Spark windows drop NULL ts)
@@ -71,7 +82,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_rounded_sum("value").alias("total"),
+        )
         .select(
             F.col("w.start").cast("string").alias("win_start"),
             "event_type",
@@ -101,13 +115,7 @@ SELECT user_id,
        epoch_us(min(ts))            AS session_start_us,
        epoch_us(max(ts)) + {GAP_US} AS session_end_us,
        count(*)                     AS n_events,
-       CASE WHEN max(CASE WHEN value IS NOT NULL AND NOT isfinite(value)
-                          THEN 1 ELSE 0 END) = 1
-            THEN round(sum(value), 4)
-            ELSE CAST(round(sum(CASE WHEN isfinite(value)
-                                     THEN CAST(value AS DECIMAL(38,6)) END),
-                            4) AS DOUBLE)
-       END AS total
+       {_TOTAL_SQL} AS total
 FROM sess
 GROUP BY user_id, sess_id
 """,
@@ -131,23 +139,11 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy on both engines, the fn_map json_type lesson). The oracle
     mirrors branch-for-branch."""
     e = Tables(spark, sf_dir).events
-    finite = F.col("value").isNotNull() & ~F.isnan("value") & (
-        F.abs(F.col("value")) != F.lit(float("inf"))
-    )
-    nonfinite = F.col("value").isNotNull() & ~finite
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.when(
-                F.max(F.when(nonfinite, 1).otherwise(0)) == 1,
-                F.round(F.sum("value"), 4),
-            ).otherwise(
-                F.round(
-                    F.sum(F.when(finite, F.col("value")).cast("decimal(38,6)")),
-                    4,
-                ).cast("double")
-            ).alias("total"),
+            stable_rounded_sum("value").alias("total"),
         )
         .select(
             "user_id",
