@@ -48,3 +48,4 @@ from ai_dataingestion_spark.operators import sql_params  # noqa: F401
 from ai_dataingestion_spark.functions import csv_depth  # noqa: F401
 from ai_dataingestion_spark.operators import generators  # noqa: F401
 from ai_dataingestion_spark.functions import ingest_hygiene  # noqa: F401
+from ai_dataingestion_spark.functions import regex_depth  # noqa: F401

@@ -162,8 +162,9 @@ NEW_BLOCKS = (
     "fn_schema_of_csv_inventory",
     "fn_stack_wide_to_long", "fn_inline_struct_array",
     "fn_posexplode_outer_preserving",
-    # r14 §2.AJ ingest byte-hygiene
+    # r14 §2.AJ ingest byte-hygiene + §2.H completion
     "fn_utf8_validation_family", "fn_digest_family",
+    "fn_regexp_position_family",
 )
 
 N_RUNS = 3
