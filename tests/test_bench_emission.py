@@ -257,3 +257,17 @@ def test_summary_line_carries_canary_and_degraded(bench):
         results, spreads, [0.3, 0.2, 0.2], vs_prior, recall,
         lsh_stats, lsh_clustered, sf="0.1"))
     assert "cpu_canary_s" not in doc
+
+
+def test_bench_query_lists_exist_in_registry(bench):
+    """bench.py SKIPS additive ids not in queries() (defensive for partial
+    registries), which means a typo in NEW_BLOCKS would silently drop an
+    op from the additive capture forever. Pin: every HEADLINE and
+    NEW_BLOCKS id is a registered operator."""
+    from ai_dataingestion_spark.catalog import all_specs
+
+    names = set(all_specs())
+    missing = [q for q in bench.HEADLINE if q not in names]
+    assert not missing, f"HEADLINE ids not registered: {missing}"
+    missing = [q for q in bench.NEW_BLOCKS if q not in names]
+    assert not missing, f"NEW_BLOCKS ids not registered: {missing}"
