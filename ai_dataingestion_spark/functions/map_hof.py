@@ -89,7 +89,9 @@ def fn_map_transform_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        coalesce(event_type, '(none)') AS event_type,
        count(*) AS n_events,
-       round(sum(CASE WHEN isfinite(value) THEN value END), 4) AS sum_value
+       CAST(round(sum(CASE WHEN isfinite(value)
+                           THEN CAST(value AS DECIMAL(38,6)) END), 4)
+            AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id, coalesce(event_type, '(none)')
 """,
@@ -118,7 +120,14 @@ def fn_map_zip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.withColumn(
             "et", F.coalesce("event_type", F.lit("(none)"))
         )
-        .withColumn("v_fin", F.when(finite, F.col("value")))
+        .withColumn(
+            # decimal, not double (the stream_session class,
+            # portable.py:stable_rounded_sum): v_fin already excludes
+            # non-finites, so the exact order-independent sum needs no
+            # raw-double branch — just the per-row cast
+            "v_fin",
+            F.when(finite, F.col("value")).cast("decimal(38,6)"),
+        )
         .groupBy("user_id", "et")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -136,7 +145,7 @@ def fn_map_zip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_zip_with(
             "counts", "sums",
             lambda k, c, s: F.struct(
-                c.alias("n"), F.round(s, 4).alias("sv")
+                c.alias("n"), F.round(s, 4).cast("double").alias("sv")
             ),
         ).alias("merged_map"),
     )

@@ -98,7 +98,9 @@ def _read_state(spark: SparkSession, ckpt: str, fallback_ddl: str,
     oracle="""
 SELECT user_id,
        count(*) AS n_events,
-       round(sum(CASE WHEN isfinite(value) THEN value END), 4) AS sum_finite
+       CAST(round(sum(CASE WHEN isfinite(value)
+                           THEN CAST(value AS DECIMAL(38,6)) END), 4)
+            AS DOUBLE) AS sum_finite
 FROM events
 GROUP BY user_id
 """,
@@ -119,8 +121,16 @@ def statestore_read_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite = F.col("value").isNotNull() & ~F.isnan("value") & (
         F.abs(F.col("value")) != F.lit(float("inf"))
     )
+    # v_fin sums as DECIMAL(38,6) so the STATE BUFFER itself carries the
+    # exact order-independent accumulator (the stream_session class,
+    # portable.py:stable_rounded_sum — within a micro-batch the shuffle
+    # order is nondeterministic, so a double buffer could flip the 4th
+    # decimal between draws); non-finites are already excluded by the
+    # pre-operator projection, so no raw-double branch is needed.
     agg = (
-        stream.withColumn("v_fin", F.when(finite, F.col("value")))
+        stream.withColumn(
+            "v_fin", F.when(finite, F.col("value")).cast("decimal(38,6)")
+        )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)), F.sum("v_fin"))
     )
@@ -128,12 +138,12 @@ def statestore_read_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _read_state(
         spark, ckpt,
         "key struct<user_id: bigint>, "
-        "value struct<count: bigint, sum: double>, partition_id int",
+        "value struct<count: bigint, sum: decimal(38,6)>, partition_id int",
     )
     return st.select(
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
-        F.round(F.col("value.sum"), 4).alias("sum_finite"),
+        F.round(F.col("value.sum"), 4).cast("double").alias("sum_finite"),
     )
 
 
