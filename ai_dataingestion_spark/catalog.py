@@ -341,7 +341,19 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # after the rank-0 block. Round 13: empty — stream_tws_event_timer's r12
 # re-check under its changed oracle (ADVICE r11 #3 ms-truncation) came
 # back green, so its evidence is current again.
-_EVENTS_RECHECK: frozenset[str] = frozenset()
+# Round 14: the four attested ops whose CODE changed this round (the
+# order-independent decimal-sum hardening — stream_tumbling/sliding/
+# session's totals and statestore_read_agg_state's state buffer) re-check
+# so their driver evidence reflects the shipped implementation;
+# pivot_wide also changed but already sits in the window's stalest tail.
+_EVENTS_RECHECK: frozenset[str] = frozenset(
+    {
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "statestore_read_agg_state",
+    }
+)
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank
