@@ -99,7 +99,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle=f"""
 WITH seq AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
@@ -107,7 +107,17 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  -- ORDER BY ts, event_id — the SAME total order as seq's window. With
+  -- ts ties (the ties tier), 'ORDER BY ts ROWS UNBOUNDED PRECEDING'
+  -- leaves peer order engine-arbitrary, so a row tied with an is_new=1
+  -- row could scan BEFORE it and land in the previous session — an
+  -- INTERMITTENT oracle mismatch that fired twice in r14 full sweeps
+  -- (DuckDB's parallel window scan orders peers differently per draw)
+  -- while every standalone probe passed. ROWS mode + a total order is
+  -- deterministic; this was the true root cause of the stream_session
+  -- ties flake (the decimal-sum hardening was necessary for the float
+  -- class but did not explain the recurrence).
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM seq
 )
@@ -129,15 +139,22 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     test). Boundaries are emitted as epoch-µs (string formats diverge on
     sub-second timestamps across engines).
 
-    The finite-group total sums through DECIMAL(38,6): round(sum(double),
-    4) flipped a half-ulp boundary ONCE in the r14 ties-tier certification
-    sweep (order-of-accumulation noise — standalone re-runs green 3×; the
-    per-row double→decimal cast has no such boundary because no double
-    sits exactly midway on the 1e-6 grid). Groups containing NaN/±Inf
-    keep the raw double sum (non-finite propagation is order-independent,
-    and a decimal cast of a non-finite RAISES in DuckDB — the CASE is
-    lazy on both engines, the fn_map json_type lesson). The oracle
-    mirrors branch-for-branch."""
+    Two determinism hardenings from the r14 ties-tier flake (an
+    intermittent full-sweep mismatch this op produced twice while every
+    standalone probe passed):
+
+    - the TRUE root cause was the ORACLE's sess_id running sum ordering
+      by ts alone in ROWS mode — with tied timestamps, peer order is
+      engine-arbitrary, so a row tied with an is_new=1 row could scan
+      before it and land in the previous session on some DuckDB draws
+      (parallel window scan). Fixed by the (ts, event_id) total order;
+      24/24 post-fix sequence probes green vs ~1-in-8 flaking before.
+    - the finite-group total also sums through DECIMAL(38,6)
+      (portable.py:stable_rounded_sum): round(sum(double), 4) carries its
+      own order-of-accumulation half-ulp boundary, a separate latent
+      class hardened while diagnosing the above. NaN/±Inf groups keep the
+      raw double sum (order-independent propagation; DuckDB raises on
+      casting non-finites to decimal — the oracle CASE is lazy)."""
     e = Tables(spark, sf_dir).events
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -46,6 +46,16 @@ def main() -> int:
               + ("  " + "; ".join(fails[:4]) if fails else ""), flush=True)
         if proc.returncode != 0:
             fail = True
+            # Persist the FULL driver_sim output: the one-line fail
+            # summary drops the spark-vs-oracle row diff, which twice in
+            # r14 left an intermittent mismatch undiagnosable after the
+            # fact (the stream_session ties investigation).
+            dump = f"/tmp/tier_subset_fail_{tier}.log"
+            with open(dump, "w") as fh:
+                fh.write(proc.stdout)
+                fh.write("\n--- stderr ---\n")
+                fh.write(proc.stderr or "")
+            print(f"{'':10s} full output -> {dump}", flush=True)
     print("TIER SUBSET:", "FAIL" if fail else "PASS")
     return 1 if fail else 0
 
