@@ -333,6 +333,28 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "fn_observe_metrics_gate", "scan_metadata_file_audit",
         "fn_approx_top_k_types",
         "udf_map_in_arrow",
+        # --- round 14 green (27 first-time IDs of CORRECTNESS_r14: 5
+        # point-in-time state reads + 2 Python-source pushdown + 3 XML +
+        # 2 DESCRIBE-AS-JSON/SHOW + 4 map HOFs + 2 parameterized SQL +
+        # 3 CSV + 3 generators + 2 ingest byte-hygiene +
+        # fn_regexp_position_family, plus 4 same-round code-change
+        # re-certs and 19 staleness re-certs, 50/50 full pass) ---
+        "statestore_read_batch0_agg", "statestore_read_batch_evolution",
+        "statestore_read_changefeed_dedup", "statestore_read_changefeed_agg",
+        "statestore_read_snapshot_reconstruction",
+        "source_pyds_filter_pushdown", "source_pyds_pushdown_residual",
+        "fn_xml_roundtrip_struct", "fn_from_xml_attributes",
+        "fn_schema_of_xml_inventory",
+        "catalog_describe_json_columns", "catalog_show_surface",
+        "fn_map_transform_family", "fn_map_zip_merge",
+        "fn_str_to_map_parse", "fn_map_concat_entries",
+        "sql_named_parameters", "sql_positional_parameters",
+        "fn_csv_roundtrip_struct", "fn_from_csv_delimiter_options",
+        "fn_schema_of_csv_inventory",
+        "fn_stack_wide_to_long", "fn_inline_struct_array",
+        "fn_posexplode_outer_preserving",
+        "fn_utf8_validation_family", "fn_digest_family",
+        "fn_regexp_position_family",
     }
 )
 
@@ -341,19 +363,13 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # after the rank-0 block. Round 13: empty — stream_tws_event_timer's r12
 # re-check under its changed oracle (ADVICE r11 #3 ms-truncation) came
 # back green, so its evidence is current again.
-# Round 14: the four attested ops whose CODE changed this round (the
-# order-independent decimal-sum hardening — stream_tumbling/sliding/
-# session's totals and statestore_read_agg_state's state buffer) re-check
-# so their driver evidence reflects the shipped implementation;
-# pivot_wide also changed but already sits in the window's stalest tail.
-_EVENTS_RECHECK: frozenset[str] = frozenset(
-    {
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "statestore_read_agg_state",
-    }
-)
+# Round 14: the four attested ops whose CODE changed that round all came
+# back green in CORRECTNESS_r14 on the shipped code, so the set emptied.
+# Round 15: ops whose CODE changes this round (the stable_rounded_sum
+# hardening of the residual small-group float-sum sites — SCALE.md round-14
+# addendum 3, VERDICT-r14 item 1) re-check so their driver evidence
+# reflects the shipped implementation. Populated by the hardening pass.
+_EVENTS_RECHECK: frozenset[str] = frozenset()
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank
