@@ -365,11 +365,23 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # back green, so its evidence is current again.
 # Round 14: the four attested ops whose CODE changed that round all came
 # back green in CORRECTNESS_r14 on the shipped code, so the set emptied.
-# Round 15: ops whose CODE changes this round (the stable_rounded_sum
-# hardening of the residual small-group float-sum sites — SCALE.md round-14
-# addendum 3, VERDICT-r14 item 1) re-check so their driver evidence
-# reflects the shipped implementation. Populated by the hardening pass.
-_EVENTS_RECHECK: frozenset[str] = frozenset()
+# Round 15: the 20 ops whose CODE changed this round (the
+# stable_rounded_sum / stable_sum hardening of every residual
+# round-of-double-sum site — SCALE.md round-14 addendum 3 → round-15
+# closure, VERDICT-r14 item 1) re-check so their driver evidence reflects
+# the shipped decimal accumulation.
+_EVENTS_RECHECK: frozenset[str] = frozenset(
+    {
+        "agg_groupby", "agg_rollup", "agg_cube", "agg_top_groups",
+        "agg_salted_skew", "agg_weighted_avg", "join_bucketed",
+        "quality_observe", "join_left", "join_multiway",
+        "tpch_q14_promo_revenue", "events_gap_fill_locf",
+        "events_gap_fill_linear", "agg_geo_harmonic_means",
+        "join_dpp_partitioned", "orders_priority_mix_shift",
+        "events_circular_time_stats", "embed_sign_hamming_separation",
+        "text_bigram_cond_entropy", "fn_null_semantics",
+    }
+)
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank

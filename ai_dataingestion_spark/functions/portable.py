@@ -140,6 +140,77 @@ def stable_rounded_sum(col: Column | str, dp: int = 4) -> Column:
     )
 
 
+def stable_sum(col: Column | str) -> Column:
+    """Order-independent ``sum(x)`` as a double, for COMPOSITE emissions
+    (ratios, scaled sums) where the rounding applies after further
+    arithmetic: the same DECIMAL(38,6) accumulation as
+    ``stable_rounded_sum`` (finite groups sum exactly; groups containing
+    NaN/±Inf keep the raw double sum so non-finite propagation survives),
+    but without the final round — the caller composes and rounds. Because
+    the decimal sum casts back to the IDENTICAL double on both engines,
+    any downstream IEEE arithmetic (division, 0.5·x, exp) is then
+    bit-deterministic cross-engine too. Oracle twin: ``stable_sum_sql``.
+    Note the 1e-6 per-value quantization this implies: document it at the
+    call site when the summed terms are sub-unit magnitudes."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonfinite = c.isNotNull() & (F.isnan(c) | (F.abs(c) == F.lit(_INF)))
+    return F.when(
+        F.max(F.when(nonfinite, 1).otherwise(0)) == 1,
+        F.sum(c),
+    ).otherwise(
+        F.sum(F.when(~nonfinite, c).cast("decimal(38,6)")).cast("double")
+    )
+
+
+def stable_sum_sql(expr: str) -> str:
+    """DuckDB twin of ``stable_sum`` (branch-for-branch; see
+    ``stable_rounded_sum_sql`` for why the decimal cast sits inside a lazy
+    CASE rather than a FILTER clause)."""
+    return (
+        f"CASE WHEN max(CASE WHEN {expr} IS NOT NULL AND NOT isfinite({expr}) "
+        f"THEN 1 ELSE 0 END) = 1 THEN sum({expr}) "
+        f"ELSE CAST(sum(CASE WHEN isfinite({expr}) "
+        f"THEN CAST({expr} AS DECIMAL(38,6)) END) AS DOUBLE) END"
+    )
+
+
+def grid_sum(col: Column | str, dp: int = 6) -> Column:
+    """Exact fixed-point sum on the 10^-dp grid, for term sums EMITTED AT
+    THE SAME precision as the per-term quantization (the round-15 null-tier
+    catch, orders_priority_mix_shift): ``stable_sum``'s DECIMAL(38,6) cast
+    puts each term's half-point on the engines' CAST-ROUNDING semantics —
+    Spark expands the double exactly and rounds HALF_UP (BigDecimal), the
+    oracle engine multiplies in double first where an exact tie
+    half-even-rounds the other way — so a ratio-valued term landing on the
+    5·10^-(dp+1) midpoint shifts a dp-decimal emission by one grid step
+    between engines. This helper quantizes with PURE IEEE arithmetic
+    instead: ``floor(x·10^dp + 0.5)`` is the same double op sequence on
+    both engines (bit-identical bigint per term), the BIGINT sum is exact
+    and order-independent, and the final /10^dp division is one more
+    identical IEEE op — the whole emission is bit-deterministic with NO
+    cast semantics on trial. Callers emit the result WITHOUT a further
+    round (there is no noise left to round away). Terms must be finite or
+    NULL (NULL sums away identically; a NaN/Inf term would ANSI-crash the
+    bigint cast — by design, these sites guarantee finiteness upstream)
+    and |x|·10^dp must stay below 2^53. Oracle twin: ``grid_sum_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    unit = F.lit(float(10 ** dp))
+    return (
+        F.sum(F.floor(c * unit + F.lit(0.5)).cast("bigint"))
+        .cast("double") / unit
+    )
+
+
+def grid_sum_sql(expr: str, dp: int = 6) -> str:
+    """DuckDB twin of ``grid_sum`` (op-for-op: double multiply, +0.5,
+    floor, bigint cast, exact integer sum, double divide)."""
+    unit = float(10 ** dp)
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {unit} + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / {unit})"
+    )
+
+
 def stable_rounded_sum_sql(expr: str, dp: int = 4) -> str:
     """DuckDB twin of ``stable_rounded_sum`` over SQL expression ``expr``
     (branch-for-branch; the inner CASE keeps the decimal cast lazy —

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+)
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -483,7 +487,7 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_null_semantics",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT c_custkey,
          nullif(c_mktsegment, 'BUILDING') AS seg_n,
@@ -494,7 +498,7 @@ SELECT count(*)                                   AS n_rows,
        count(seg_n)                               AS n_seg_nonnull,
        count(bal_n)                               AS n_bal_nonnull,
        count(CASE WHEN seg_n IS NULL THEN 1 END)  AS n_seg_null,
-       round(sum(bal_n), 2)                       AS sum_skipnull,
+       {stable_rounded_sum_sql("bal_n", 2)}       AS sum_skipnull,
        round(avg(bal_n), 4)                       AS avg_skipnull,
        count(CASE WHEN bal_n + 1 IS NULL THEN 1 END) AS n_null_arith,
        count(CASE WHEN seg_n IS NOT DISTINCT FROM NULL THEN 1 END)
@@ -520,7 +524,7 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("seg_n").alias("n_seg_nonnull"),
         F.count("bal_n").alias("n_bal_nonnull"),
         F.count(F.when(F.col("seg_n").isNull(), 1)).alias("n_seg_null"),
-        F.round(F.sum("bal_n"), 2).alias("sum_skipnull"),
+        stable_rounded_sum("bal_n", 2).alias("sum_skipnull"),
         F.round(F.avg("bal_n"), 4).alias("avg_skipnull"),
         F.count(F.when((F.col("bal_n") + 1).isNull(), 1)).alias("n_null_arith"),
         F.count(F.when(F.col("seg_n").eqNullSafe(F.lit(None)), 1)).alias(

@@ -49,3 +49,5 @@ from ai_dataingestion_spark.functions import csv_depth  # noqa: F401
 from ai_dataingestion_spark.operators import generators  # noqa: F401
 from ai_dataingestion_spark.functions import ingest_hygiene  # noqa: F401
 from ai_dataingestion_spark.functions import regex_depth  # noqa: F401
+from ai_dataingestion_spark.streaming import statestore_options  # noqa: F401
+from ai_dataingestion_spark.streaming import observe_stream  # noqa: F401

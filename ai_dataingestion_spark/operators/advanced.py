@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import stable_sum, stable_sum_sql
 from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
@@ -65,11 +66,13 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue",
-    oracle="""
+    oracle=f"""
 SELECT round(
-         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount) END)
-               / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+         100.0 * {stable_sum_sql(
+             "CASE WHEN p.p_type = 'PROMO' "
+             "THEN l.l_extendedprice * (1 - l.l_discount) END")}
+               / {stable_sum_sql(
+                   "l.l_extendedprice * (1 - l.l_discount)")}, 6) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -77,8 +80,11 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share): broadcast dim join + ratio of
-    conditional aggregates. The ratio is a quotient, so raw-double noise
-    cancels and 6 dp rounding is engine-stable (SURVEY.md §5.4)."""
+    conditional aggregates. Both sums accumulate in DECIMAL(38,6)
+    (portable.py:stable_sum, the r15 residual-site hardening): the two
+    operands are then bit-identical doubles on both engines, so the
+    quotient and its 6dp rounding are draw-deterministic — not merely
+    noise-cancelling."""
     t = Tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -93,8 +99,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
-                / F.sum(rev),
+                * stable_sum(F.when(F.col("p_type") == "PROMO", rev))
+                / stable_sum(rev),
                 6,
             ).alias("promo_pct")
         )
@@ -203,9 +209,10 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_weighted_avg",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+       round({stable_sum_sql("l_extendedprice * l_quantity")}
+             / sum(l_quantity), 6)
          AS wavg_price,
        round(sum(l_quantity), 2) AS total_qty
 FROM lineitem GROUP BY l_returnflag
@@ -214,11 +221,15 @@ FROM lineitem GROUP BY l_returnflag
 def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted mean price per return flag: Σ(w·x)/Σ(w) as one
     partial-aggregable pass (the ratio-of-sums form — never avg-of-avgs,
-    which is wrong under grouping and does not map-side combine)."""
+    which is wrong under grouping and does not map-side combine). The
+    numerator accumulates in DECIMAL(38,6) (portable.py:stable_sum); the
+    denominator Σ(quantity) is integer-valued so double summation is
+    already exact — the ratio is then draw-deterministic on both
+    engines."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            stable_sum(F.col("l_extendedprice") * F.col("l_quantity"))
             / F.sum("l_quantity"),
             6,
         ).alias("wavg_price"),

@@ -11,17 +11,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+    stable_sum,
+)
 from ai_dataingestion_spark.registry import Tables
 
 
 @register(
     "agg_groupby",
-    oracle="""
+    oracle=f"""
 SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+  {stable_rounded_sum_sql("l_extendedprice", 2)}                   AS sum_base_price,
   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
                       AS DECIMAL(38,6))), 2) AS DOUBLE)            AS sum_disc_price,
   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
@@ -49,7 +54,7 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_rounded_sum("l_extendedprice", 2).alias("sum_base_price"),
             F.round(
                 F.sum(disc_price.cast("decimal(38,6)")), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(
@@ -185,8 +190,9 @@ def _region_nation_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup",
-    oracle="""
-SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+    oracle=f"""
+SELECT r_name, n_name, count(*) AS n_cust,
+       {stable_rounded_sum_sql("c_acctbal", 2)} AS bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -200,15 +206,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+            stable_rounded_sum("c_acctbal", 2).alias("bal"),
         )
     )
 
 
 @register(
     "agg_cube",
-    oracle="""
-SELECT event_type, hour(ts) AS hr, count(*) AS n, round(sum(value), 2) AS total
+    oracle=f"""
+SELECT event_type, hour(ts) AS hr, count(*) AS n,
+       {stable_rounded_sum_sql("value", 2)} AS total
 FROM events
 GROUP BY CUBE (event_type, hour(ts))
 """,
@@ -218,7 +225,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events.withColumn("hr", F.hour("ts").cast("bigint"))
     return e.cube("event_type", "hr").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        stable_rounded_sum("value", 2).alias("total"),
     )
 
 
@@ -371,8 +378,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_top_groups",
-    oracle="""
-SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+    oracle=f"""
+SELECT n_name, {stable_rounded_sum_sql("o_totalprice", 2)} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -389,7 +396,7 @@ def agg_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(stable_rounded_sum("o_totalprice", 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
         .limit(5)
     )
@@ -397,8 +404,8 @@ def agg_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_salted_skew",
-    oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+    oracle=f"""
+SELECT event_type, count(*) AS n, {stable_rounded_sum_sql("value", 4)} AS total,
        round(max(value), 6) AS max_val
 FROM events
 GROUP BY event_type
@@ -419,14 +426,21 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).events.withColumn(
         "_salt", (F.col("event_id") % 16).cast("int")
     )
+    # Both phases accumulate order-independently (portable.py:stable_sum /
+    # stable_rounded_sum): the per-salt partials are exact decimal sums
+    # surfaced as doubles, and the 16-partial merge re-sums them in decimal
+    # — so the emitted total is draw-deterministic AND equals the oracle's
+    # flat decimal sum (the partial-double round-trip is exact at any
+    # magnitude where 1e-6 precision fits in a double's 53-bit mantissa;
+    # beyond that the 4dp emission is ~1e5 half-ulps away from the error).
     partial = e.groupBy("event_type", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        stable_sum("value").alias("psum"),
         F.max("value").alias("pmax"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 4).alias("total"),
+        stable_rounded_sum("psum", 4).alias("total"),
         F.round(F.max("pmax"), 6).alias("max_val"),
     )
 

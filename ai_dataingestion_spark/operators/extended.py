@@ -152,8 +152,9 @@ def _build_bucket_table(spark: SparkSession, tab: str, df: DataFrame, key: str) 
 
 @register(
     "join_bucketed",
-    oracle="""
-SELECT l.l_orderkey, count(*) AS n_lines, round(sum(l.l_extendedprice), 2) AS total
+    oracle=f"""
+SELECT l.l_orderkey, count(*) AS n_lines,
+       {stable_rounded_sum_sql("l.l_extendedprice", 2)} AS total
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'F'
 GROUP BY l.l_orderkey
@@ -189,16 +190,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            stable_rounded_sum("l_extendedprice", 2).alias("total"),
         )
     )
 
 
 @register(
     "quality_observe",
-    oracle="""
+    oracle=f"""
 SELECT count(*)                          AS n_rows,
-       round(sum(o_totalprice), 2)       AS total_price,
+       {stable_rounded_sum_sql("o_totalprice", 2)} AS total_price,
        count(CASE WHEN o_totalprice < 0 THEN 1 END) AS n_negative
 FROM orders
 """,
@@ -211,7 +212,7 @@ def quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tables(spark, sf_dir).orders.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        stable_rounded_sum("o_totalprice", 2).alias("total_price"),
         F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_negative"),
     )
     out = op_tmpdir("observe_sink_")

@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+)
 from ai_dataingestion_spark.registry import Tables
 
 
@@ -67,9 +71,9 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_left",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+       coalesce({stable_rounded_sum_sql("o.o_totalprice", 2)}, 0) AS total_spend
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_name
 """,
@@ -82,9 +86,13 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
+            # coalesce sits OUTSIDE the rounded decimal sum (both engines):
+            # rounding in decimal, not on the cast-back double, keeps the
+            # 2dp boundary exact; an order-less customer's NULL still
+            # surfaces as 0.
+            F.coalesce(
+                stable_rounded_sum("o_totalprice", 2), F.lit(0.0)
+            ).alias("total_spend"),
         )
     )
 
@@ -289,10 +297,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_multiway",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name, n.n_name,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       {stable_rounded_sum_sql("o.o_totalprice", 2)} AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -312,7 +320,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            stable_rounded_sum("o_totalprice", 2).alias("revenue"),
         )
     )
 

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+)
 from ai_dataingestion_spark.scale import broadcast_if_small
 from ai_dataingestion_spark.registry import Tables
 
@@ -418,10 +422,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_gap_fill_locf",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         round(sum(value), 6) AS day_value
+         {stable_rounded_sum_sql("value", 6)} AS day_value
   FROM events WHERE user_id % 50 = 0
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ),
@@ -450,14 +454,17 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence + explode — rows generated map-side, never collected) and
     gaps take the most recent observed value via last(ignorenulls) over an
     ordered window. One shuffle on user_id serves the window; the calendar
-    explode is bounded by each user's own span."""
+    explode is bounded by each user's own span. day_value accumulates
+    order-independently (portable.py:stable_rounded_sum) so the value each
+    gap CARRIES FORWARD is draw-deterministic — a boundary flip here would
+    propagate into every filled day after it."""
     t = Tables(spark, sf_dir)
     daily = (
         t.events.filter(F.col("user_id") % 50 == 0)
         .groupBy(
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
         )
-        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+        .agg(stable_rounded_sum("value", 6).alias("day_value"))
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -8,6 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    stable_rounded_sum,
+    stable_rounded_sum_sql,
+    stable_sum,
+    stable_sum_sql,
+)
 from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.scale import (
     ARRAY_TABLE_BYTES as _ARRAY_MERGE_LIMIT,
@@ -697,11 +703,11 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_geo_harmonic_means",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, count(*) AS n,
        round(avg(l_quantity), 6) AS arith_mean,
        round(exp(avg(ln(l_quantity))), 6) AS geo_mean,
-       round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
+       round(count(*) / {stable_sum_sql("1.0 / l_quantity")}, 6) AS harm_mean
 -- POSITIVE domain only: the geometric and harmonic means are undefined
 -- at zero (ln(0), 1/0), and the engines disagree on the failure mode
 FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
@@ -711,8 +717,11 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic / geometric / harmonic means of quantity per return
     flag — the Pythagorean-means pin (quantity ≥ 1, so ln and 1/x are
     always finite). Geometric goes through exp∘avg∘ln (partial-aggregable,
-    no product overflow); 6-dp rounding absorbs the engines' summation
-    order."""
+    no product overflow). The harmonic denominator Σ(1/q) accumulates in
+    DECIMAL(38,6) (portable.py:stable_sum — 1/q is identical on both
+    engines, so its 1e-6 quantization is too); the remaining avg-based
+    means divide by the group count, which scales summation-order noise
+    well below the 6dp boundary."""
     t = Tables(spark, sf_dir)
     q = F.col("l_quantity")
     # q > 0 both sides: ln(0) and 1/0 leave the means' domain (ANSI
@@ -721,7 +730,9 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(q), 6).alias("arith_mean"),
         F.round(F.exp(F.avg(F.log(q))), 6).alias("geo_mean"),
-        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / q), 6).alias("harm_mean"),
+        F.round(
+            F.count(F.lit(1)) / stable_sum(F.lit(1.0) / q), 6
+        ).alias("harm_mean"),
     )
 
 
@@ -904,12 +915,12 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_dpp_partitioned",
-    oracle="""
+    oracle=f"""
 -- NB: explicit OR equalities, not IN: DuckDB 1.0.0 rewrites
 -- `CAST(ts AS DATE) IN (<date literals>)` under WHERE into a timestamp
 -- IN that only matches midnight (verified: 0 rows vs 339/day equality).
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       {stable_rounded_sum_sql("value", 2)} AS total_value
 FROM events
 WHERE CAST(ts AS DATE) = DATE '2024-01-02'
    OR CAST(ts AS DATE) = DATE '2024-01-03'
@@ -946,7 +957,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            stable_rounded_sum("value", 2).alias("total_value"),
         )
     )
 
@@ -1251,7 +1262,7 @@ def events_survival_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bigram_cond_entropy",
-    oracle="""
+    oracle=f"""
 WITH big AS (
   SELECT source, t[i] AS prev, t[i + 1] AS nxt, count(*) AS c
   FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -1265,7 +1276,8 @@ marged AS (
 SELECT source,
        CAST(sum(c) AS BIGINT) AS n_bigrams,
        count(*) AS vocab_bigrams,
-       round(-sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / cu))
+       round(-{stable_sum_sql(
+           "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / cu)")}
              / sum(c), 6) AS cond_entropy
 FROM marged GROUP BY source
 """,
@@ -1280,7 +1292,10 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-prefix continuation vocabulary — because the normalizer N
     factors out: H = -(1/N)·Σ c·ln(c/cu), with N from the final groupBy
     itself (the text_kl_divergence_sources trick). Oracle computes the
-    IDENTICAL decomposition."""
+    IDENTICAL decomposition; the Σ c·ln(c/cu) numerator accumulates in
+    DECIMAL(38,6) (portable.py:stable_sum — each term is an identical
+    double on both engines; the 1e-6 per-term quantization lands ~8
+    orders below the 6dp entropy boundary after /N)."""
     t = Tables(spark, sf_dir)
     toks = F.split("text", " ")
     pair = F.zip_with(
@@ -1304,7 +1319,7 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.count(F.lit(1)).alias("vocab_bigrams"),
         F.round(
-            -F.sum(c_d * F.log(c_d / F.col("cu"))) / F.sum("c"), 6
+            -stable_sum(c_d * F.log(c_d / F.col("cu"))) / F.sum("c"), 6
         ).alias("cond_entropy"),
     )
 
@@ -4538,13 +4553,13 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_gap_fill_linear",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   -- finite gate (nan-tier contract): one NaN day total would ramp NaN
   -- into every interpolated neighbor, and floor-rounded NaN arithmetic
   -- diverges between the engines
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         round(sum(value), 6) AS day_value
+         {stable_rounded_sum_sql("value", 6)} AS day_value
   FROM events WHERE user_id % 50 = 0
     AND (value IS NULL OR isfinite(value))
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
@@ -4607,7 +4622,10 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
         )
-        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+        # order-independent endpoints (portable.py:stable_rounded_sum): a
+        # boundary flip in one day total would ramp into every
+        # interpolated day between its neighbors
+        .agg(stable_rounded_sum("value", 6).alias("day_value"))
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -6,6 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.functions.portable import (
+    grid_sum,
+    grid_sum_sql,
+)
 from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
 from ai_dataingestion_spark.scale import broadcast_if_small
@@ -2327,7 +2331,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_priority_mix_shift",
-    oracle="""
+    oracle=f"""
 WITH cnt AS (
   SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority AS p,
          count(*) AS c
@@ -2351,7 +2355,7 @@ d AS (
   SELECT m, p, s - lag(s) OVER (PARTITION BY p ORDER BY m) AS ds FROM sh
 )
 SELECT CAST(m AS TIMESTAMP) AS month,
-       round(0.5 * sum(abs(ds)), 6) AS tvd,
+       {grid_sum_sql("abs(ds)")} / 2.0 AS tvd,
        round(max(abs(ds)), 6) AS max_abs_shift,
        CAST(sum(CASE WHEN ds > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
 FROM d WHERE ds IS NOT NULL
@@ -2413,7 +2417,12 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ds"),
     ).where(F.col("ds").isNotNull())
     return d.groupBy(F.col("m").cast("timestamp_ntz").alias("month")).agg(
-        F.round(0.5 * F.sum(F.abs("ds")), 6).alias("tvd"),
+        # the ~5 per-month |Δshare| terms sum on the exact 1e-6 integer
+        # grid (portable.py:grid_sum — null-tier catch: share ratios land
+        # exactly on decimal-cast midpoints, where the engines' cast
+        # rounding disagrees); /2.0 is one identical IEEE op, so the
+        # emission is bit-deterministic with no further round
+        (grid_sum(F.abs("ds")) / F.lit(2.0)).alias("tvd"),
         F.round(F.max(F.abs("ds")), 6).alias("max_abs_shift"),
         F.sum(F.when(F.col("ds") > 0, 1).otherwise(0))
         .cast("bigint")
@@ -4160,7 +4169,7 @@ def events_pit_training_features(
 
 @register(
     "embed_sign_hamming_separation",
-    oracle="""
+    oracle=f"""
 WITH bits AS (
   SELECT label, generate_subscripts(embedding, 1) AS dim,
          CASE WHEN unnest(embedding) > 0 THEN 1.0 ELSE 0.0 END AS b
@@ -4170,7 +4179,7 @@ marg AS (
   SELECT label, dim, avg(b) AS p FROM bits GROUP BY label, dim
 )
 SELECT a.label AS label_a, b.label AS label_b,
-       round(sum(a.p * (1 - b.p) + (1 - a.p) * b.p), 6) AS mean_hamming
+       {grid_sum_sql("a.p * (1 - b.p) + (1 - a.p) * b.p")} AS mean_hamming
 FROM marg a JOIN marg b ON a.dim = b.dim
 GROUP BY a.label, b.label
 """,
@@ -4214,12 +4223,13 @@ def embed_sign_hamming_separation(
         a.join(F.broadcast(b), F.col("dim_a") == F.col("dim_b"))
         .groupBy("label_a", "label_b")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("pa") * (1 - F.col("pb"))
-                    + (1 - F.col("pa")) * F.col("pb")
-                ),
-                6,
+            # the 64 per-dim terms sum on the exact 1e-6 integer grid
+            # (portable.py:grid_sum — count-ratio products can land
+            # exactly on decimal-cast midpoints, the null-tier class),
+            # so the emission is bit-deterministic with no further round
+            grid_sum(
+                F.col("pa") * (1 - F.col("pb"))
+                + (1 - F.col("pa")) * F.col("pb")
             ).alias("mean_hamming")
         )
     )
@@ -5118,8 +5128,8 @@ WITH ang AS (
 ),
 mom AS (
   SELECT event_type, count(*) AS n,
-         round(sum(cos(theta)), 6) AS sc,
-         round(sum(sin(theta)), 6) AS ss
+         {grid_sum_sql("cos(theta)")} AS sc,
+         {grid_sum_sql("sin(theta)")} AS ss
   FROM ang GROUP BY event_type
 )
 SELECT event_type,
@@ -5141,9 +5151,12 @@ def events_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σcos) and concentration R = |Σe^iθ|/n (R→0: uniform around the
     clock, R→1: sharply peaked). The stability rule: on near-uniform
     data Σcos/Σsin are small differences of large sums, and atan2
-    AMPLIFIES accumulation-order noise — so both vector sums are
-    rounded to 6 dp BEFORE atan2 on both engines, making the angle
-    bit-identical. One shuffle to the 5-type rollup."""
+    AMPLIFIES accumulation-order noise — so both vector sums
+    accumulate on the exact 1e-6 integer grid (portable.py:grid_sum:
+    bit-identical per-term quantization with pure IEEE ops, exact
+    order-independent BIGINT sum — no decimal-cast midpoint semantics
+    on trial) BEFORE atan2, making the angle bit-identical AND
+    draw-deterministic. One shuffle to the 5-type rollup."""
     e = Tables(spark, sf_dir).events
     theta = (
         F.lit(_TWO_PI)
@@ -5157,8 +5170,8 @@ def events_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mom = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.cos(theta)), 6).alias("sc"),
-        F.round(F.sum(F.sin(theta)), 6).alias("ss"),
+        grid_sum(F.cos(theta)).alias("sc"),
+        grid_sum(F.sin(theta)).alias("ss"),
     )
     ang = F.atan2(F.col("ss"), F.col("sc"))
     wrapped = F.when(ang < 0, ang + _TWO_PI).otherwise(ang)

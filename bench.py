@@ -165,6 +165,10 @@ NEW_BLOCKS = (
     # r14 §2.AJ ingest byte-hygiene + §2.H completion
     "fn_utf8_validation_family", "fn_digest_family",
     "fn_regexp_position_family",
+    # r15 (§2.W completion + §2.AB completion): ALL six ops are staged
+    # AvailableNow drains — excluded with the other streaming drains on
+    # the standing grounds (wall = micro-batch scheduling constants, not
+    # engine throughput; BASELINE.md round-11 suite-composition note).
 )
 
 N_RUNS = 3

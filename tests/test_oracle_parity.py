@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 527  # 500 through r13 (see git history for the per-block ledger) + 5 (r14 point-in-time state reads, §2.AC) + 2 (r14 Python-source filter pushdown, §2.AD) + 3 (r14 XML column functions, §2.AE) + 2 (r14 DESCRIBE-AS-JSON/SHOW surface, §2.X completion) + 4 (r14 map HOFs, §2.AF) + 2 (r14 parameterized SQL, §2.AG) + 3 (r14 CSV column functions, §2.AH) + 3 (r14 generators, §2.AI) + 2 (r14 ingest byte-hygiene, §2.AJ) + 1 (r14 regex position family, §2.H completion)
+TOTAL_OPERATORS = 533  # 527 through r14 (see git history for the per-block ledger) + 3 (r15 statestore reader options: changeEndBatchId windows + join store inventory, §2.W completion) + 3 (r15 streaming observe()/QueryListener metrics as relations, §2.AB completion)
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +93,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 27  # round-14 blocks awaiting first driver rows: point-in-time state reads (§2.AC, 5) + pushdown (§2.AD, 2) + XML functions (§2.AE, 3) + DESCRIBE/SHOW (§2.X completion, 2) + map HOFs (§2.AF, 4) + parameterized SQL (§2.AG, 2) + CSV functions (§2.AH, 3) + generators (§2.AI, 3) + byte-hygiene (§2.AJ, 2) + regex position family (§2.H completion, 1)
+    EXPECTED_BACKLOG = 6  # round-15 blocks awaiting first driver rows: statestore reader options (§2.W completion, 3) + streaming observe/listener relations (§2.AB completion, 3)
     # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
     # driver evidence (it's merely stale) — they are re-checks, not backlog.
     first_time = [n for n in pending if n not in _EVENTS_RECHECK]
