@@ -51,3 +51,4 @@ from ai_dataingestion_spark.functions import ingest_hygiene  # noqa: F401
 from ai_dataingestion_spark.functions import regex_depth  # noqa: F401
 from ai_dataingestion_spark.streaming import statestore_options  # noqa: F401
 from ai_dataingestion_spark.streaming import observe_stream  # noqa: F401
+from ai_dataingestion_spark.operators import round15_fns  # noqa: F401

@@ -169,6 +169,10 @@ NEW_BLOCKS = (
     # AvailableNow drains — excluded with the other streaming drains on
     # the standing grounds (wall = micro-batch scheduling constants, not
     # engine throughput; BASELINE.md round-11 suite-composition note).
+    # r15 §2.AK: sketch set-algebra + bitwise/conditional aggregates +
+    # masking redaction (batch-shaped, timed additively)
+    "agg_theta_sketch_sets", "agg_bitwise_conditional",
+    "fn_mask_redaction_family",
 )
 
 N_RUNS = 3

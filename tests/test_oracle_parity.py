@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 533  # 527 through r14 (see git history for the per-block ledger) + 3 (r15 statestore reader options: changeEndBatchId windows + join store inventory, §2.W completion) + 3 (r15 streaming observe()/QueryListener metrics as relations, §2.AB completion)
+TOTAL_OPERATORS = 536  # 527 through r14 (see git history for the per-block ledger) + 3 (r15 statestore reader options: changeEndBatchId windows + join store inventory, §2.W completion) + 3 (r15 streaming observe()/QueryListener metrics as relations, §2.AB completion) + 3 (r15 sketch set-algebra / bitwise-conditional aggregates / mask redaction, §2.AK)
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +93,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 6  # round-15 blocks awaiting first driver rows: statestore reader options (§2.W completion, 3) + streaming observe/listener relations (§2.AB completion, 3)
+    EXPECTED_BACKLOG = 9  # round-15 blocks awaiting first driver rows: statestore reader options (§2.W completion, 3) + streaming observe/listener relations (§2.AB completion, 3) + sketch/bitwise/mask families (§2.AK, 3)
     # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
     # driver evidence (it's merely stale) — they are re-checks, not backlog.
     first_time = [n for n in pending if n not in _EVENTS_RECHECK]
