@@ -551,6 +551,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow up the self-join), then exact Jaccard over full shingle sets on the
     candidate pairs, threshold 0.5. Fully SQL-expressible, so unlike the
     MinHash path this one is oracle-verified end-to-end.
+
+    Recall contract under exact duplication: every copy of a document
+    inflates ALL its shingles' DF, so once a family's copy count exceeds
+    the cap its shingles stop being rare and the family yields no
+    candidates (measured: 0 rows on the 10x-replicated sfx1.0 corpus,
+    where every text has ~10 identical copies — SCALE.md round 15). The
+    cap must stay ABSOLUTE, not corpus-relative: candidates per shingle
+    are O(DF**2), so a relative cap reintroduces the quadratic blowup the
+    cap exists to prevent. The designed pipeline runs exact dedup first
+    (dedup_removal_plan's staged exact->near composition), which collapses
+    identical copies and restores shingle rarity before this op runs.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
@@ -758,7 +769,11 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as the Jaccard path: rare-shingle inverted index
     (DF ≤ 50 skew cap), integer n_common ≥ 0.8·|A| prefilter before any
     array work, exact shingle-set verify on surviving candidates only —
-    never all-pairs. Directional: (small, big) ordered pairs."""
+    never all-pairs. Directional: (small, big) ordered pairs. Same
+    recall contract as dedup_ngram_jaccard under exact duplication:
+    copy-inflated DF pushes a family's shingles past the cap (0 rows on
+    the 10x-replicated sfx1.0 corpus); run exact dedup first — the cap
+    stays absolute because candidates per shingle are O(DF**2)."""
     d = Tables(spark, sf_dir).documents.select("doc_id", "text")
     toks = F.split("text", " ")
     truncated = d.filter(F.col("doc_id") % 7 == 0).select(
