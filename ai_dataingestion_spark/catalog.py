@@ -355,6 +355,18 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "fn_posexplode_outer_preserving",
         "fn_utf8_validation_family", "fn_digest_family",
         "fn_regexp_position_family",
+        # --- round 15 green (9 first-time IDs of CORRECTNESS_r15: 3
+        # §2.W changefeed-window/join-store-inventory reads + 3 §2.AB
+        # streaming observe()/listener relations + 3 §2.AK
+        # sketch/bitwise/mask ops, plus 41 re-certs — 50/50 full pass,
+        # incl. all 20 decimal-hardened common-path re-checks) ---
+        "statestore_read_changefeed_window",
+        "statestore_read_changefeed_prefix_replay",
+        "statestore_read_join_store_inventory",
+        "stream_observe_batch_metrics", "stream_listener_progress_relation",
+        "stream_listener_lifecycle_audit",
+        "agg_theta_sketch_sets", "agg_bitwise_conditional",
+        "fn_mask_redaction_family",
     }
 )
 
@@ -365,23 +377,13 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # back green, so its evidence is current again.
 # Round 14: the four attested ops whose CODE changed that round all came
 # back green in CORRECTNESS_r14 on the shipped code, so the set emptied.
-# Round 15: the 20 ops whose CODE changed this round (the
+# Round 15: the 20 ops whose CODE changed that round (the
 # stable_rounded_sum / stable_sum hardening of every residual
-# round-of-double-sum site — SCALE.md round-14 addendum 3 → round-15
-# closure, VERDICT-r14 item 1) re-check so their driver evidence reflects
-# the shipped decimal accumulation.
-_EVENTS_RECHECK: frozenset[str] = frozenset(
-    {
-        "agg_groupby", "agg_rollup", "agg_cube", "agg_top_groups",
-        "agg_salted_skew", "agg_weighted_avg", "join_bucketed",
-        "quality_observe", "join_left", "join_multiway",
-        "tpch_q14_promo_revenue", "events_gap_fill_locf",
-        "events_gap_fill_linear", "agg_geo_harmonic_means",
-        "join_dpp_partitioned", "orders_priority_mix_shift",
-        "events_circular_time_stats", "embed_sign_hamming_separation",
-        "text_bigram_cond_entropy", "fn_null_semantics",
-    }
-)
+# round-of-double-sum site) re-checked and ALL came back hash-green in
+# CORRECTNESS_r15 on the shipped decimal accumulation, so the set
+# emptied again (VERDICT-r15 item 1 fold). Round 16: any op whose code
+# changes this round goes here for same-round re-cert.
+_EVENTS_RECHECK: frozenset[str] = frozenset()
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank
