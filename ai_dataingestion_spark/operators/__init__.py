@@ -52,3 +52,5 @@ from ai_dataingestion_spark.functions import regex_depth  # noqa: F401
 from ai_dataingestion_spark.streaming import statestore_options  # noqa: F401
 from ai_dataingestion_spark.streaming import observe_stream  # noqa: F401
 from ai_dataingestion_spark.operators import round15_fns  # noqa: F401
+from ai_dataingestion_spark.operators import round16_fns  # noqa: F401
+from ai_dataingestion_spark.operators import round16_catalog  # noqa: F401
