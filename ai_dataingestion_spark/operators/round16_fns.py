@@ -333,8 +333,10 @@ def fn_width_bucket_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_pick_family",
     oracle="""
 WITH base AS (
-  SELECT coalesce(list_position(string_split(
-           'Brand#11,Brand#12,Brand#13,Brand#14', ','), p_brand), 0) AS fis,
+  SELECT CASE WHEN p_brand IS NULL THEN NULL
+              ELSE coalesce(list_position(string_split(
+                     'Brand#11,Brand#12,Brand#13,Brand#14', ','),
+                     p_brand), 0) END AS fis,
          (nullif(p_type, 'PROMO')
             IS NOT DISTINCT FROM nullif(p_type, 'ECONOMY')) AS eqn,
          CAST((p_partkey >> 2) & 1 AS INTEGER) AS gb,

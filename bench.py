@@ -173,6 +173,15 @@ NEW_BLOCKS = (
     # masking redaction (batch-shaped, timed additively)
     "agg_theta_sketch_sets", "agg_bitwise_conditional",
     "fn_mask_redaction_family",
+    # r16 §2.AL TIME type + §2.AM function surfaces + §2.AN DF-cap curve
+    # + §2.AO catalog depth (all batch-shaped, timed additively)
+    "fn_time_type_family", "fn_time_trunc_diff_family",
+    "events_time_of_day_rollup",
+    "fn_width_bucket_binning", "fn_string_pick_family",
+    "fn_try_datetime_make", "fn_json_array_introspect",
+    "fn_aes_roundtrip_property",
+    "text_shingle_df_cap_loss",
+    "catalog_show_partitions_inventory", "catalog_tblproperties_roundtrip",
 )
 
 N_RUNS = 3
@@ -250,6 +259,15 @@ CONTENTION_LOAD = 2.0  # 1-min loadavg above this on a 32-cpu box = co-tenant
 DEGRADED_LOAD = 1.0
 PREFLIGHT_MAX_WAIT_S = 150.0
 PREFLIGHT_POLL_S = 15.0
+# Degraded-draw retry (VERDICT-r15 item 4): the r15 driver capture was a
+# self-flagged degraded draw (canary 0.744 vs the host class's 0.51-0.57
+# band, loadavg 4.3) that read +17% while the same code's quiet draw read
+# -6%. The loadavg preflight alone can't see host-level throughput dips
+# (the round-12 finding that motivated the canary), so the draw gate
+# re-checks BOTH signals — bounded, then measures anyway with markers.
+CANARY_RETRY_S = 0.65   # canary above this = the box itself is slow
+DRAW_RETRY_MAX_WAIT_S = 360.0
+DRAW_RETRY_POLL_S = 30.0
 
 
 def _cpu_canary_s() -> float:
@@ -293,6 +311,31 @@ def _quiet_box_preflight() -> dict:
         "loadavg_start": load,
         "preflight_wait_s": round(waited, 1),
         "contended": bool(load) and load[0] > CONTENTION_LOAD,
+    }
+
+
+def _quiet_draw_retry() -> dict:
+    """Second preflight tier (VERDICT-r15 item 4): after the loadavg gate,
+    measure the cpu canary itself and keep waiting — bounded by
+    DRAW_RETRY_MAX_WAIT_S — while EITHER signal says the draw would be
+    degraded (loadavg above DEGRADED_LOAD, or canary above
+    CANARY_RETRY_S, i.e. the box is slow in a way loadavg can't see).
+    Never blocks the round: on timeout the suite measures anyway and the
+    emission's `degraded` marker plus these fields carry the evidence."""
+    waited = 0.0
+    canary = _cpu_canary_s()
+    load = _loadavg()
+    while (
+        canary > CANARY_RETRY_S or (load and load[0] > DEGRADED_LOAD)
+    ) and waited < DRAW_RETRY_MAX_WAIT_S:
+        time.sleep(DRAW_RETRY_POLL_S)
+        waited += DRAW_RETRY_POLL_S
+        canary = _cpu_canary_s()
+        load = _loadavg()
+    return {
+        "draw_retry_wait_s": round(waited, 1),
+        "preflight_canary_s": canary,
+        "loadavg_after_retry": load,
     }
 
 
@@ -422,6 +465,10 @@ def _summary_line(
     if preflight and (preflight.get("contended") or preflight.get("preflight_wait_s")):
         summary["contended"] = preflight["contended"]
         summary["preflight_wait_s"] = preflight["preflight_wait_s"]
+    # Draw-retry evidence (VERDICT-r15 item 4): only when it actually
+    # waited — a quiet zero-wait draw sheds the chars.
+    if preflight and preflight.get("draw_retry_wait_s"):
+        summary["draw_retry_wait_s"] = preflight["draw_retry_wait_s"]
     line = json.dumps(summary)
     # Shed the least-load-bearing fields (each already on the detail line
     # or recoverable from other fields) before ever emitting oversize.
@@ -458,8 +505,14 @@ def main() -> None:
     from ai_dataingestion_spark.registry import warm_tables
     from ai_dataingestion_spark.session import get_spark
 
-    load_before = _loadavg()
+    load_at_launch = _loadavg()
     preflight = _quiet_box_preflight()
+    # Second-tier gate: wait out canary-visible host slowness too, then
+    # re-sample the load the `degraded` marker is computed from — the
+    # point of waiting is that the MEASURED draw starts quiet.
+    preflight.update(_quiet_draw_retry())
+    preflight["loadavg_at_launch"] = load_at_launch
+    load_before = _loadavg()
 
     spark = get_spark(
         "ai_dataingestion_spark-bench",
