@@ -488,8 +488,10 @@ SELECT event_type,
        CAST(count(expect_len) AS BIGINT) AS n_arrays,
        coalesce(CAST(sum(expect_len) AS BIGINT), 0) AS total_elems,
        CAST(count(CASE WHEN props IS NOT NULL
-                        AND NOT (json_valid(props)
-                                 AND json_type(props) = 'ARRAY')
+                        AND NOT coalesce(
+                              CASE WHEN json_valid(props)
+                                   THEN json_type(props) = 'ARRAY' END,
+                              FALSE)
                   THEN 1 END) AS BIGINT) AS n_props_nonarray
 FROM base GROUP BY event_type
 """,
