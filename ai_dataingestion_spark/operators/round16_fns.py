@@ -706,7 +706,14 @@ def text_shingle_df_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(op_cache)
     )
     inst = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    df = inst.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    # op_cache: df feeds BOTH the spectrum aggregate and the per-doc
+    # min-DF join — uncached, the whole inst→groupBy(sh) shuffle runs
+    # twice (measured: 11 exchanges, two full sh-partitioned passes)
+    df = (
+        inst.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(op_cache)
+    )
     spectrum = df.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
     per_doc = (
         inst.join(df, "sh").groupBy("doc_id").agg(F.min("d").alias("min_df"))
