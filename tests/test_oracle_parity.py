@@ -15,7 +15,7 @@ ROWS_ONLY_IDS = sorted(k for k, s in SPECS.items() if not s.oracle)
 
 # Update when operators are added; test_driver_window_rotation pins it so a
 # silently-vanished registration (import error, dropped decorator) is caught.
-TOTAL_OPERATORS = 536  # 527 through r14 (see git history for the per-block ledger) + 3 (r15 statestore reader options: changeEndBatchId windows + join store inventory, §2.W completion) + 3 (r15 streaming observe()/QueryListener metrics as relations, §2.AB completion) + 3 (r15 sketch set-algebra / bitwise-conditional aggregates / mask redaction, §2.AK)
+TOTAL_OPERATORS = 547  # 536 through r15 (see git history for the per-block ledger) + 3 (r16 TIME type family, §2.AL) + 5 (r16 scalar-function completion: width_bucket / elt-find_in_set / try_make / json_array_length / AES, §2.AM) + 1 (r16 DF-cap loss curve, §2.AN) + 2 (r16 SHOW PARTITIONS + TBLPROPERTIES, §2.AO)
 
 
 @pytest.fixture(scope="module")
