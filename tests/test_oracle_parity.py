@@ -93,7 +93,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 9  # round-15 blocks awaiting first driver rows: statestore reader options (§2.W completion, 3) + streaming observe/listener relations (§2.AB completion, 3) + sketch/bitwise/mask families (§2.AK, 3)
+    EXPECTED_BACKLOG = 11  # round-16 block awaiting first driver rows: TIME type family (§2.AL, 3) + scalar-function completion (§2.AM, 5) + DF-cap loss curve (§2.AN, 1) + SHOW PARTITIONS / TBLPROPERTIES (§2.AO, 2)
     # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
     # driver evidence (it's merely stale) — they are re-checks, not backlog.
     first_time = [n for n in pending if n not in _EVENTS_RECHECK]
