@@ -189,27 +189,41 @@ def _pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stage 2 — the resize kernel: average-pool the 1-D "pixel" buffer
     into _RESIZE_CELLS fixed cells (cell c covers bytes
     [c*n//16, (c+1)*n//16)). Emits exact integer (cell_n, byte_sum) so the
-    result is bit-stable; consumers derive means as byte_sum/cell_n."""
+    result is bit-stable; consumers derive means as byte_sum/cell_n.
+
+    Vectorized across the whole batch (optimization r16, guide §4.2 "do
+    the heavy lifting in native code"): the first draft looped
+    rows × cells in Python (~16 appends + a slice-sum per row); this
+    version concatenates the batch's payloads once and computes every
+    cell boundary and every cell sum with a handful of numpy calls
+    (cumsum + np.diff over flat boundary indices) — identical integer
+    output, ~10 numpy ops per batch instead of ~17·rows Python ops."""
     import numpy as np
 
+    cells = _RESIZE_CELLS
     for pdf in batches:
-        doc_out, cell_out, n_out, sum_out = [], [], [], []
-        for d, buf in zip(pdf["doc_id"], pdf["payload"]):
-            b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
-            n = len(b)
-            bounds = [(c * n) // _RESIZE_CELLS for c in range(_RESIZE_CELLS + 1)]
-            for c in range(_RESIZE_CELLS):
-                lo, hi = bounds[c], bounds[c + 1]
-                doc_out.append(int(d))
-                cell_out.append(c)
-                n_out.append(hi - lo)
-                sum_out.append(int(b[lo:hi].sum()))
+        m = len(pdf)
+        if not m:
+            continue
+        bufs = pdf["payload"].tolist()
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=m)
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # (m, cells+1) exact integer bounds: cell c of row r covers
+        # [c*n//cells, (c+1)*n//cells) within row r's buffer
+        c = np.arange(cells + 1, dtype=np.int64)
+        bounds = (lens[:, None] * c[None, :]) // cells
+        absolute = bounds + starts[:, None]
+        # prefix sums over the flat byte stream -> per-cell sums by diff
+        csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+        cell_sums = np.diff(csum[absolute], axis=1)
+        cell_ns = np.diff(bounds, axis=1)
         yield pd.DataFrame(
             {
-                "doc_id": doc_out,
-                "cell": cell_out,
-                "cell_n": n_out,
-                "byte_sum": sum_out,
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), cells),
+                "cell": np.tile(np.arange(cells, dtype=np.int64), m),
+                "cell_n": cell_ns.ravel(),
+                "byte_sum": cell_sums.ravel(),
             }
         )
 

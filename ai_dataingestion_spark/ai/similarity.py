@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ai_dataingestion_spark.catalog import register
+from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.registry import EMBEDDING_DIM, Tables
 
 _SQ_NORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -887,7 +888,19 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape per iteration: one broadcast of k×dim centroids, one n×k
     distance evaluation (map-side), one posexplode + partial-aggregable
     per-(cluster, dim) mean — the canonical distributed Lloyd step; more
-    iterations are the same plan repeated."""
+    iterations are the same plan repeated.
+
+    Optimization r16 (guide §1.1 empirical loop, §5 caching): the final
+    assignment relation a2 is op_cache'd — `sizes` and the c2 recompute
+    both consume it, and uncached the whole two-iteration chain
+    (scan → crossJoin → distance → window argmin, twice) was duplicated
+    into both output branches. A min_by/fused-aggregate restructure was
+    prototyped for the argmin and recompute (k× fewer shuffled rows on
+    paper) and MEASURED SLOWER (3.4 s vs 1.7 s at sf0.1): min_by over a
+    struct value falls back to SortAggregate (struct buffers are not
+    hash-aggregable), and a 64-column avg(v[i]) aggregate bloats the
+    expression tree — the window + posexplode formulation with the
+    duplication removed is the empirically right plan."""
     e = (
         Tables(spark, sf_dir)
         .embeddings
@@ -937,7 +950,9 @@ def embed_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a1 = assign(c0)
     c1 = recompute(a1)
-    a2 = assign(c1)
+    # op_cache (r16): a2 feeds BOTH output branches (sizes + c2) — uncached,
+    # the entire two-iteration assign chain ran twice
+    a2 = assign(c1).transform(op_cache)
     c2 = recompute(a2)
     sizes = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return sizes.join(c2, "cid").select(

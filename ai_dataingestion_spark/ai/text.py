@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_dataingestion_spark.catalog import register
 from ai_dataingestion_spark.lexicons import STOPWORDS
+from ai_dataingestion_spark.opcache import op_cache
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 from ai_dataingestion_spark.registry import Tables
@@ -640,9 +641,18 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical sketch and the driver hash-compares the whole thing —
     a sketch operator with an exact oracle, like agg_approx_distinct.
 
-    Scale shape: the sketch build is d=4 map-side-combinable groupBys of
-    width ≤ 256 — constant-size state per executor, the canonical
-    streaming-sketch plan; the exact top-20 exists only to verify."""
+    Scale shape: the sketch build is ONE map-side-combinable groupBy over
+    a posexploded (row_idx, bucket) pair stream — d×w ≤ 1024 groups of
+    constant-size state per executor, the canonical streaming-sketch
+    plan; the exact top-20 exists only to verify. Optimization r16
+    (guide §1.2 step 1 / §2.3): the first draft built the sketch as d=4
+    SEPARATE groupBys over the `assigned` token relation and re-derived
+    that relation inside each of the 4 verification joins — 5 full
+    corpus passes (explode + md5 per token, each time); the single
+    posexplode pass + the dimension-bounded op_cache'd sketch relation
+    cut that to exactly 2 corpus passes (sketch, exact top-20) at any
+    scale. Bucket values are unchanged, so the oracle (and the emitted
+    rows) are identical."""
     d = Tables(spark, sf_dir).documents
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
     base = F.expr(
@@ -656,12 +666,21 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(_CMS_D)
         ],
     )
-    sketch = None
-    for r in range(_CMS_D):
-        part = assigned.groupBy(F.col(f"b{r}").alias("bucket")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).select(F.lit(r).alias("row_idx"), "bucket", "c")
-        sketch = part if sketch is None else sketch.unionByName(part)
+    # one corpus pass: every token emits its d (row_idx, bucket) pairs and
+    # the partial aggregation collapses them map-side to ≤ d×w rows per
+    # task; the ≤1024-row result is op_cache'd so the 4 verification joins
+    # below read a dimension-bounded in-memory relation instead of each
+    # re-running the corpus explode (measured: 5 corpus passes → 2)
+    sketch = (
+        assigned.select(
+            F.posexplode(
+                F.array(*[F.col(f"b{r}") for r in range(_CMS_D)])
+            ).alias("row_idx", "bucket")
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(op_cache)
+    )
     exact = (
         assigned.groupBy("token")
         .agg(

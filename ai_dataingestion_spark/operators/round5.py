@@ -393,26 +393,28 @@ WHERE n_orders >= 3
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in >= 3
-    orders. The self-join is keyed on l_orderkey, so its fan-out per order
-    is C(parts_in_order, 2) — bounded by the ~7-line order format, NOT by
-    corpus size; the distinct-first projection keeps repeated parts within
-    an order from inflating pairs. This is the a-priori candidate-pair
-    kernel at 100 TB: shuffle on orderkey, quadratic only within an order."""
+    orders. Pair fan-out per order is C(parts_in_order, 2) — bounded by
+    the ~7-line order format, NOT by corpus size; the per-order
+    collect_set keeps repeated parts within an order from inflating
+    pairs. This is the a-priori candidate-pair kernel at 100 TB: one
+    partial-aggregable basket groupBy, quadratic only within an order.
+
+    Optimization r16 (guide §2.4, remove shuffles outright): the first
+    draft generated pairs with distinct + a corpus×corpus self-equi-join
+    on l_orderkey (an exchange for the distinct plus two join exchanges,
+    with sort-merge hint machinery against AQE's broadcast/SHJ
+    misestimation of the corpus-sized sides); scale.basket_pair_explode
+    reaches the identical pair multiset with ONE groupBy(l_orderkey)
+    collect_set and a JVM-side combination generator — no join, no
+    candidate-pair shuffle, and the misestimation hazard disappears with
+    the join itself."""
     t = Tables(spark, sf_dir)
-    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    # shared bounded pair generator (scale.py): BOTH sides are corpus-sized,
-    # so a broadcast here is never right — yet AQE's compressed-bytes
-    # estimate can sneak a 60M-row distinct under the 64MB threshold and
-    # build a multi-GB heap hash relation (measured OOM at the sfx1.0
-    # sweep); and shuffled-hash's per-partition build is non-spillable
-    # (measured can't-acquire at sfx1.0). The helper hints spillable
-    # sort-merge once lineitem is no longer provably small.
-    from ai_dataingestion_spark.scale import bounded_self_join
+    from ai_dataingestion_spark.scale import basket_pair_explode
 
     return (
-        bounded_self_join(
-            op, ["l_orderkey"], "l_partkey", sf_dir, "lineitem",
-            out=("part1", "part2"),
+        basket_pair_explode(
+            t.lineitem.select("l_orderkey", "l_partkey"),
+            "l_orderkey", "l_partkey", out=("part1", "part2"),
         )
         .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -5684,12 +5684,18 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bundle-like demand; the same kernel over a near-dup candidate graph
     detects template families."""
     t = Tables(spark, sf_dir)
-    op = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # Optimization r16 (guide §2.4): per-order part pairs come from
+    # scale.basket_pair_explode — one partial-aggregable basket groupBy +
+    # JVM-side combination generator — instead of the first draft's
+    # distinct + corpus×corpus self-equi-join (a distinct exchange plus
+    # two join exchanges for the identical pair multiset).
+    from ai_dataingestion_spark.scale import basket_pair_explode
+
     edges = (
-        a.join(hint_merge_if_large(b, sf_dir, "lineitem"), "ok")  # corpus x corpus
-        .filter(F.col("u") < F.col("v"))
+        basket_pair_explode(
+            t.lineitem.select("l_orderkey", "l_partkey"),
+            "l_orderkey", "l_partkey", out=("u", "v"),
+        )
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)

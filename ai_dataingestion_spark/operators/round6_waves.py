@@ -2285,14 +2285,26 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # op_cache (optimization r16, guide §5 caching + §2.4): the edge
+        # aggregate — the ONE corpus-sized pass in this operator — is
+        # referenced 11 times by the unrolled plan (norm feeds each of the
+        # 3 iteration joins; nodes/nn read it twice per rank rebuild).
+        # Uncached, only SOME of those copies were salvaged by
+        # ReuseExchange (the optimizer planned a 683-line physical tree),
+        # and the optimizer itself paid for every duplicate. Caching the
+        # ≤ nations² relation makes the lineitem join-aggregation run
+        # exactly once at any corpus size.
+        .transform(op_cache)
     )
-    # Edge list is ≤ nations² rows from here on: cache-free reuse is fine,
-    # every downstream relation is dimension-sized.
+    # norm / nn are dimension-sized derivations of the cached edges, each
+    # referenced 3-4 times by the unrolled iterations: cache them too so an
+    # iteration step reads two tiny in-memory relations instead of
+    # re-running the window / distinct per reference.
     norm = edges.select(
         "src",
         "dst",
         (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
-    )
+    ).transform(op_cache)
     nodes = (
         edges.select(F.col("src").alias("nk"))
         .union(edges.select(F.col("dst").alias("nk")))
@@ -2301,7 +2313,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.select(
         "nk",
         F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("n"),
-    )
+    ).transform(op_cache)
     ranks = nn.select("nk", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -6296,25 +6308,24 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins two parts appearing in the same order, and the output is the
     log2-banded histogram of node degrees (the hub-detection profile that
     decides whether a downstream graph algorithm needs skew handling).
-    The self-join is orderkey-blocked on the DISTINCT (order, part)
-    relation, so pair fan-out is bounded by sum(basket_size^2) — baskets
-    are <=7 lines in this corpus — never all-pairs across parts; degree
-    aggregation and banding are partial-aggregable single-shuffle steps.
-    Output is <=64 bands at any corpus size."""
-    basket = (
-        Tables(spark, sf_dir)
-        .lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    Pair generation is orderkey-blocked, so fan-out is bounded by
+    sum(basket_size^2) — baskets are <=7 lines in this corpus — never
+    all-pairs across parts; degree aggregation and banding are
+    partial-aggregable single-shuffle steps. Output is <=64 bands at any
+    corpus size.
+
+    Optimization r16 (guide §2.4): pairs come from
+    scale.basket_pair_explode — one partial-aggregable
+    groupBy(l_orderkey) collect_set plus a JVM-side combination
+    generator — instead of the first draft's distinct + self-equi-join
+    (which paid a distinct exchange plus two join exchanges for the
+    identical pair multiset)."""
+    from ai_dataingestion_spark.scale import basket_pair_explode
+
+    edges = basket_pair_explode(
+        Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", out=("pa", "pb"),
+    ).distinct()
     und = edges.select(F.col("pa").alias("p")).unionAll(
         edges.select(F.col("pb").alias("p"))
     )

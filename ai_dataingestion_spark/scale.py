@@ -179,6 +179,42 @@ def bounded_self_join(
     return pairs
 
 
+def basket_pair_explode(
+    df: DataFrame,
+    basket_key: str,
+    item_col: str,
+    out: tuple[str, str] = ("id1", "id2"),
+) -> DataFrame:
+    """Within-basket item pairs (a < b, one row per (basket, pair)) WITHOUT
+    a self-join — the optimization-r16 shape for basket-blocked pair
+    kernels (guide §2.4 "remove shuffles outright"): the old
+    distinct + self-equi-join on the basket key cost an exchange for the
+    distinct plus two more for the join; this is ONE partial-aggregable
+    groupBy (collect_set state is bounded by basket size) followed by a
+    JVM-side combination generator over the sorted item array. Pair
+    multiplicity is identical to the DISTINCT-items self-join: each
+    unordered item pair appears exactly once per basket, with a < b from
+    the sorted array. NULL basket keys and NULL items are excluded exactly
+    as the join was (a NULL never equi-joins; a NULL item never passes the
+    a < b comparison). Skew posture is unchanged: a pathological mega
+    basket lands in one task either way (the join hashed every row of one
+    basket key to one partition too) — the generator just reaches the same
+    Σ basket² bound without shuffling candidate pairs."""
+    baskets = (
+        df.where(F.col(basket_key).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(basket_key)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+    )
+    pair_expr = (
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, greatest(size(__items) - i - 1, 0)), "
+        f"y -> named_struct('{out[0]}', x, '{out[1]}', y))))"
+    )
+    return baskets.select(F.explode(F.expr(pair_expr)).alias("__p")).select(
+        f"__p.{out[0]}", f"__p.{out[1]}"
+    )
+
+
 def hint_array_side(
     df: DataFrame, sf_dir: str, table: str, gate: int = ARRAY_TABLE_BYTES
 ) -> DataFrame:
