@@ -3556,38 +3556,72 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).transform(op_cache)
 
-    out = None
+    # Optimization r16 (guide §2.4 + §3.3 plan-size note): the first draft
+    # looped the four (bands, rows) configs into four separate
+    # explode -> self-join -> distinct -> agg branches, so the analyzed
+    # plan embedded the signature subtree EIGHT times (both join sides ×
+    # 4 configs) and driver-side planning alone measured ~2-3 s of the
+    # query's wall. All four bandings now explode from the cached
+    # signature ONCE into a single (bands, rows, band, bucket)-keyed
+    # relation — the same 16+8+4+2 = 30 rows per document in total — so
+    # there is ONE candidate self-join, ONE distinct, ONE groupBy for all
+    # configs, and the signature subtree appears twice, not eight times.
+    # Per-config pair counts are identical: the config columns are part of
+    # the block key, so pairs never cross configurations.
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit(j).alias("band"),
+            F.expr(_bucket_poly("h", j, r)).alias("bucket"),
+        )
+        for b, r in _TUNE_CONFIGS
+        for j in range(b)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.bands").alias("bands"),
+        F.col("bb.rows_per_band").alias("rows_per_band"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    counts = (
+        bounded_self_join(
+            banded, ["bands", "rows_per_band", "band", "bucket"], "doc_id",
+            sf_dir, "documents", gate=_ARRAY_MERGE_LIMIT,
+            carry=["bands", "rows_per_band"],
+        )
+        .select("bands", "rows_per_band", "id1", "id2")
+        .distinct()
+        .groupBy("bands", "rows_per_band")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    )
+    # Every config emits a row even with zero candidates (the per-config
+    # global agg of the unfused form always returned one row; a fused
+    # groupBy would drop empty groups — the empty-corpus contract): left
+    # join the counts onto the 4-row config relation. threshold_50 stays a
+    # PYTHON-computed literal per config (CPython libm pow), never a
+    # per-row JVM Math.pow — the two can differ in the last ulp, and the
+    # 6-dp portable rounding must keep producing bit-identical values to
+    # the pre-fusion emission.
+    configs = None
     for b, r in _TUNE_CONFIGS:
-        band_cols = [
-            F.struct(
-                F.lit(j).alias("band"),
-                F.expr(_bucket_poly("h", j, r)).alias("bucket"),
-            )
-            for j in range(b)
-        ]
-        banded = sig.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-        ).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+        row = spark.range(1).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            _pround(F.lit((1.0 / b) ** (1.0 / r))).alias("threshold_50"),
         )
-        n_cand = (
-            bounded_self_join(
-                banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
-                gate=_ARRAY_MERGE_LIMIT,
-            )
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                _pround(F.lit((1.0 / b) ** (1.0 / r))).alias("threshold_50"),
-                "n_candidate_pairs",
-            )
-        )
-        out = n_cand if out is None else out.unionByName(n_cand)
-    return out
+        configs = row if configs is None else configs.unionByName(row)
+    return configs.join(
+        F.broadcast(counts), ["bands", "rows_per_band"], "left"
+    ).select(
+        "bands",
+        "rows_per_band",
+        "threshold_50",
+        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+    )
 
 
 @register(

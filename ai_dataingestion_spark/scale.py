@@ -130,6 +130,7 @@ def bounded_self_join(
     out: tuple[str, str] = ("id1", "id2"),
     ordered: bool = True,
     spark=None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """The engine's ONE candidate-pair generator: self-equi-join ``block``
     (one row per (id, blocking-key) assignment) on ``keys`` and emit
@@ -155,7 +156,11 @@ def bounded_self_join(
     ``ordered=True`` emits each unordered pair once (``a < b``);
     ``ordered=False`` emits both directions (``a != b`` — the containment
     shape, where pair roles are asymmetric). Callers apply their own
-    verify/dedup on the returned (out[0], out[1]) columns.
+    verify/dedup on the returned (out[0], out[1]) columns. ``carry``
+    (r16) additionally projects the named join-key columns into the
+    output — key columns are equal on both sides, so this adds no
+    semantics, and lets a caller that fused several configurations into
+    one blocked relation recover the configuration id per pair.
     """
     a = block.alias("a")
     b = hint_merge_if_large(block.alias("b"), sf_dir, table, gate)
@@ -170,6 +175,7 @@ def bounded_self_join(
         .select(
             F.col(f"a.{id_col}").alias(out[0]),
             F.col(f"b.{id_col}").alias(out[1]),
+            *[F.col(f"a.{c}").alias(c) for c in (carry or ())],
         )
     )
     if spark is not None:

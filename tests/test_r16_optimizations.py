@@ -59,6 +59,31 @@ def test_basket_pair_explode_matches_naive_self_join(spark):
     assert len(got) == 3 + 1 + (64 * 63) // 2  # C(3,2) + C(2,2->1) + C(64,2)
 
 
+def test_bounded_self_join_carry_projects_key_columns(spark):
+    """r16: the `carry` param must project the named join-key columns into
+    the pair output without changing the pair set — the fused band-tuning
+    shape recovers its configuration id this way."""
+    from ai_dataingestion_spark.scale import bounded_self_join
+
+    df = spark.createDataFrame(
+        [(1, 7, 10), (1, 7, 20), (2, 7, 30), (2, 7, 40), (1, 8, 10)],
+        "cfg bigint, bkt bigint, id bigint",
+    )
+    got = sorted(
+        (r["cfg"], r["id1"], r["id2"])
+        for r in bounded_self_join(
+            df, ["cfg", "bkt"], "id", "/nonexistent", "none", carry=["cfg"]
+        ).collect()
+    )
+    assert got == [(1, 10, 20), (2, 30, 40)]
+    # without carry: identical pair set, no extra columns
+    plain = bounded_self_join(df, ["cfg", "bkt"], "id", "/nonexistent", "none")
+    assert plain.columns == ["id1", "id2"]
+    assert sorted((r["id1"], r["id2"]) for r in plain.collect()) == [
+        (10, 20), (30, 40)
+    ]
+
+
 def test_kmeans_minby_argmin_matches_window_argmin(spark):
     """Semantic pin for the r16 kmeans argmin analysis: the (dist, cid)
     lexicographic min_by picks the same (vec, cid) assignment as the
