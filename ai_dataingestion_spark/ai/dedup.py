@@ -215,6 +215,22 @@ def _minhash_band_bucket(prefix: str, b: int) -> str:
     return f"CAST({expr} AS BIGINT)"
 
 
+def _cw_sig_agg_exprs() -> list:
+    """The N_HASHES Carter-Wegman min-hash aggregates, each as ONE parsed
+    SQL expression (optimization r17, guide §5 driver-side work): the
+    original per-term Column arithmetic (lit*col+lit)%P issued ~5 py4j
+    round trips per hash — and every intermediate Column triggers eager
+    re-analysis of the growing plan — measuring ~0.5 s of pure driver-side
+    DataFrame-BUILD time per invocation at 32 hashes. One F.expr per hash
+    is one parse call; the parsed tree (int literals * bigint hm, silent
+    wrap, every product < 2^62) is semantically identical to the Column
+    form, and the SQL text matches the DuckDB oracles' term for term."""
+    return [
+        F.expr(f"min(({_CW_A[i]} * hm + {_CW_B[i]}) % {_MERSENNE_P}) AS h{i}")
+        for i in range(N_HASHES)
+    ]
+
+
 _MINHASH_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -287,32 +303,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the corpus UNION re-evaluates the tokenization pathologically
     # (measured 60+ s/pass vs 0.3 s from cache on the extremes tier's
     # giant docs, round 10) — materialize once, explode from the cache
-    docs = corpus.select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    docs = corpus.selectExpr(
+        "doc_id", f"{_SHINGLES_EXPR} AS shingles"
     ).transform(op_cache)
 
-    pairs = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id",
-        F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm"),
+    # Optimization r17 (guide §5, driver-side work): one parsed SQL string
+    # per stage — the per-term Column loops (32 CW aggregates, 8 band
+    # structs) measured ~0.5 s of py4j round trips + eager per-step
+    # re-analysis per invocation on this operator family.
+    pairs = docs.selectExpr("doc_id", "explode(shingles) AS shingle").selectExpr(
+        "doc_id", f"{_spark_h('shingle')} % {_MERSENNE_P} AS hm"
     )
-    sig = pairs.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i])) % _MERSENNE_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(_minhash_band_bucket("h", b)).alias("bucket"),
-        )
+    sig = pairs.groupBy("doc_id").agg(*_cw_sig_agg_exprs())
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_minhash_band_bucket('h', b)})"
         for b in range(N_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    banded = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
 
     # shared bounded pair generator (scale.py): unhinted/estimator-driven at
     # provably-small corpus bytes (plan identical to the pre-helper one at

@@ -29,6 +29,7 @@ from ai_dataingestion_spark.ai.dedup import (
     _MERSENNE_P,
     _SHINGLES_EXPR,
     _corpus_with_near_dups,
+    _cw_sig_agg_exprs,
     _duck_h,
     _minhash_band_bucket,
     _spark_h,
@@ -2632,12 +2633,11 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     is binary-exact so only the exact-Jaccard ratio needs the portable
     floor(x·1e6+0.5)/1e6 rounding (SURVEY §5.4 round-tie trap)."""
     from ai_dataingestion_spark.ai.dedup import (
-        _CW_A,
-        _CW_B,
         _DUP_OFFSET,
         _MERSENNE_P,
         _SHINGLES_EXPR,
         _corpus_with_near_dups,
+        _cw_sig_agg_exprs,
         _spark_h,
         N_HASHES,
     )
@@ -2648,22 +2648,16 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op_cache: the shingled relation feeds the signature AND the exact-
     # Jaccard verify; uncached, the shingle-over-union explode re-runs
     # pathologically on giant docs (extremes tier, round 10)
-    docs = corpus.select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    docs = corpus.selectExpr(
+        "doc_id", f"{_SHINGLES_EXPR} AS shingles"
     ).transform(op_cache)
-    sp = docs.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm")
+    sp = docs.selectExpr("doc_id", "explode(shingles) AS shingle").selectExpr(
+        "doc_id", f"{_spark_h('shingle')} % {_MERSENNE_P} AS hm"
     )
     # cache: both pair sides consume sig — uncached, Spark replays the
     # explode + 32-min aggregation per side. docs-count-sized (33 cols).
-    sig = sp.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i])) % _MERSENNE_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    ).transform(op_cache)
+    # r17: one parsed expression per CW aggregate (driver-build cost).
+    sig = sp.groupBy("doc_id").agg(*_cw_sig_agg_exprs()).transform(op_cache)
     a = sig.alias("a")
     b = sig.alias("b")
     n_eq = sum(
@@ -3532,61 +3526,47 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     each config adds only a (band, bucket) equality self-join on
     signature-width rows. Single-hash bands (r=1) are excluded — their
     0.03 threshold makes hot buckets quadratic."""
+    # Optimization r17 (guide §5, driver-side work): this operator's local
+    # wall was dominated by Python-side DataFrame BUILD time, not Catalyst —
+    # measured by splitting qe phases: build 1.26 s vs analyze+optimize+
+    # physical 0.12 s at sf0.1. Every intermediate Column costs a py4j round
+    # trip AND an eager re-analysis of the growing plan, so the loops below
+    # now emit ONE parsed SQL string per stage (selectExpr / F.expr): the
+    # 30-struct banding explode is a single inline() call, the 32 CW
+    # aggregates are one parse each (_cw_sig_agg_exprs), and the 4-row
+    # config frame is one stack() literal. Build time measured 1.65 s ->
+    # 0.50 s warm; the parsed trees are term-for-term the Column forms.
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
     pairs = (
         # op_cache: the uncached shingle-over-union explode re-tokenizes
         # pathologically on giant docs (extremes tier, round 10)
-        corpus.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        corpus.selectExpr("doc_id", f"{_SHINGLES_EXPR} AS shingles")
         .transform(op_cache)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .select(
-            "doc_id",
-            F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm"),
-        )
+        .selectExpr("doc_id", "explode(shingles) AS shingle")
+        .selectExpr("doc_id", f"{_spark_h('shingle')} % {_MERSENNE_P} AS hm")
     )
-    sig = pairs.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i]))
-                % _MERSENNE_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    ).transform(op_cache)
+    sig = pairs.groupBy("doc_id").agg(*_cw_sig_agg_exprs()).transform(op_cache)
 
     # Optimization r16 (guide §2.4 + §3.3 plan-size note): the first draft
     # looped the four (bands, rows) configs into four separate
     # explode -> self-join -> distinct -> agg branches, so the analyzed
     # plan embedded the signature subtree EIGHT times (both join sides ×
-    # 4 configs) and driver-side planning alone measured ~2-3 s of the
-    # query's wall. All four bandings now explode from the cached
-    # signature ONCE into a single (bands, rows, band, bucket)-keyed
-    # relation — the same 16+8+4+2 = 30 rows per document in total — so
-    # there is ONE candidate self-join, ONE distinct, ONE groupBy for all
-    # configs, and the signature subtree appears twice, not eight times.
-    # Per-config pair counts are identical: the config columns are part of
-    # the block key, so pairs never cross configurations.
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("bands"),
-            F.lit(r).alias("rows_per_band"),
-            F.lit(j).alias("band"),
-            F.expr(_bucket_poly("h", j, r)).alias("bucket"),
-        )
+    # 4 configs). All four bandings explode from the cached signature ONCE
+    # into a single (bands, rows, band, bucket)-keyed relation — the same
+    # 16+8+4+2 = 30 rows per document in total — so there is ONE candidate
+    # self-join, ONE distinct, ONE groupBy for all configs, and the
+    # signature subtree appears twice, not eight times. Per-config pair
+    # counts are identical: the config columns are part of the block key,
+    # so pairs never cross configurations.
+    structs = ", ".join(
+        f"named_struct('bands', {b}, 'rows_per_band', {r}, 'band', {j}, "
+        f"'bucket', {_bucket_poly('h', j, r)})"
         for b, r in _TUNE_CONFIGS
         for j in range(b)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id",
-        F.col("bb.bands").alias("bands"),
-        F.col("bb.rows_per_band").alias("rows_per_band"),
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
     )
+    banded = sig.selectExpr("doc_id", f"inline(array({structs}))")
     counts = (
         bounded_self_join(
             banded, ["bands", "rows_per_band", "band", "bucket"], "doc_id",
@@ -3605,22 +3585,24 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PYTHON-computed literal per config (CPython libm pow), never a
     # per-row JVM Math.pow — the two can differ in the last ulp, and the
     # 6-dp portable rounding must keep producing bit-identical values to
-    # the pre-fusion emission.
-    configs = None
-    for b, r in _TUNE_CONFIGS:
-        row = spark.range(1).select(
-            F.lit(b).alias("bands"),
-            F.lit(r).alias("rows_per_band"),
-            _pround(F.lit((1.0 / b) ** (1.0 / r))).alias("threshold_50"),
-        )
-        configs = row if configs is None else configs.unionByName(row)
+    # the pre-fusion emission. repr() round-trips the double exactly, and
+    # the D suffix keeps the SQL literal a DOUBLE (a bare decimal literal
+    # parses as DECIMAL and would change the output type); the floor-based
+    # 6-dp rounding stays in SQL, identical to _pround.
+    stack_args = ", ".join(
+        f"{b}, {r}, floor({(1.0 / b) ** (1.0 / r)!r}D * 1000000 + 0.5) / 1000000"
+        for b, r in _TUNE_CONFIGS
+    )
+    configs = spark.range(1).selectExpr(
+        f"stack(4, {stack_args}) AS (bands, rows_per_band, threshold_50)"
+    )
     return configs.join(
         F.broadcast(counts), ["bands", "rows_per_band"], "left"
-    ).select(
+    ).selectExpr(
         "bands",
         "rows_per_band",
         "threshold_50",
-        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        "coalesce(n_candidate_pairs, 0L) AS n_candidate_pairs",
     )
 
 
@@ -4133,40 +4115,26 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle relation feeds the signature build AND both verify
     # sides of the candidate join: cache it (MEMORY_AND_DISK — spills,
     # never OOMs) so the explode+dedup of shingles runs once, not 3x
-    docs = corpus.withColumn("toks", F.split("text", " ")).select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    # Optimization r17 (guide §5, driver-side work): build the signature
+    # and banding stages as ONE parsed SQL string each — the per-term
+    # Column loops (32 CW aggregates, 8 band structs) cost ~0.5 s of py4j
+    # round trips + eager per-step re-analysis per invocation (the same
+    # driver-build wall measured on dedup_lsh_band_tuning; phase split:
+    # build 0.85 s vs analyze+optimize+physical 0.11 s at sf0.1).
+    docs = corpus.withColumn("toks", F.split("text", " ")).selectExpr(
+        "doc_id", f"{_SHINGLES_EXPR} AS shingles"
     ).transform(op_cache)
     sig = (
-        docs.select("doc_id", F.explode("shingles").alias("shingle"))
-        .select(
-            "doc_id",
-            F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm"),
-        )
+        docs.selectExpr("doc_id", "explode(shingles) AS shingle")
+        .selectExpr("doc_id", f"{_spark_h('shingle')} % {_MERSENNE_P} AS hm")
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i]))
-                    % _MERSENNE_P
-                ).alias(f"h{i}")
-                for i in range(N_HASHES)
-            ]
-        )
+        .agg(*_cw_sig_agg_exprs())
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(_minhash_band_bucket("h", b)).alias("bucket"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_minhash_band_bucket('h', b)})"
         for b in range(N_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
     )
+    banded = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
     cand = bounded_self_join(
         banded, ["band", "bucket"], "doc_id", sf_dir, "documents",
         gate=_ARRAY_MERGE_LIMIT,

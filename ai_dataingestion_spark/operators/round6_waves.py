@@ -1899,37 +1899,25 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     )
-    docs = corpus.select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    docs = corpus.selectExpr(
+        "doc_id", f"{_SHINGLES_EXPR} AS shingles"
     ).transform(op_cache)
-    pairs = docs.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select(
-        "doc_id", F.expr(f"{_spark_h('shingle')} % {_MERSENNE_P}").alias("hm")
+    # r17: one parsed SQL string per stage (32 CW aggregates, 8 band
+    # structs) — the per-term Column loops cost ~0.5 s of driver-side
+    # py4j/build time per invocation (guide §5).
+    from ai_dataingestion_spark.ai.dedup import _cw_sig_agg_exprs
+
+    pairs = docs.selectExpr(
+        "doc_id", "explode(shingles) AS shingle"
+    ).selectExpr(
+        "doc_id", f"{_spark_h('shingle')} % {_MERSENNE_P} AS hm"
     )
-    sig = pairs.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_CW_A[i]) * F.col("hm") + F.lit(_CW_B[i]))
-                % _MERSENNE_P
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(_minhash_band_bucket("h", b)).alias("bucket"),
-        )
+    sig = pairs.groupBy("doc_id").agg(*_cw_sig_agg_exprs())
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_minhash_band_bucket('h', b)})"
         for b in range(N_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
     )
+    banded = sig.selectExpr("doc_id", f"inline(array({band_structs}))")
     from ai_dataingestion_spark.scale import ARRAY_TABLE_BYTES, bounded_self_join
 
     cand = bounded_self_join(
