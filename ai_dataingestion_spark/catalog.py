@@ -367,6 +367,17 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "stream_listener_lifecycle_audit",
         "agg_theta_sketch_sets", "agg_bitwise_conditional",
         "fn_mask_redaction_family",
+        # --- round 16 green (the 11 first-time IDs of CORRECTNESS_r16:
+        # §2.AL TIME type ×3, §2.AM scalar-function completion ×5, §2.AN
+        # DF-cap loss curve ×1, §2.AO catalog depth ×2 — all green on
+        # first presentation; the other 39 rows were re-certs) ---
+        "fn_time_type_family", "fn_time_trunc_diff_family",
+        "events_time_of_day_rollup",
+        "fn_width_bucket_binning", "fn_string_pick_family",
+        "fn_try_datetime_make", "fn_json_array_introspect",
+        "fn_aes_roundtrip_property",
+        "text_shingle_df_cap_loss",
+        "catalog_show_partitions_inventory", "catalog_tblproperties_roundtrip",
     }
 )
 
@@ -383,7 +394,21 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
 # CORRECTNESS_r15 on the shipped decimal accumulation, so the set
 # emptied again (VERDICT-r15 item 1 fold). Round 16: any op whose code
 # changes this round goes here for same-round re-cert.
-_EVENTS_RECHECK: frozenset[str] = frozenset()
+# Round 17 (VERDICT-r16 item 2): the five r16-restructured ops the r16
+# rotation window missed (their greens predate the restructuring) re-check
+# at the head of the window, together with every op whose CODE changed in
+# this optimization round (the minhash/shingle driver-build rewrites).
+_EVENTS_RECHECK: frozenset[str] = frozenset(
+    {
+        # r16 restructured, driver attestation owed (VERDICT-r16 item 2)
+        "graph_pagerank_trade", "graph_copurchase_triangles",
+        "graph_degree_distribution", "dedup_lsh_band_tuning",
+        "multimodal_image_resize_pool",
+        # r17 code-changed (driver-build string-expression rewrites)
+        "dedup_removal_plan", "dedup_near_minhash",
+        "dedup_minhash_estimate_error", "dedup_eval_precision_recall",
+    }
+)
 
 
 # Operators added AFTER this round's 50-slot window was planned: they rank

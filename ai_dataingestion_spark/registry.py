@@ -193,6 +193,21 @@ def warm_tables(
         _warm_cache[(sess, key_sf, name)] = df
 
 
+def unwarm_tables(spark: SparkSession) -> None:
+    """Drop the calling session's warm-table cache and unpersist the cached
+    relations, returning ``load_table`` to direct parquet scans. Used by
+    bench.py's cold-scan pass (optimization r17, VERDICT-r16 item 6: the
+    warm-cache methodology must be QUANTIFIED every round, so the bench
+    measures one no-table-cache pass after the warm suite)."""
+    sess = _session_key(spark)
+    for k in [k for k in _warm_cache if k[0] == sess]:
+        try:
+            _warm_cache[k].unpersist(blocking=True)
+        except Exception:
+            pass
+        del _warm_cache[k]
+
+
 # Memo of the events.ts physical parquet type ("ns" | "us"), keyed on the
 # sniffed files' (path, mtime, size) so an in-process regeneration at the
 # SAME path re-sniffs instead of serving a stale classification (ADVICE

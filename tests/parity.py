@@ -80,6 +80,46 @@ def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _is_worker_spawn_flake(exc: BaseException) -> bool:
+    """True for the Python-worker startup timeout class (VERDICT-r16 item 3,
+    an environment flake, not a logic failure): the JVM's
+    PythonWorkerFactory gives a spawned worker a fixed (non-configurable)
+    10 s to connect back, and under host stalls or contended boxes the
+    handshake can miss it — observed twice in r16 on
+    source_python_datasource_stream, green on re-run both times. Matched on
+    the two messages the factory raises; wrong results or genuine operator
+    errors never produce them. Walks the cause/context chain because the
+    timeout surfaces wrapped (StreamingQueryException / Py4JJavaError)."""
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        text = str(e)
+        if (
+            "Timed out while waiting for the Python worker to connect back"
+            in text
+            or "Python worker failed to connect back" in text
+        ):
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+def run_with_spawn_retry(fn, retries: int = 2):
+    """Run ``fn()``; retry (bounded, with a short backoff) ONLY when it dies
+    on the worker-spawn timeout flake class above. Test-harness layer only —
+    product query paths stay retry-free so real failures surface."""
+    import time
+
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt >= retries or not _is_worker_spawn_flake(e):
+                raise
+            time.sleep(2.0 * (attempt + 1))
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     """Return a comparison report; report['ok'] is the overall verdict."""
     sp = spark_df.toPandas()

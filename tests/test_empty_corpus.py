@@ -32,8 +32,12 @@ def empty_sf(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("qid", sorted(SPECS))
 def test_runs_on_empty_corpus(spark, empty_sf, qid):
-    df = SPECS[qid].fn(spark, empty_sf)
-    assert df.count() >= 0
+    # bounded retry on the Python-worker connect-back timeout ONLY (the
+    # r16 environment-flake class; see tests/parity.py)
+    from tests.parity import run_with_spawn_retry
+
+    n = run_with_spawn_retry(lambda: SPECS[qid].fn(spark, empty_sf).count())
+    assert n >= 0
 
 
 def test_tz_aware_events_rejected(spark, tmp_path):

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from ai_dataingestion_spark.catalog import all_specs
-from tests.parity import compare, duckdb_connect
+from tests.parity import compare, duckdb_connect, run_with_spawn_retry
 
 SPECS = all_specs()
 ORACLE_IDS = sorted(k for k, s in SPECS.items() if s.oracle)
@@ -27,16 +27,20 @@ def con(sf_small):
 
 @pytest.mark.parametrize("qid", ORACLE_IDS)
 def test_oracle_parity(qid, spark, sf_small, con):
+    # run_with_spawn_retry: bounded retry on the Python-worker connect-back
+    # timeout ONLY (VERDICT-r16 item 3 — an environment flake that held the
+    # driver's pytest line hostage; any other failure raises immediately).
     spec = SPECS[qid]
-    df = spec.fn(spark, sf_small)
-    report = compare(df, con, spec.oracle)
+    report = run_with_spawn_retry(
+        lambda: compare(spec.fn(spark, sf_small), con, spec.oracle)
+    )
     assert report["ok"], f"{qid}: {report}"
 
 
 @pytest.mark.parametrize("qid", ROWS_ONLY_IDS)
 def test_rows_only_runs(qid, spark, sf_small):
-    df = SPECS[qid].fn(spark, sf_small)
-    assert df.count() >= 0
+    n = run_with_spawn_retry(lambda: SPECS[qid].fn(spark, sf_small).count())
+    assert n >= 0
 
 
 def test_oracle_outputs_are_scalar_only(spark, sf_small):
@@ -93,7 +97,7 @@ def test_driver_window_rotation():
     # an off-by-one in _DRIVER_CHECKED / _DEFER_TO_NEXT_ROUND maintenance is
     # caught by pytest, not by a mis-planned window. Update alongside
     # TOTAL_OPERATORS each round: backlog = total - attested-green.
-    EXPECTED_BACKLOG = 11  # round-16 block awaiting first driver rows: TIME type family (§2.AL, 3) + scalar-function completion (§2.AM, 5) + DF-cap loss curve (§2.AN, 1) + SHOW PARTITIONS / TBLPROPERTIES (§2.AO, 2)
+    EXPECTED_BACKLOG = 0  # r16 block's 11 IDs went green in CORRECTNESS_r16 and are folded; no new operators this optimization round (rank-1 entries are re-checks, not backlog)
     # _EVENTS_RECHECK members rank <4 to claim window slots, but they HAVE
     # driver evidence (it's merely stale) — they are re-checks, not backlog.
     first_time = [n for n in pending if n not in _EVENTS_RECHECK]
