@@ -185,19 +185,34 @@ def _synthesize_payload_batches(
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+# Peak working set of the vectorized pool kernel is ~9x the payload bytes
+# it processes at once (the b''.join copy + the int64 cumsum, 8 bytes per
+# payload byte) — ADVICE-r16 #1: bound it per SLICE instead of per Arrow
+# batch, so growing payloads or arrow.maxRecordsPerBatch can't turn the
+# kernel into an executor-memory spike. 64 MiB of payload -> ~0.6 GB peak.
+_POOL_SLICE_BYTES = 64 * 1024 * 1024
+
+
 def _pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stage 2 — the resize kernel: average-pool the 1-D "pixel" buffer
     into _RESIZE_CELLS fixed cells (cell c covers bytes
     [c*n//16, (c+1)*n//16)). Emits exact integer (cell_n, byte_sum) so the
     result is bit-stable; consumers derive means as byte_sum/cell_n.
 
-    Vectorized across the whole batch (optimization r16, guide §4.2 "do
-    the heavy lifting in native code"): the first draft looped
-    rows × cells in Python (~16 appends + a slice-sum per row); this
-    version concatenates the batch's payloads once and computes every
-    cell boundary and every cell sum with a handful of numpy calls
-    (cumsum + np.diff over flat boundary indices) — identical integer
-    output, ~10 numpy ops per batch instead of ~17·rows Python ops."""
+    Vectorized across the batch (optimization r16, guide §4.2 "do the
+    heavy lifting in native code"): the first draft looped rows × cells in
+    Python (~16 appends + a slice-sum per row); this version concatenates
+    payloads and computes every cell boundary and every cell sum with a
+    handful of numpy calls (cumsum + np.diff over flat boundary indices) —
+    identical integer output, ~10 numpy ops per slice instead of
+    ~17·rows Python ops. r17 (ADVICE-r16 #1): the concat+cumsum working
+    set is ~9x payload bytes, so rows are processed in slices of at most
+    _POOL_SLICE_BYTES payload (a single over-limit row is its own slice) —
+    memory stays bounded no matter how large payloads or Arrow batches
+    grow, and per-row outputs are unchanged (rows are independent).
+    Empty input batches yield nothing (pinned by test: mapInPandas
+    callers concatenate yielded frames, so absent is equivalent to
+    empty)."""
     import numpy as np
 
     cells = _RESIZE_CELLS
@@ -207,25 +222,34 @@ def _pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             continue
         bufs = pdf["payload"].tolist()
         lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=m)
-        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        # (m, cells+1) exact integer bounds: cell c of row r covers
-        # [c*n//cells, (c+1)*n//cells) within row r's buffer
-        c = np.arange(cells + 1, dtype=np.int64)
-        bounds = (lens[:, None] * c[None, :]) // cells
-        absolute = bounds + starts[:, None]
-        # prefix sums over the flat byte stream -> per-cell sums by diff
-        csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
-        cell_sums = np.diff(csum[absolute], axis=1)
-        cell_ns = np.diff(bounds, axis=1)
-        yield pd.DataFrame(
-            {
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), cells),
-                "cell": np.tile(np.arange(cells, dtype=np.int64), m),
-                "cell_n": cell_ns.ravel(),
-                "byte_sum": cell_sums.ravel(),
-            }
-        )
+        doc_ids = pdf["doc_id"].to_numpy()
+        lo = 0
+        while lo < m:
+            hi, sliced = lo + 1, int(lens[lo])
+            while hi < m and sliced + lens[hi] <= _POOL_SLICE_BYTES:
+                sliced += int(lens[hi])
+                hi += 1
+            s_lens = lens[lo:hi]
+            flat = np.frombuffer(b"".join(bufs[lo:hi]), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(s_lens)[:-1]))
+            # (rows, cells+1) exact integer bounds: cell c of row r covers
+            # [c*n//cells, (c+1)*n//cells) within row r's buffer
+            c = np.arange(cells + 1, dtype=np.int64)
+            bounds = (s_lens[:, None] * c[None, :]) // cells
+            absolute = bounds + starts[:, None]
+            # prefix sums over the flat byte stream -> per-cell sums by diff
+            csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+            cell_sums = np.diff(csum[absolute], axis=1)
+            cell_ns = np.diff(bounds, axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids[lo:hi], cells),
+                    "cell": np.tile(np.arange(cells, dtype=np.int64), hi - lo),
+                    "cell_n": cell_ns.ravel(),
+                    "byte_sum": cell_sums.ravel(),
+                }
+            )
+            lo = hi
 
 
 @register(

@@ -404,9 +404,12 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
         "graph_pagerank_trade", "graph_copurchase_triangles",
         "graph_degree_distribution", "dedup_lsh_band_tuning",
         "multimodal_image_resize_pool",
-        # r17 code-changed (driver-build string-expression rewrites)
+        # r17 code-changed (driver-build string-expression rewrites; the
+        # partition-level LSH pair kernel)
         "dedup_removal_plan", "dedup_near_minhash",
         "dedup_minhash_estimate_error", "dedup_eval_precision_recall",
+        "sim_pair_dedup_lsh",
+        "catalog_meta_type_census", "udtf_self_partition_counts",
     }
 )
 

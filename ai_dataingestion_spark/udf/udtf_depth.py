@@ -223,12 +223,19 @@ GROUP BY event_type
 )
 def udtf_self_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-partitioning UDTF: ``analyze()`` returns
-    ``partitionBy=[PartitioningColumn("event_type")]``, so the caller writes
-    ``f(TABLE(events))`` and the engine inserts the repartition — the
+    ``partitionBy=[PartitioningColumn("event_type")]``, so the caller passes
+    a bare TABLE argument and the engine inserts the repartition — the
     partitioning is part of the function's contract. Per-type count +
     finite-value sum via O(1) instance state; NULL event_type forms its own
     partition on the engine exactly as GROUP BY groups NULLs on the oracle.
-    Expression twin: agg_groupby (the shuffle is the identical exchange)."""
+    Expression twin: agg_groupby (the shuffle is the identical exchange).
+    r17 (guide §4.1): the TABLE argument projects the two columns eval()
+    reads — a UDTF is opaque to Catalyst, so an unprojected TABLE(events)
+    shipped all 6 columns (ts, props, ids) through the exchange and the
+    per-row Python boundary for nothing (measured 1.41 s -> 1.09 s; the
+    remaining wall is the per-row eval, which IS the §2.T feature under
+    demonstration — guide §4.1: a UDTF's eval is row-at-a-time by
+    definition)."""
 
     @udtf
     class TypeCounts:
@@ -265,4 +272,7 @@ def udtf_self_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("type_counts_udtf", TypeCounts)
     register_views(spark, sf_dir)
-    return spark.sql("SELECT * FROM type_counts_udtf(TABLE(events))")
+    return spark.sql(
+        "SELECT * FROM type_counts_udtf("
+        "TABLE(SELECT event_type, value FROM events))"
+    )
