@@ -362,19 +362,23 @@ def _block_pairs_partition_kernel(batches):
     per-group framing, not the matmuls, dominated the wall (measured:
     1.53 s -> 0.94 s swapping it for this one-mapInPandas-per-partition
     walk). Groups arrive contiguous (sortWithinPartitions upstream); only
-    a group straddling an Arrow batch boundary is buffered, so peak memory
-    stays batch + largest block — the same largest-block bound
-    applyInPandas had. Per-block math is _block_pairs_kernel verbatim, so
+    a group straddling an Arrow batch boundary is buffered, and the pairs
+    computed from each input batch are yielded before the next batch is
+    pulled, so peak memory stays input batch + largest block + that
+    batch's pairs — never the whole partition's output (a partition holds
+    many blocks at scale and pair count is quadratic in block size, so
+    accumulating all blocks' pairs to the end would grow with partition
+    width). Per-block math is _block_pairs_kernel verbatim, so
     the emitted pairs are identical; row order within a block is as
     irrelevant here as it was under applyInPandas (the full cosine matrix
     is computed either way and the caller max-aggregates per pair)."""
     import pandas as pd
 
     carry, carry_key = None, None
-    outs = []
     for pdf in batches:
         if not len(pdf):
             continue
+        outs = []
         for key, grp in pdf.groupby(["tbl", "bkt"], sort=False):
             if carry_key is not None and key == carry_key:
                 carry = pd.concat([carry, grp], ignore_index=True)
@@ -382,10 +386,12 @@ def _block_pairs_partition_kernel(batches):
             if carry_key is not None:
                 outs.append(_block_pairs_kernel(carry))
             carry, carry_key = grp, key
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
     if carry_key is not None:
-        outs.append(_block_pairs_kernel(carry))
-    if outs:
-        yield pd.concat(outs, ignore_index=True)
+        out = _block_pairs_kernel(carry)
+        if len(out):
+            yield out
 
 
 @register("sim_pair_dedup", oracle=_PAIR_DEDUP_ORACLE)
