@@ -12,7 +12,7 @@ from ai_dataingestion_spark.functions.portable import (
 )
 from ai_dataingestion_spark.opcache import op_cache
 from ai_dataingestion_spark.tmpdirs import op_tmpdir
-from ai_dataingestion_spark.scale import broadcast_if_small
+from ai_dataingestion_spark.scale import broadcast_if_small, table_bytes
 from ai_dataingestion_spark.ai.dedup import (
     _CW_A,
     _CW_B,
@@ -3724,8 +3724,25 @@ def sink_dynamic_partition_overwrite(
     e = Tables(spark, sf_dir).events
     day = F.col("ts").cast("date").alias("day")
     base = e.select("event_id", "event_type", day)
+    # Cluster rows by day before each partitionBy("day") write (guide §6):
+    # unclustered, EVERY shuffle task writes a file into every day dir it
+    # holds rows for (tasks x days small files; measured 480 files for 30
+    # days at sf0.1), and the audit scan then pays the per-file open cost
+    # over all of them. A deterministic salt (xxhash64, not rand - retried
+    # map tasks must re-draw the same value, guide §2.5) bounds how many
+    # tasks share one day so a giant day cannot serialize into a single
+    # writer at scale: ~one writer per 512 MiB of table bytes, 1 locally.
+    _wpd = 1 + table_bytes(
+        sf_dir, "events", cap=1024 * 512 * 2**20
+    ) // (512 * 2**20)
+    writers = int(min(1024, _wpd))
+    cluster = lambda df: df.repartition(  # noqa: E731
+        F.col("day"), F.pmod(F.xxhash64("event_id"), F.lit(writers))
+    )
     target = op_tmpdir("sink_dpo_")
-    base.write.mode("overwrite").partitionBy("day").parquet(target)
+    cluster(base).write.mode("overwrite").partitionBy("day").parquet(
+        target
+    )
     prev = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -3733,9 +3750,11 @@ def sink_dynamic_partition_overwrite(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        base.where(
-            (F.col("day") <= F.lit("2024-01-05").cast("date"))
-            & (F.col("event_type") == "click")
+        cluster(
+            base.where(
+                (F.col("day") <= F.lit("2024-01-05").cast("date"))
+                & (F.col("event_type") == "click")
+            )
         ).write.mode("overwrite").partitionBy("day").parquet(target)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
