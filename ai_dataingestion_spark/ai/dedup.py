@@ -231,6 +231,36 @@ def _cw_sig_agg_exprs() -> list:
     ]
 
 
+def _simhash_vote_agg_exprs() -> list:
+    """dedup_simhash's 64 per-bit vote aggregates, each ONE parsed SQL
+    expression (the _cw_sig_agg_exprs driver-build rewrite applied to the
+    simhash family): the Column loop — shiftright/bitwiseAND/when per bit —
+    issued ~6 py4j round trips per bit with eager re-analysis per
+    intermediate. IF(cond, 1, -1) is exactly when(cond, 1).otherwise(-1):
+    a NULL condition takes the ELSE branch in both forms."""
+    return [
+        F.expr(
+            f"sum(IF((shiftright(hc{b // 16}, {b % 16}) & 1) = 1, 1, -1))"
+            f" AS v{b}"
+        )
+        for b in range(64)
+    ]
+
+
+# The four 16-bit signature chunks from the vote columns, one parsed
+# expression: bit b of chunk c is set iff vote v{16c+b} is positive. Integer
+# IF-sums per chunk stay under 2^16, cast to BIGINT exactly as the Column
+# form's .cast("long") did.
+_SIMHASH_CHUNKS_EXPR = "array({})".format(
+    ", ".join(
+        "CAST("
+        + " + ".join(f"IF(v{c * 16 + b} > 0, {1 << b}, 0)" for b in range(16))
+        + " AS BIGINT)"
+        for c in range(4)
+    )
+)
+
+
 _MINHASH_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -440,32 +470,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(4)
         ],
     )
-    votes = tok_hash.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"hc{b // 16}"), b % 16).bitwiseAND(1) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
-    )
-    chunk_exprs = [
-        sum(
-            [
-                F.when(F.col(f"v{c * 16 + b}") > 0, F.lit(1 << b)).otherwise(0)
-                for b in range(16)
-            ],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias(f"c{c}")
-        for c in range(4)
-    ]
-    sig = votes.select(
-        "doc_id", F.array(*chunk_exprs).alias("chunks")
-    ).select("doc_id", "chunks")
+    votes = tok_hash.groupBy("doc_id").agg(*_simhash_vote_agg_exprs())
+    sig = votes.selectExpr("doc_id", f"{_SIMHASH_CHUNKS_EXPR} AS chunks")
 
     chunked = sig.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_val")

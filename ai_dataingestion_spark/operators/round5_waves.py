@@ -7263,29 +7263,34 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q_id, q_vec = qrow["vec_id"], qrow["embedding"]
 
-    def cos(col_vec, lit_vec: list) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
-        dot = F.aggregate(
-            F.zip_with(
-                col_vec, arr, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def cos(col_name: str, lit_vec: list) -> F.Column:
+        # r17 driver-build rewrite (guide §5, the _cw_sig_agg_exprs
+        # technique): ONE parsed expression per cosine. The Column form
+        # issued ~64 py4j lit() calls per literal vector plus lambda
+        # plumbing, re-paid every round of the greedy loop. repr() floats
+        # with the D suffix round-trip the exact IEEE doubles; 0.0D/0.5D
+        # keep every literal DOUBLE (a bare SQL decimal is DECIMAL).
+        # Pinned term-for-term against the Column form by
+        # tests/test_r17_optimizations.py::test_mmr_cos_string_expr...
+        arr = "array({})".format(
+            ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in lit_vec)
         )
-        na = F.sqrt(
-            F.aggregate(
-                col_vec,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
+        dot = (
+            f"aggregate(zip_with({col_name}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * y),"
+            " 0.0D, (acc, v) -> acc + v)"
         )
-        nb = F.sqrt(
-            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        na = (
+            f"sqrt(aggregate({col_name}, 0.0D,"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         )
-        return _pround(dot / (na * nb), 9)
+        nb = f"sqrt(aggregate({arr}, 0.0D, (acc, x) -> acc + x * x))"
+        return F.expr(
+            f"floor({dot} / ({na} * {nb}) * 1000000000 + 0.5D) / 1000000000"
+        )
 
     cand = e.filter(F.col("vec_id") != q_id).select(
-        "vec_id", "embedding", cos(F.col("embedding"), q_vec).alias("sim")
+        "vec_id", "embedding", cos("embedding", q_vec).alias("sim")
     ).transform(op_cache)
 
     selected: list = []  # (vec_id, sim, embedding)
@@ -7296,7 +7301,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             sel_ids = [s[0] for s in selected]
             pen = None
             for _sid, _ssim, svec in selected:
-                p = cos(F.col("embedding"), svec)
+                p = cos("embedding", svec)
                 pen = p if pen is None else F.greatest(pen, p)
             pick = (
                 cand.filter(~F.col("vec_id").isin(sel_ids))

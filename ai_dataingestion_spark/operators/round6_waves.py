@@ -1932,11 +1932,16 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst would broadcast and OOM the driver at 10x (scale.py rule)
     from ai_dataingestion_spark.scale import hint_array_side
 
+    # r17: detected feeds BOTH the true-positive semi-join and the
+    # n_detected count — uncached, the whole LSH candidate+verify chain
+    # executed once per branch (guide §5, the kmeans-a2 pattern); the
+    # cached relation is two ids per detected pair, corpus-bounded.
     detected = (
         cand.join(hint_array_side(sh1, sf_dir, "documents"), "id1")
         .join(hint_array_side(sh2, sf_dir, "documents"), "id2")
         .filter(inter / union >= 0.6)
         .select("id1", "id2")
+        .transform(op_cache)
     )
     truth = (
         Tables(spark, sf_dir)

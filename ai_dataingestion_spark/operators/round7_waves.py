@@ -316,13 +316,33 @@ def embed_logistic_regression_step(
     ex = e.select("y", F.posexplode("v").alias("j0", "x")).select(
         (F.col("j0") + 1).alias("dim"), "y", "x"
     )
+    # r17: g1 feeds both the w1 collect and the w2 join — op_cache runs
+    # the first gradient pass once (64 rows cached); the literal weight
+    # arrays are ONE parsed expression instead of 64 py4j lit() calls
+    # (guide §5, the _cw_sig_agg_exprs driver-build technique).
     g1 = ex.groupBy("dim").agg(
         F.round(F.avg((F.lit(0.5) - F.col("y")) * F.col("x")), 4).alias("g")
-    )
+    ).transform(op_cache)
     w1 = [round(-r["g"], 4) for r in g1.orderBy("dim").collect()]  # 64 scalars
     if not w1:  # empty corpus: no dims, no weights — return empty frame
         return g1.select("dim", F.col("g").alias("w"))
-    w1arr = F.array(*[F.lit(float(x)) for x in w1])
+
+    def lit_arr(vals):
+        # repr() round-trips the exact IEEE double; D keeps it DOUBLE.
+        # NaN/inf (possible at the nan tier: gradients average raw
+        # embedding components) have no SQL literal — cast the Java
+        # tokens, which Spark's string->double cast accepts.
+        def one(x):
+            x = float(x)
+            if x != x:
+                return "CAST('NaN' AS DOUBLE)"
+            if x == float("inf") or x == float("-inf"):
+                return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+            return f"{x!r}D"
+
+        return F.expr("array({})".format(", ".join(one(x) for x in vals)))
+
+    w1arr = lit_arr(w1)
 
     def dot(varr):
         return F.round(
@@ -343,11 +363,14 @@ def embed_logistic_regression_step(
     g2 = ex2.groupBy("dim").agg(
         F.round(F.avg((F.col("sig") - F.col("y")) * F.col("x")), 4).alias("g2")
     )
+    # r17: w2df feeds both the w2 collect and the returned union —
+    # uncached, the second corpus gradient pass re-executed when the
+    # output was consumed.
     w2df = g2.join(g1, "dim").select(
         "dim", F.round(-F.col("g") - F.col("g2"), 4).alias("w")
-    )
+    ).transform(op_cache)
     w2 = [r["w"] for r in w2df.orderBy("dim").collect()]  # 64 scalars
-    w2arr = F.array(*[F.lit(float(x)) for x in w2])
+    w2arr = lit_arr(w2)
     acc = (
         e.select(
             (dot(w2arr) >= 0).alias("pred"), (F.col("y") == 1.0).alias("pos")

@@ -171,6 +171,126 @@ def test_cw_sig_string_exprs_match_column_arithmetic(spark, sf_small):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_simhash_string_exprs_match_column_arithmetic(spark, sf_small):
+    """The parsed-SQL simhash vote/chunk builders (r17 driver-build rewrite)
+    must produce bit-identical signatures to the Column loops they replaced
+    (shiftright/bitwiseAND/when votes; per-bit when-sum chunks)."""
+    from ai_dataingestion_spark.ai.dedup import (
+        _SIMHASH_CHUNKS_EXPR,
+        _corpus_with_exact_dups,
+        _simhash_vote_agg_exprs,
+    )
+
+    corpus = _corpus_with_exact_dups(spark, sf_small)
+    tok_hash = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(tok), {c * 4 + 1}, 4), 16, 10)"
+                " AS BIGINT)"
+            ).alias(f"hc{c}")
+            for c in range(4)
+        ],
+    )
+    new = (
+        tok_hash.groupBy("doc_id")
+        .agg(*_simhash_vote_agg_exprs())
+        .selectExpr("doc_id", f"{_SIMHASH_CHUNKS_EXPR} AS chunks")
+    )
+    old_votes = tok_hash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"hc{b // 16}"), b % 16).bitwiseAND(1)
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    chunk_exprs = [
+        sum(
+            [
+                F.when(F.col(f"v{c * 16 + b}") > 0, F.lit(1 << b)).otherwise(0)
+                for b in range(16)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"c{c}")
+        for c in range(4)
+    ]
+    old = old_votes.select("doc_id", F.array(*chunk_exprs).alias("chunks"))
+    a = new.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = old.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    a["chunks"] = a["chunks"].map(list)
+    b["chunks"] = b["chunks"].map(list)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mmr_cos_string_expr_matches_column_form(spark, sf_small):
+    """embed_mmr_select's one-parse cosine (r17 driver-build rewrite) must
+    produce bit-identical 9dp-rounded similarities to the Column/lambda
+    form it replaced, for an arbitrary literal query vector."""
+    from ai_dataingestion_spark.functions.portable import finite_vec
+    from ai_dataingestion_spark.registry import Tables
+
+    e = (
+        Tables(spark, sf_small)
+        .embeddings.where(finite_vec("embedding"))
+        .limit(50)
+    )
+    q_vec = [float(x) for x in e.first()["embedding"]]
+
+    def old_cos(col_vec, lit_vec):
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        dot = F.aggregate(
+            F.zip_with(col_vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                col_vec,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        nb = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.floor(dot / (na * nb) * 10**9 + 0.5) / 10**9
+
+    arr_sql = "array({})".format(
+        ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in q_vec)
+    )
+    dot = (
+        f"aggregate(zip_with(embedding, {arr_sql},"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+    na = (
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    nb = f"sqrt(aggregate({arr_sql}, 0.0D, (acc, x) -> acc + x * x))"
+    new_col = F.expr(
+        f"floor({dot} / ({na} * {nb}) * 1000000000 + 0.5D) / 1000000000"
+    )
+    got = (
+        e.select(
+            "vec_id",
+            old_cos(F.col("embedding"), q_vec).alias("old"),
+            new_col.alias("new"),
+        )
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert len(got) > 0
+    assert (got["old"].values == got["new"].values).all()
+
+
 def test_pool_kernel_empty_batch_and_slice_bound():
     """ADVICE-r16 #1/#2 pins: an EMPTY input batch yields nothing (the
     mapInPandas caller concatenates yielded frames, so absent == empty),
