@@ -410,6 +410,12 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
         "dedup_minhash_estimate_error", "dedup_eval_precision_recall",
         "sim_pair_dedup_lsh",
         "catalog_meta_type_census", "udtf_self_partition_counts",
+        # r17 second batch (sweep follow-ups): streaming pair-kernel
+        # yield, day-clustered sink writes, simhash/mmr/logreg
+        # expression rewrites and gradient caching
+        "sim_pair_dedup", "sink_dynamic_partition_overwrite",
+        "dedup_simhash", "embed_mmr_select",
+        "embed_logistic_regression_step",
     }
 )
 
