@@ -794,23 +794,36 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pre_pred, "pre").otherwise("post").alias("period"),
         bin_.alias("bin"),
     )
-    totals = binned.groupBy().pivot("period", ["pre", "post"]).count()
-    shares = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("period") == "pre", 1).otherwise(0)).alias(
-                "c_pre"
-            ),
-            F.sum(F.when(F.col("period") == "post", 1).otherwise(0)).alias(
-                "c_post"
-            ),
-        )
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bin",
-            (F.col("c_pre").cast("double") / F.col("pre")).alias("p"),
-            (F.col("c_post").cast("double") / F.col("post")).alias("q"),
-        )
+    # r17: period totals derive from the ≤10-row per-bin counts via an
+    # unpartitioned window instead of a second full pass over binned
+    # (the old pivot-count ran the scan + crossJoin chain twice — guide
+    # §2.4; an op_cache + re-aggregate variant was prototyped and
+    # measured SLOWER locally than the extra pass, so the single-chain
+    # window form ships). The >0 guard keeps the pivot's
+    # NULL-when-period-absent semantics: Σ c_pre = 0 exactly when no
+    # pre rows exist, where pivot count yielded NULL (and p/q must stay
+    # NULL, not NaN-from-0/0, on that edge).
+    w_all = Window.partitionBy()
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "pre", 1).otherwise(0)).alias(
+            "c_pre"
+        ),
+        F.sum(F.when(F.col("period") == "post", 1).otherwise(0)).alias(
+            "c_post"
+        ),
+    )
+    tot_pre = F.sum("c_pre").over(w_all)
+    tot_post = F.sum("c_post").over(w_all)
+    shares = counts.select(
+        "bin",
+        (
+            F.col("c_pre").cast("double")
+            / F.when(tot_pre > 0, tot_pre)
+        ).alias("p"),
+        (
+            F.col("c_post").cast("double")
+            / F.when(tot_post > 0, tot_post)
+        ).alias("q"),
     )
     term = _pround(
         (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
