@@ -415,7 +415,7 @@ _EVENTS_RECHECK: frozenset[str] = frozenset(
         # expression rewrites and gradient caching
         "sim_pair_dedup", "sink_dynamic_partition_overwrite",
         "dedup_simhash", "embed_mmr_select",
-        "embed_logistic_regression_step",
+        "embed_logistic_regression_step", "quality_psi_drift",
     }
 )
 
